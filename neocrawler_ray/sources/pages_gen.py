@@ -1,0 +1,409 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus.
+
+Builds the ``pages(url, warc_ts, html:binary, text, lang)`` Parquet table
+from BASELINE.json's input_hint, plus the matching driller-rule set and
+seeds — the whole web graph a crawl run explores.  Everything is a pure
+function of ``(seed, n_pages, n_domains)``: no wall-clock, no network, no
+external data.
+
+Graph shape (mirrors the reference README's 4-level example,
+reference README.md:256-259: home → category → list → detail):
+
+- ``D`` domains ``site{d}.example`` with host ``www.site{d}.example``;
+  domain 0 is a mega-domain holding ~40% of all pages (skew exercise).
+- home ``/`` → categories ``/cat_{c}.html`` → lists
+  ``/cat_{c}/list_{p}.html`` → details ``/cat_{c}/item_{k}.html?id={k}``.
+- List pages carry wash-fodder links (``#top``, ``javascript:void(0)``),
+  periodic dead links (404 path), and — on the mega domain — links into
+  ``/private/`` which robots.txt disallows, plus ``<img>`` links to binary
+  ``/img/*.jpg`` pages (binary-format rule).
+- Every ~97th item is a deliberately short page (<500 chars → fails
+  validateContent, exercising retry → crawled_failure).
+- The last domain (when ``n_domains >= 3``) is Chinese-language with
+  GBK-encoded html (rule ``encoding: "gbk"``).
+
+The ``text`` column is the byte-identical parity target: for detail pages
+it is exactly the concatenated descendant text of ``div.product`` (the
+``text_main`` extract field), computed here *directly from the source
+strings* — independently of the engine's DOM/extractor — so the parity
+test is not a tautology.  For branch pages it is the page title.
+
+Output layout: ``{out}/pages/shard={k}/part.parquet`` with
+``k = md5(host) % pages_shards`` so fetch-sim actors can cache per-host
+partitions without re-reading the corpus (SURVEY.md §2.4 J4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import random
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu ember quartz lattice vector raster kernel tensor stream "
+    "shard batch arrow filter bucket token polite frontier drill crawl spider"
+).split()
+
+_ZH_VOCAB = list("数据处理引擎网络爬虫调度队列页面抓取解析链接内容规则示例文本中文网站商品价格")
+
+_BASE_TS = datetime(2025, 1, 1)
+
+COLORS = ["red", "blue", "green", "black", "white", "silver"]
+
+
+def _host_shard(host: str, n: int) -> int:
+    return int(hashlib.md5(host.encode()).hexdigest()[:8], 16) % n
+
+
+def _para(rng: random.Random, n_words: int, zh: bool) -> str:
+    if zh:
+        return "".join(rng.choice(_ZH_VOCAB) for _ in range(n_words * 2))
+    return " ".join(rng.choice(_VOCAB) for _ in range(n_words))
+
+
+def _detail_product_html_and_text(title, price, t1, t2, color, wt, p1, p2):
+    # NOTE: no whitespace between elements inside .product — the text parity
+    # formula below depends on it.
+    html = (
+        '<div class="product">'
+        f'<h1 class="title">{title}</h1>'
+        f'<span class="price">${price}</span>'
+        f'<ul class="tags"><li>{t1}</li><li>{t2}</li></ul>'
+        f'<div class="spec"><span class="k">color</span><span class="v">{color}</span></div>'
+        f'<div class="spec"><span class="k">weight</span><span class="v">{wt}g</span></div>'
+        f'<div class="body"><p>{p1}</p><p>{p2}</p></div>'
+        "</div>"
+    )
+    text = f"{title}${price}{t1}{t2}color{color}weight{wt}g{p1}{p2}"
+    return html, text
+
+
+def _domain_plan(n_pages: int, n_domains: int) -> list[int]:
+    """Page budget per domain: domain 0 gets ~40%, the rest uniform."""
+    mega = int(n_pages * 0.4)
+    rest = (n_pages - mega) // max(1, n_domains - 1)
+    return [mega] + [rest] * (n_domains - 1)
+
+
+def generate_corpus(
+    out_dir: str,
+    n_pages: int = 5000,
+    n_domains: int = 20,
+    seed: int = 42,
+    pages_shards: int = 16,
+) -> dict:
+    """Write pages + rules + meta under ``out_dir``; returns meta dict."""
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    rules: dict[str, dict[str, dict]] = {}
+    budgets = _domain_plan(n_pages, n_domains)
+
+    for d in range(n_domains):
+        zh = n_domains >= 3 and d == n_domains - 1
+        domain = f"site{d}.example"
+        host = f"www.{domain}"
+        base = f"http://{host}"
+        n_d = max(budgets[d], 25)
+        items_per_list = 8
+        n_cats = max(2, int((n_d / 20) ** 0.5))
+        n_lists = max(1, (n_d - 1 - n_cats) // ((items_per_list + 1) * n_cats))
+        lang = "zh" if zh else "en"
+        encoding = "gbk" if zh else "utf-8"
+
+        def page(url, html_str, text, binary: bytes | None = None):
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": _BASE_TS + timedelta(seconds=len(rows)),
+                    "html": binary if binary is not None else html_str.encode(encoding),
+                    "text": text,
+                    "lang": lang if binary is None else "",
+                }
+            )
+
+        # robots.txt (mega domain disallows /private/)
+        robots = "User-agent: *\n"
+        if d == 0:
+            robots += "Disallow: /private/\n"
+        page(f"{base}/robots.txt", robots, "", binary=robots.encode())
+
+        # home
+        title = f"home - {domain}"
+        cats_html = "".join(
+            f'<li><a class="cat" href="cat_{c}.html">cat {c}</a></li>'
+            for c in range(n_cats)
+        )
+        filler = _para(rng, 80, zh)
+        page(
+            f"{base}/",
+            f"<html><head><title>{title}</title></head><body>\n"
+            f'<div id="crumb">root</div>\n<ul class="cats">{cats_html}</ul>\n'
+            f'<p class="filler">{filler}</p>\n</body></html>',
+            title,
+        )
+
+        for c in range(n_cats):
+            # category page
+            title = f"cat_{c} - {domain}"
+            lists_html = "".join(
+                f'<li><a class="list" href="cat_{c}/list_{p}.html">page {p}</a></li>'
+                for p in range(1, n_lists + 1)
+            )
+            filler = _para(rng, 80, zh)
+            page(
+                f"{base}/cat_{c}.html",
+                f"<html><head><title>{title}</title></head><body>\n"
+                f'<div id="crumb">home</div>\n<ul class="lists">{lists_html}</ul>\n'
+                f'<p class="filler">{filler}</p>\n</body></html>',
+                title,
+            )
+
+            for p in range(1, n_lists + 1):
+                # list page
+                title = f"cat_{c} list {p} - {domain}"
+                k_lo = (p - 1) * items_per_list
+                items_html = "".join(
+                    f'<li><a class="item" href="item_{k}.html?id={k}&utm=feed">Item {k}</a></li>'
+                    for k in range(k_lo, k_lo + items_per_list)
+                )
+                extras = ""
+                if p % 3 == 0:
+                    dead = 1_000_000 + p
+                    extras += f'<a class="dead" href="item_{dead}.html?id={dead}">gone</a>'
+                if d == 0 and p % 4 == 0:
+                    extras += f'<a class="priv" href="/private/secret_{p}.html">private</a>'
+                if d == 0:
+                    extras += f'<img class="photo" src="/img/pic_{c}_{p}.jpg">'
+                nxt = (
+                    f'<a class="next" href="list_{p + 1}.html">next page</a>'
+                    if p < n_lists
+                    else ""
+                )
+                filler = _para(rng, 80, zh)
+                page(
+                    f"{base}/cat_{c}/list_{p}.html",
+                    f"<html><head><title>{title}</title></head><body>\n"
+                    f'<div id="crumb">cat_{c}</div>\n<ul class="items">{items_html}</ul>\n'
+                    f'{nxt}{extras}<a href="#top">top</a>'
+                    f'<a href="javascript:void(0)">noop</a>\n'
+                    f'<p class="filler">{filler}</p>\n</body></html>',
+                    title,
+                )
+
+                for k in range(k_lo, k_lo + items_per_list):
+                    item_url = f"{base}/cat_{c}/item_{k}.html?id={k}"
+                    if k % 97 == 13:  # deliberately short → fails validation
+                        title = f"Item {k}"
+                        page(
+                            item_url,
+                            f'<html><body><div class="product">'
+                            f'<h1 class="title">{title}</h1></div></body></html>',
+                            title,
+                        )
+                        continue
+                    title = (
+                        f"商品 {k} {_para(rng, 2, True)}" if zh else
+                        f"Item {k} {_para(rng, 2, False)}"
+                    )
+                    price = 10 + (k * 7 + c) % 990
+                    t1, t2 = f"tag{k % 11}", f"tag{(k + 5) % 11}"
+                    color = COLORS[k % len(COLORS)]
+                    wt = 100 + (k * 13) % 900
+                    p1, p2 = _para(rng, 40, zh), _para(rng, 30, zh)
+                    product, text = _detail_product_html_and_text(
+                        title, price, t1, t2, color, wt, p1, p2
+                    )
+                    k2 = k_lo + (k + 1 - k_lo) % items_per_list
+                    filler = _para(rng, 70, zh)
+                    page(
+                        item_url,
+                        f"<html><head><title>{title} - {domain}</title></head><body>\n"
+                        f'<div id="crumb">cat_{c}</div>\n{product}\n'
+                        f'<div class="related"><a class="item" '
+                        f'href="item_{k2}.html?id={k2}&utm=rel">related</a></div>\n'
+                        f'<p class="filler">{filler}</p>\n</body></html>',
+                        text,
+                    )
+
+        # binary image pages for the mega domain
+        if d == 0:
+            for c in range(n_cats):
+                for p in range(1, n_lists + 1):
+                    blob = (f"JPEGDATA:{c}:{p}:".encode() + bytes(
+                        (k * 37 + c + p) % 256 for k in range(120)
+                    ))
+                    page(f"{base}/img/pic_{c}_{p}.jpg", "", "", binary=blob)
+
+        # ---- driller rules for this domain (README.md:164-250 schema) ----
+        esc = domain.replace(".", r"\.")
+        rules[domain] = {
+            "home": _rule(
+                domain, "home", rf"^http://www\.{esc}/$", "branch",
+                drill=["a.cat"], seed=[f"{base}/"], priority=1, weight=10,
+                encoding=encoding,
+            ),
+            "category": _rule(
+                domain, "category", rf"^http://www\.{esc}/cat_\d+\.html$",
+                "branch", drill=["a.list"], priority=1, weight=8,
+                encoding=encoding,
+            ),
+            "list": _rule(
+                domain, "list", rf"^http://www\.{esc}/cat_\d+/list_\d+\.html$",
+                "branch",
+                drill=["a.item", "a.next", "a.dead", "a.priv", "img.photo"],
+                priority=1, weight=6, encoding=encoding,
+                schedule_rule="LIFO" if d == 1 else "FIFO",
+                seed=(
+                    [f"{base}/cat_0/list_#.html#1#2#1"] if d == 0 else []
+                ),
+            ),
+            "detail": _rule(
+                domain, "detail", rf"^http://www\.{esc}/cat_\d+/item_\d+\.html",
+                "node", drill=["a.item"], priority=2, weight=5,
+                id_parameter=["id"], encoding=encoding,
+                validation_keywords=["product"],
+                extract_rule={
+                    "category": "product",
+                    "rule": {
+                        "text_main": {"mode": "css", "expression": "div.product",
+                                       "pick": "text", "index": 1},
+                        "title": {"mode": "css", "expression": "h1.title",
+                                   "pick": "text", "index": 1},
+                        "price": {"mode": "regex", "base": "content",
+                                   "expression": r"\$(\d+)", "index": 1},
+                        "item_id": {"mode": "regex", "base": "url",
+                                     "expression": r"id=(\d+)", "index": 1},
+                        "source": {"mode": "value", "expression": "synthetic"},
+                        "tags": {"mode": "css", "expression": ".tags li",
+                                  "pick": "text", "index": -1},
+                        "specs": {"mode": "css", "expression": "div.spec",
+                                   "index": -1,
+                                   "subset": {
+                                       "category": "spec",
+                                       "relate": "title",
+                                       "rule": {
+                                           "k": {"mode": "css",
+                                                  "expression": "span.k",
+                                                  "pick": "text", "index": 1},
+                                           "v": {"mode": "css",
+                                                  "expression": "span.v",
+                                                  "pick": "text", "index": 1},
+                                       },
+                                       "require": ["k", "v"],
+                                   }},
+                    },
+                    "require": ["text_main", "title", ["price", "item_id"]],
+                },
+            ),
+        }
+        if d == 0:
+            rules[domain]["private"] = _rule(
+                domain, "private", rf"^http://www\.{esc}/private/", "node",
+                priority=3, weight=0, encoding=encoding,
+            )
+            rules[domain]["image"] = _rule(
+                domain, "image", rf"^http://www\.{esc}/img/.+\.jpg$", "node",
+                priority=3, weight=0, fmt="binary", encoding=encoding,
+            )
+
+    # ---- write partitioned pages ----------------------------------------
+    os.makedirs(out_dir, exist_ok=True)
+    by_shard: dict[int, list[dict]] = {}
+    for r in rows:
+        host = r["url"].split("/")[2]
+        by_shard.setdefault(_host_shard(host, pages_shards), []).append(r)
+    for k, shard_rows in sorted(by_shard.items()):
+        pdir = os.path.join(out_dir, "pages", f"shard={k}")
+        os.makedirs(pdir, exist_ok=True)
+        tbl = pa.Table.from_pylist(shard_rows, schema=PAGES_SCHEMA)
+        pq.write_table(tbl, os.path.join(pdir, "part.parquet"))
+    with open(os.path.join(out_dir, "rules.json"), "w") as f:
+        json.dump(rules, f, ensure_ascii=False, indent=1)
+    meta = {
+        "n_pages": len(rows),
+        "n_domains": n_domains,
+        "seed": seed,
+        "pages_shards": pages_shards,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _rule(domain, alias, url_pattern, type_, *, drill=None, seed=None,
+          priority=1, weight=0, id_parameter=None, validation_keywords=None,
+          extract_rule=None, fmt="html", encoding="utf-8",
+          schedule_rule="FIFO") -> dict:
+    """A driller rule in the reference's config schema (README.md:164-250)."""
+    return {
+        "domain": domain,
+        "alias": alias,
+        "url_pattern": url_pattern,
+        "type": type_,
+        "format": fmt,
+        "encoding": encoding,
+        "save_page": False,
+        "jshandle": False,
+        "drill_rules": drill or [],
+        "drill_relation": {"base": "content", "mode": "css",
+                            "expression": "#crumb", "pick": "text", "index": 1},
+        "extract_rule": extract_rule or {
+            "rule": {
+                "text_main": {"mode": "css", "expression": "title",
+                               "pick": "text", "index": 1}
+            }
+        },
+        "validation_keywords": validation_keywords or [],
+        "id_parameter": id_parameter or [],
+        "priority": priority,
+        "weight": weight,
+        "schedule_interval": 86400,
+        "schedule_rule": schedule_rule,
+        "seed": seed or [],
+        "active": True,
+    }
+
+
+# --------------------------------------------------------------------------
+# sf_dir → cached corpus (tests/bench/queries derive corpus scale from the
+# driver's sf directory name; corpus is generated once into a /tmp cache)
+# --------------------------------------------------------------------------
+
+_SF_PARAMS = {
+    "sf0.001": dict(n_pages=500, n_domains=5),
+    "sf0.01": dict(n_pages=5000, n_domains=20),
+    "sf0.1": dict(n_pages=50000, n_domains=50),
+}
+
+
+def corpus_for_sf(sf_dir: str, cache_root: str = "/tmp/neocrawler_ray_corpus") -> str:
+    """Deterministically generate (or reuse) the synthetic crawl corpus
+    matching an sf testdata dir; returns the corpus dir."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    params = _SF_PARAMS.get(tag, _SF_PARAMS["sf0.01"])
+    out = os.path.join(cache_root, tag)
+    marker = os.path.join(out, "meta.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("n_pages") and meta.get("seed") == 42:
+            return out
+    generate_corpus(out, seed=42, **params)
+    return out

@@ -1,0 +1,118 @@
+"""Scheduling wave — the reference's SuperScheduler round, driver-side.
+
+Re-expresses scheduler/index.js:124-260 (``doSchedule`` →
+``reSchedule``/``doScheduleExt``) as one deterministic, sequential quota
+loop per wave.  The loop itself is O(#rules) and cheap; all heavy work
+(queue pops, admission checks) happens inside the frontier shards.
+Keeping the quota computation sequential on the driver preserves the
+reference's single-scheduler total order of scheduling decisions
+(README.md:130, SURVEY.md §2.9) — the parity target.
+
+Quota parity (scheduler/index.js:88, 124-157, 205-260):
+- ``rate = (max_weight + weight) / priority`` per rule;
+- ``balance = schedule_quantity_limitation - backlog``; ``avg = balance /
+  total_rates``;
+- rules served sorted by rate desc; per rule ``ct = ceil(avg*rate) +
+  leftover``; unmet quota carries to the next rule;
+- a rule re-seeds when ``now - first_schedule >= interval*1000``; seed
+  urls are state-stamped and enter the wave directly (bypassing checkURL),
+  exactly like ``reSchedule``'s direct rpush.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..config import CrawlSettings
+from ..functions.urls import expand_seed, url_md5, url_tld
+
+__all__ = ["shard_for_domain", "shard_for_url", "run_schedule_wave"]
+
+
+def shard_for_domain(domain: str, num_shards: int) -> int:
+    return int(url_md5(domain)[:8], 16) % num_shards
+
+
+def shard_for_url(url: str, num_shards: int) -> int:
+    tld = url_tld(url) or ""
+    return shard_for_domain(tld, num_shards)
+
+
+def run_schedule_wave(
+    wave: int,
+    priority_entries: list[dict],
+    total_rates: float,
+    shards: list,
+    settings: CrawlSettings,
+    backlog_len: int = 0,
+    call=None,
+):
+    """One scheduler round.  ``shards[i]`` may be a local
+    :class:`FrontierShard` or a Ray actor handle — pass ``call`` to invoke
+    remotely (``call(shard, method, *args) -> result``); defaults to direct
+    method calls.
+
+    Returns ``scheduled``: ordered list of dicts
+    ``{seq, url, urllib, version, referer, drill_relation, wave}`` — the
+    wave's crawl batch AND the schedule-order parity log.
+    """
+    if call is None:
+        def call(shard, method, *args):
+            return getattr(shard, method)(*args)
+
+    num_shards = len(shards)
+    version = settings.wave_version(wave)
+    now = version
+    balance = max(0, settings.schedule_quantity_limitation - backlog_len)
+    avg_rate = balance / total_rates if total_rates else 0.0
+
+    scheduled: list[dict] = []
+    left = 0
+    for shard in shards:
+        call(shard, "begin_wave")
+
+    for entry in priority_entries:
+        urllib_key = "urllib:" + entry["key"]
+        # --- reSchedule (seed refresh) --------------------------------
+        if now - entry["first_schedule"] >= entry["interval"] * 1000:
+            for seed in entry["seed"]:
+                for link in expand_seed(seed):
+                    sid = shard_for_url(link, num_shards)
+                    if call(shards[sid], "push_seed", link, version, now):
+                        scheduled.append(
+                            {
+                                "seq": len(scheduled),
+                                "url": link,
+                                "urllib": urllib_key,
+                                "version": version,
+                                "referer": "",
+                                "drill_relation": "*",
+                                "wave": wave,
+                            }
+                        )
+            entry["first_schedule"] = version
+        # --- doScheduleExt (quota pop) --------------------------------
+        ct = math.ceil(avg_rate * entry["rate"]) + left
+        sid = shard_for_domain(entry["domain"], num_shards)
+        accepted, left = call(
+            shards[sid],
+            "schedule_pop",
+            urllib_key,
+            ct,
+            entry["rule"] == "LIFO",
+            entry["interval"],
+            now,
+        )
+        for url, ver, referer, drill_relation in accepted:
+            scheduled.append(
+                {
+                    "seq": len(scheduled),
+                    "url": url,
+                    "urllib": urllib_key,
+                    "version": ver,
+                    "referer": referer,
+                    "drill_relation": drill_relation or "*",
+                    "wave": wave,
+                }
+            )
+    return scheduled

@@ -1,0 +1,363 @@
+"""Frontier shard — the stateful heart of the crawl engine.
+
+One :class:`FrontierShard` owns every URL whose top-level-domain hashes to
+it (``md5(tld) % num_shards``) — chosen so the URL-seen check, the
+per-(domain,rule) queues, and per-host politeness accounting are all
+shard-local (SURVEY.md §4 "work partitioning").  Because a driller rule is
+keyed by its domain, each rule's urllib queue lives entirely on one shard.
+
+The shard re-expresses, with exact per-call-site constants, the
+reference's Redis-backed state machine:
+
+- per-URL state record keyed by ``md5(url)`` with ``records`` ring of the
+  last 3 states (reference: spider/spider.js:380-460,
+  scheduler/index.js:417-480);
+- scheduler-side admission ``checkURL`` — 60-min crawling/schedule lock,
+  ``hit``/``crawled_failure`` bypass (scheduler/index.js:336-410);
+- link-save admission — 10-min crawling/schedule lock, 2-day ``hit``
+  lock, immediate re-admit of ``crawled_failure``, status→``hit``
+  *without* touching ``last`` (spider/pipeline.js:119-193);
+- FIFO/LIFO pops per rule's ``schedule_rule`` (scheduler/index.js:219-247);
+- the (dormant-in-the-reference) branch-new-version fast path is
+  replicated verbatim: ``url_info`` never carries ``type``, so the
+  condition never fires — same as the reference (SURVEY.md §2.3 T2).
+
+Plain Python class: unit-testable directly and wrapped via ``ray.remote``
+by the crawl pipeline.  All timestamps are logical epoch-millis supplied
+by the caller (the wave clock) — never wall clock — so runs are
+deterministic and resumable.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections import deque
+
+from ..config import CrawlSettings
+from ..functions.urls import detect_link, transform_link, url_host, url_md5
+from .cuckoo import CuckooFilter
+
+
+class FrontierShard:
+    def __init__(self, shard_id: int, rules: dict, settings: CrawlSettings,
+                 seen_capacity: int = 1 << 17):
+        self.shard_id = shard_id
+        self.rules = rules
+        self.settings = settings
+        self.url_info: dict[str, dict] = {}
+        self.queues: dict[str, deque[str]] = {}
+        self.seen = CuckooFilter(capacity=seen_capacity, seed=1000 + shard_id)
+        # wave link/result buffer: applied in deterministic (seq) order at
+        # commit_wave — makes parallel extract order-equivalent to the
+        # reference's sequential pipeline.save (SURVEY.md §7.2)
+        self._buffer: list[tuple] = []
+        # per-wave per-host politeness counters (reset by begin_wave)
+        self._host_counts: dict[str, int] = {}
+        self.metrics: dict[str, int] = {}
+
+    def begin_wave(self) -> None:
+        """Reset wave-local politeness budgets (called at each wave start)."""
+        self._host_counts = {}
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def _rule_for_urllib(self, urllib_key: str) -> dict | None:
+        # 'urllib:driller:domain:alias' or 'driller:domain:alias'
+        parts = urllib_key.split(":")
+        if parts[0] == "urllib":
+            parts = parts[1:]
+        if len(parts) != 3:
+            return None
+        return (self.rules.get(parts[1]) or {}).get(parts[2])
+
+    def _bump(self, event: str, n: int = 1) -> None:
+        self.metrics[event] = self.metrics.get(event, 0) + n
+
+    # ------------------------------------------------------------------
+    # updateLinkState — scheduler/index.js:417-480 & spider/spider.js:380-460
+    # ------------------------------------------------------------------
+    def update_link_state(self, link: str, state: str, version, now: int) -> bool:
+        kk = url_md5(link)
+        info = self.url_info.get(kk)
+        if info is not None:
+            records = info.get("records", [])
+            records = (records + [state])[-3:]
+            info["records"] = records
+            info["last"] = now
+            info["status"] = state
+            if version:
+                info["version"] = version
+            return True
+        urllib_key, _rule = detect_link(link, self.rules)
+        if urllib_key is None:
+            return False
+        info = {
+            "url": link,
+            "trace": "urllib:" + urllib_key,
+            "referer": "",
+            "create": now,
+            "records": [],
+            "last": now,
+            "status": state,
+        }
+        if version:
+            info["version"] = version
+        self.url_info[kk] = info
+        self.seen.add(kk)
+        return True
+
+    # ------------------------------------------------------------------
+    # seed push — scheduler reSchedule path (scheduler/index.js:163-198):
+    # state-stamp then straight onto the scheduled queue (bypasses checkURL)
+    # ------------------------------------------------------------------
+    def push_seed(self, link: str, version: int, now: int) -> bool:
+        ok = self.update_link_state(link, "schedule", version, now)
+        if ok:
+            self._bump("seed_scheduled")
+        return ok
+
+    # ------------------------------------------------------------------
+    # checkURL — scheduler/index.js:336-410
+    # ------------------------------------------------------------------
+    def _check_url(self, url: str, interval: int, now: int, _depth: int = 0):
+        if _depth > 4:
+            return None
+        kk = url_md5(url)
+        info = self.url_info.get(kk)
+        if info is None:
+            return None  # 'not exists in urlinfo' → dropped
+        trace = info.get("trace")
+        if trace:
+            rule = self._rule_for_urllib(trace)
+            t_url = transform_link(url, rule)
+            if t_url != url:
+                return self._check_url(t_url, interval, now, _depth + 1)
+            if rule is None:
+                # stale trace repair (scheduler/index.js:355-370)
+                urllib_key, _r = detect_link(url, self.rules)
+                if urllib_key is None:
+                    return None
+                info["trace"] = "urllib:" + urllib_key
+                return self._check_url(url, interval, now, _depth + 1)
+        status = info.get("status")
+        last = int(info.get("last") or 0)
+        version = int(info.get("version") or 0)
+        type_ = info.get("type")  # never populated — dormant, as in reference
+        if status not in ("crawled_failure", "hit"):
+            real_interval = interval * 1000
+            if status in ("crawling", "schedule"):
+                real_interval = self.settings.scheduler_lock_ms
+            if status == "crawled_finish" and type_ == "branch" and version > last:
+                real_interval = 0
+            if now - last < real_interval:
+                return None
+        if not self.update_link_state(url, "schedule", False, now):
+            return None
+        return url
+
+    # ------------------------------------------------------------------
+    # doScheduleExt pop loop — scheduler/index.js:205-260, plus the wave
+    # re-expression of politeness (per-host budget per wave; SURVEY §2.3 T4)
+    # ------------------------------------------------------------------
+    def schedule_pop(self, urllib_key: str, ct: int, lifo: bool, interval: int,
+                     now: int):
+        """Pop up to ``ct`` admissible urls from one rule's queue.
+
+        Returns ``(accepted, left)`` where ``accepted`` is a list of
+        ``(url, version, referer, drill_relation)`` and ``left`` the unmet
+        quota carried to the next rule (leftover-carry parity).
+        Urls failing checkURL are dropped from the queue exactly as the
+        reference pops-without-requeue does.  When the head url's host has
+        exhausted its politeness budget this wave, draining stops and the
+        queue keeps its remaining urls (deterministic wave politeness).
+        """
+        q = self.queues.get(urllib_key)
+        accepted: list[tuple] = []
+        count = 0
+        budget = self.settings.politeness_per_host_per_wave
+        host_budget = self._host_counts
+        while q and count < ct:
+            head = q[-1] if lifo else q[0]
+            if budget > 0:
+                host = url_host(head) or ""
+                if host_budget.get(host, 0) >= budget:
+                    self._bump("politeness_deferred")
+                    break
+            url = q.pop() if lifo else q.popleft()
+            ok = self._check_url(url, interval, now)
+            if ok is not None:
+                info = self.url_info[url_md5(ok)]
+                accepted.append(
+                    (
+                        ok,
+                        int(info.get("version") or 0),
+                        info.get("referer", ""),
+                        info.get("drill_relation", "*"),
+                    )
+                )
+                count += 1
+                h = url_host(ok) or ""
+                host_budget[h] = host_budget.get(h, 0) + 1
+            else:
+                self._bump("check_rejected")
+        left = ct - count if count < ct else 0
+        return accepted, left
+
+    def queue_len(self, urllib_key: str) -> int:
+        q = self.queues.get(urllib_key)
+        return len(q) if q else 0
+
+    def total_queued(self) -> int:
+        return sum(len(q) for q in self.queues.values())
+
+    # ------------------------------------------------------------------
+    # wave result buffering + deterministic commit
+    # ------------------------------------------------------------------
+    def buffer_results(self, rows: list[tuple]) -> int:
+        """Buffer per-page wave results for this shard.
+
+        Row: ``(seq, kind, payload)`` where kind is:
+        - ``'link'``: payload = (gidx, lidx, urllib_key, dst_url, page_url,
+          drill_relation, version)
+        - ``'state'``: payload = (page_url, final_state)
+        Applied in (seq, kind-order links-then-state, gidx, lidx) order at
+        commit_wave.
+        """
+        self._buffer.extend(rows)
+        return len(self._buffer)
+
+    def commit_wave(self, now: int) -> dict:
+        """Apply buffered link saves + state transitions in deterministic
+        order; clears the buffer.  Returns per-event counts."""
+        kind_rank = {"link": 0, "state": 1}
+        self._buffer.sort(
+            key=lambda r: (r[0], kind_rank[r[1]], r[2][:2] if r[1] == "link" else ())
+        )
+        counts = {"links_saved": 0, "links_rejected": 0, "states": 0}
+        for _seq, kind, payload in self._buffer:
+            if kind == "link":
+                (_g, _l, urllib_key, dst, page_url, drill_relation, version) = payload
+                if self._save_link(urllib_key, dst, page_url, drill_relation,
+                                   version, now):
+                    counts["links_saved"] += 1
+                else:
+                    counts["links_rejected"] += 1
+            else:
+                page_url, final_state = payload
+                self.update_link_state(page_url, final_state, False, now)
+                counts["states"] += 1
+        self._buffer.clear()
+        for k, v in counts.items():
+            self._bump(k, v)
+        return counts
+
+    # ------------------------------------------------------------------
+    # save_links single-link admission — spider/pipeline.js:119-193
+    # ------------------------------------------------------------------
+    def _save_link(self, urllib_key: str, link: str, page_url: str,
+                   drill_relation: str, version: int, now: int) -> bool:
+        rule = self._rule_for_urllib(urllib_key)
+        if rule is None:
+            return False
+        final_link = transform_link(link, rule)
+        kk = url_md5(final_link)
+        info = self.url_info.get(kk)
+        if info is not None:
+            validate = True
+            status = info.get("status")
+            last = int(info.get("last") or 0)
+            t_version = info.get("version")
+            type_ = info.get("type")  # dormant, as in reference
+            if status != "crawled_failure":
+                real_interval = int(rule.get("schedule_interval", 3600)) * 1000
+                if status in ("crawling", "schedule"):
+                    real_interval = self.settings.linksave_lock_ms
+                if status == "hit":
+                    real_interval = self.settings.linksave_hit_lock_ms
+                if (status == "crawled_finish" and type_ == "branch"
+                        and version > last):
+                    real_interval = 0
+                if now - last < real_interval:
+                    validate = False
+            if validate:
+                info["status"] = "hit"  # note: 'last' NOT updated (parity)
+            if t_version is None or version > int(t_version):
+                info["version"] = version
+        else:
+            info = {
+                "url": link,  # original link (pre-transform), as in reference
+                "version": version,
+                "trace": urllib_key,
+                "referer": page_url,
+                "create": now,
+                "records": [],
+                "last": now,
+                "status": "hit",
+            }
+            if self.settings.keep_link_relation:
+                info["drill_relation"] = drill_relation or "*"
+            self.url_info[kk] = info
+            self.seen.add(kk)
+            validate = True
+        if validate:
+            self.queues.setdefault(urllib_key, deque()).append(final_link)
+        return validate
+
+    # ------------------------------------------------------------------
+    # spider-side state marks (spider/index.js:55-59, :80)
+    # ------------------------------------------------------------------
+    def mark_states(self, urls: list[str], state: str, now: int) -> int:
+        n = 0
+        for u in urls:
+            if self.update_link_state(u, state, False, now):
+                n += 1
+        return n
+
+    # ------------------------------------------------------------------
+    # introspection / reports
+    # ------------------------------------------------------------------
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "urls_seen": len(self.url_info),
+            "queued": self.total_queued(),
+            "queue_keys": {k: len(v) for k, v in self.queues.items() if v},
+            **self.metrics,
+        }
+
+    def seen_table(self) -> list[tuple[str, str]]:
+        """(url_md5, url) rows — the exact URL-seen set for parity tests."""
+        return [(kk, info["url"]) for kk, info in self.url_info.items()]
+
+    def dump_states(self) -> list[dict]:
+        return [
+            {"url_md5": kk, **{f: info.get(f) for f in
+                               ("url", "trace", "status", "version", "last",
+                                "referer", "drill_relation")}}
+            for kk, info in self.url_info.items()
+        ]
+
+    # ------------------------------------------------------------------
+    # checkpoint — north_rule: per-partition snapshot, exact resume
+    # ------------------------------------------------------------------
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "url_info": self.url_info,
+                "queues": {k: list(v) for k, v in self.queues.items()},
+                "seen": self.seen.to_bytes(),
+                "metrics": self.metrics,
+            },
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    def restore(self, blob: bytes) -> None:
+        d = pickle.loads(blob)
+        self.shard_id = d["shard_id"]
+        self.url_info = d["url_info"]
+        self.queues = {k: deque(v) for k, v in d["queues"].items()}
+        self.seen = CuckooFilter.from_bytes(d["seen"])
+        self.metrics = d["metrics"]
+        self._buffer = []

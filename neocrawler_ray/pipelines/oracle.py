@@ -1,0 +1,138 @@
+"""Sequential oracle — single-process, single-shard crawl simulator.
+
+The parity reference for the distributed engine: same pure functions
+(extraction/URL semantics are independently verified against the
+generator's directly-computed text and the reference-mirroring unit
+tests), but **no Ray, no sharding, no parallelism** — one
+:class:`FrontierShard` holding the whole frontier, pages served from an
+in-memory dict, every page processed strictly in schedule order.
+
+What the distributed run must reproduce exactly (SURVEY.md §2.9):
+- the ordered schedule log (single-scheduler total order);
+- the final URL-seen set (url_md5 set);
+- per-url extracted text / final state.
+
+Any divergence indicates an orchestration bug (shard routing, buffer
+commit ordering, actor races) — precisely what this oracle exists to
+catch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.dataset as pads
+
+from ..config import CrawlSettings, RuleSet
+from ..stages.extract_stage import ExtractBatch
+from ..stages.fetch import parse_robots
+from ..state.frontier import FrontierShard
+from ..functions.extract import extract_page, validate_content
+from ..functions.urls import url_host, url_tld
+from .scheduler import run_schedule_wave
+
+
+def run_oracle(corpus_dir: str, settings: CrawlSettings,
+               max_waves: int | None = None) -> dict:
+    with open(os.path.join(corpus_dir, "rules.json")) as f:
+        rules = json.load(f)
+    ruleset = RuleSet(rules)
+    entries = ruleset.priority_list(settings.max_weight)
+    total_rates = sum(e["rate"] for e in entries)
+
+    pages_tbl = pads.dataset(os.path.join(corpus_dir, "pages")).to_table(
+        columns=["url", "html"]
+    )
+    pages = dict(
+        zip(pages_tbl.column("url").to_pylist(), pages_tbl.column("html").to_pylist())
+    )
+    robots = {
+        url_host(u): parse_robots(h)
+        for u, h in pages.items()
+        if u.endswith("/robots.txt")
+    }
+
+    # force single shard regardless of the settings used by the engine run
+    shard = FrontierShard(0, rules, settings)
+    extractor = ExtractBatch(rules, settings, [], push_to_frontier=False)
+
+    schedule_log: list[dict] = []
+    extracted: list[dict] = []
+    max_waves = max_waves if max_waves is not None else settings.max_waves
+
+    wave = 0
+    while wave < max_waves:
+        scheduled = run_schedule_wave(
+            wave, entries, total_rates, [shard], settings, backlog_len=0
+        )
+        if not scheduled:
+            break
+        version = settings.wave_version(wave)
+        shard.mark_states([r["url"] for r in scheduled], "crawling", version)
+        schedule_log.extend(scheduled)
+
+        for row in scheduled:
+            url = row["url"]
+            rule = extractor._rule(row["urllib"]) or {}
+            host = url_host(url) or ""
+            prefixes = robots.get(host) or []
+            path = url.split(host, 1)[-1]
+            blocked = any(path.startswith(p) for p in prefixes)
+            html = None if blocked else pages.get(url)
+            status = 999 if blocked else (200 if html is not None else 404)
+            fmt = rule.get("format", "html")
+            is_binary = fmt == "binary"
+
+            final_state = "crawled_failure"
+            text = ""
+            valid = False
+            links = {}
+            relation = row["drill_relation"] or "*"
+            if not blocked:
+                if status == 200 and html is not None and not is_binary:
+                    content = html.decode(rule.get("encoding") or "utf-8", "replace")
+                else:
+                    content = html if html is not None else b""
+                valid = validate_content(
+                    len(content), status, is_binary, content,
+                    rule.get("validation_keywords"),
+                )
+                if valid:
+                    final_state = "crawled_finish"
+                    if not is_binary:
+                        links, relation, data, _lacks = extract_page(
+                            url, content, rule, row["drill_relation"],
+                            settings.keep_link_relation, rules,
+                        )
+                        text = data.get("text_main") or ""
+
+            # frontier feedback, buffered exactly like the engine
+            buf = []
+            gidx = 0
+            for ulib, ls in links.items():
+                for lidx, dst in enumerate(ls):
+                    buf.append(
+                        (row["seq"], "link",
+                         (gidx, lidx, ulib, dst, url, relation, row["version"]))
+                    )
+                gidx += 1
+            buf.append((row["seq"], "state", (url, final_state)))
+            shard.buffer_results(buf)
+            extracted.append(
+                {
+                    "seq": row["seq"], "wave": wave, "url": url,
+                    "status": status, "valid": valid,
+                    "final_state": final_state, "text": text,
+                }
+            )
+        shard.commit_wave(version)
+        wave += 1
+
+    return {
+        "schedule_log": schedule_log,
+        "url_seen": dict(shard.seen_table()),
+        "extracted": extracted,
+        "waves": wave,
+        "stats": shard.stats(),
+    }

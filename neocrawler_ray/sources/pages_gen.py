@@ -74,7 +74,10 @@ def _host_shard(host: str, n: int) -> int:
 
 def _para(rng: random.Random, n_words: int, zh: bool) -> str:
     if zh:
-        return "".join(rng.choice(_ZH_VOCAB) for _ in range(n_words * 2))
+        # CJK text is denser (no spaces, ~2 chars/word): pad to a char count
+        # comparable to the EN variant so pages clear the reference's
+        # 500-char validateContent floor (extractor.js:397)
+        return "".join(rng.choice(_ZH_VOCAB) for _ in range(n_words * 6))
     return " ".join(rng.choice(_VOCAB) for _ in range(n_words))
 
 

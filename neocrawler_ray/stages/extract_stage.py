@@ -1,0 +1,184 @@
+"""Extract stage — vectorized rule-engine transform + frontier feedback.
+
+One ``map_batches`` actor class that, per Arrow batch of fetched pages:
+
+1. decodes ``html`` per the rule's ``encoding`` (downloader.js:272-285
+   charset handling, minus live headers);
+2. validates (extractor.js:392-425); invalid pages exhaust the app-level
+   retry budget immediately (the fetch-sim is deterministic, so the
+   reference's immediate-re-emit retry loop — spider/spider.js:350-372 —
+   collapses to ``retries = download_retry`` and ``crawled_failure``);
+3. extracts links + drill_relation + extract_rule data
+   (extractor.js:180-294) via the pure functions in
+   :mod:`neocrawler_ray.functions.extract`;
+4. routes discovered links and the page's final state transition to their
+   owning frontier shards (``md5(tld) % S``) as seq-tagged buffer rows —
+   the ``flat_map → groupby(host) → frontier push`` feedback loop
+   (SURVEY.md §2.1 S10) expressed as direct sharded actor pushes with a
+   deterministic wave-commit ordering;
+5. returns the extracted rows (no html bytes unless the rule keeps them —
+   wide binary stays out of the frontier path, SURVEY.md §7.5).
+
+Rules are passed to ``__init__`` (broadcast once per actor, never
+shuffled — J1 broadcast-join semantics).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..functions.extract import extract_page, validate_content
+from ..functions.urls import url_tld
+from ..pipelines.scheduler import shard_for_domain
+
+OUT_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("wave", pa.int32()),
+        ("url", pa.string()),
+        ("urllib", pa.string()),
+        ("domain", pa.string()),
+        ("status", pa.int32()),
+        ("valid", pa.bool_()),
+        ("final_state", pa.string()),
+        ("retries", pa.int32()),
+        ("text", pa.string()),
+        ("extracted_json", pa.string()),
+        ("lacks", pa.list_(pa.string())),
+        ("drill_relation", pa.string()),
+        ("n_links", pa.int32()),
+        ("content_bin", pa.binary()),
+    ]
+)
+
+
+class ExtractBatch:
+    def __init__(self, rules: dict, settings, frontier_shards: list,
+                 push_to_frontier: bool = True):
+        self.rules = rules
+        self.settings = settings
+        self.shards = frontier_shards
+        self.num_shards = len(frontier_shards)
+        self.push = push_to_frontier and self.num_shards > 0
+
+    def _rule(self, urllib_key: str) -> dict | None:
+        parts = urllib_key.split(":")
+        if parts and parts[0] == "urllib":
+            parts = parts[1:]
+        if len(parts) != 3:
+            return None
+        return (self.rules.get(parts[1]) or {}).get(parts[2])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        out = {name: [] for name in OUT_SCHEMA.names}
+        shard_buffers: dict[int, list[tuple]] = {}
+
+        cols = {
+            c: batch.column(c).to_pylist()
+            for c in ("seq", "wave", "url", "urllib", "version",
+                      "drill_relation", "html", "status", "robots_blocked")
+        }
+        for i in range(batch.num_rows):
+            seq = cols["seq"][i]
+            url = cols["url"][i]
+            urllib_key = cols["urllib"][i]
+            version = cols["version"][i]
+            origin_relation = cols["drill_relation"][i]
+            html = cols["html"][i]
+            status = cols["status"][i]
+            blocked = cols["robots_blocked"][i]
+            rule = self._rule(urllib_key) or {}
+            domain = url_tld(url) or ""
+            fmt = rule.get("format", "html")
+            is_binary = fmt == "binary"
+
+            valid = False
+            retries = 0
+            text = ""
+            extracted_json = ""
+            lacks: list[str] = []
+            relation = origin_relation or "*"
+            n_links = 0
+            content_bin = None
+            links_for_shards: dict[str, list[str]] = {}
+
+            if blocked:
+                final_state = "crawled_failure"
+            else:
+                if status == 200 and html is not None and not is_binary:
+                    content = html.decode(rule.get("encoding") or "utf-8", "replace")
+                    content_len = len(content)
+                else:
+                    content = html if html is not None else b""
+                    content_len = len(content)
+                valid = validate_content(
+                    content_len, status, is_binary, content,
+                    rule.get("validation_keywords"),
+                )
+                if not valid:
+                    # deterministic sim → immediate retry exhaustion
+                    retries = self.settings.download_retry
+                    final_state = "crawled_failure"
+                else:
+                    final_state = "crawled_finish"
+                    if is_binary:
+                        content_bin = html
+                    else:
+                        links_for_shards, relation, data, lacks = extract_page(
+                            url, content, rule, origin_relation,
+                            self.settings.keep_link_relation, self.rules,
+                        )
+                        text = data.get("text_main") or ""
+                        extracted_json = json.dumps(
+                            data, ensure_ascii=False, default=str
+                        )
+                        n_links = sum(len(v) for v in links_for_shards.values())
+                        if rule.get("save_page"):
+                            content_bin = html
+
+            # --- frontier feedback rows --------------------------------
+            if self.push:
+                gidx = 0
+                for ulib, links in links_for_shards.items():
+                    for lidx, dst in enumerate(links):
+                        sid = shard_for_domain(url_tld(dst) or "", self.num_shards)
+                        shard_buffers.setdefault(sid, []).append(
+                            (seq, "link",
+                             (gidx, lidx, ulib, dst, url, relation, version))
+                        )
+                    gidx += 1
+                sid = shard_for_domain(domain, self.num_shards)
+                shard_buffers.setdefault(sid, []).append(
+                    (seq, "state", (url, final_state))
+                )
+
+            out["seq"].append(seq)
+            out["wave"].append(cols["wave"][i])
+            out["url"].append(url)
+            out["urllib"].append(urllib_key)
+            out["domain"].append(domain)
+            out["status"].append(status)
+            out["valid"].append(valid)
+            out["final_state"].append(final_state)
+            out["retries"].append(retries)
+            out["text"].append(text)
+            out["extracted_json"].append(extracted_json)
+            out["lacks"].append(lacks)
+            out["drill_relation"].append(relation)
+            out["n_links"].append(n_links)
+            out["content_bin"].append(content_bin)
+
+        if self.push and shard_buffers:
+            # barrier: the wave's commit must see every buffered row, so the
+            # stage blocks until its pushes are applied to the shard buffers
+            ray.get(
+                [
+                    self.shards[sid].buffer_results.remote(rows)
+                    for sid, rows in shard_buffers.items()
+                ]
+            )
+        return pa.Table.from_pydict(out, schema=OUT_SCHEMA)

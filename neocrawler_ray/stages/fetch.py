@@ -1,0 +1,142 @@
+"""Fetch-sim stage — an actor-pool ``map_batches`` class.
+
+Replaces the reference's live HTTP downloader (reference:
+spider/downloader.js:128-267) with deterministic lookups into the
+host-partitioned pages corpus (SURVEY.md §2.4 J4): url → (html bytes,
+status).  Run as ``ds.map_batches(FetchSim, concurrency=N,
+batch_format="pyarrow")`` so per-actor state — the partition cache and the
+robots index — is built once in ``__init__``, not per batch.
+
+Scale design: the corpus is laid out as ``pages/shard={md5(host)%P}``;
+each actor lazily loads and LRU-caches whole shard partitions as
+url→bytes dicts.  On a real cluster P is sized so a partition fits worker
+memory, and locality makes each actor serve a few partitions.  Reading
+only ``url`` + ``html`` columns prunes the scan (no ``text``/``lang``
+bytes move).
+
+Robots gating (north_rule capability; the reference has none): a
+``robots.txt`` per host is parsed once (driver-side, broadcast via
+``ray.put``) and urls under a disallowed prefix are marked
+``robots_blocked`` without a fetch.
+
+Politeness budgets are enforced upstream at schedule time (per-host
+per-wave quota in the frontier shard — the deterministic wave-model
+re-expression of ``spider_request_delay`` + per-host serialization,
+SURVEY.md §2.3 T4); the fetch stage records a simulated cost metric only.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.urls import url_host
+from ..sources.pages_gen import _host_shard
+
+
+def parse_robots(robots_bytes: bytes) -> list[str]:
+    """Disallow prefixes for ``User-agent: *`` (minimal public-spec parse)."""
+    disallow: list[str] = []
+    applies = False
+    for raw in robots_bytes.decode("utf-8", "replace").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            applies = val == "*"
+        elif key == "disallow" and applies and val:
+            disallow.append(val)
+    return disallow
+
+
+def build_robots_map(corpus_dir: str) -> dict[str, list[str]]:
+    """Driver-side: read only the robots.txt rows (url-filtered scan) into
+    a small {host: [disallow prefix]} dict for broadcast."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(os.path.join(corpus_dir, "pages"))
+    tbl = ds.to_table(
+        columns=["url", "html"],
+        filter=pc.match_substring(pc.field("url"), "/robots.txt"),
+    )
+    out: dict[str, list[str]] = {}
+    for url, html in zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()):
+        host = url_host(url)
+        if host:
+            out[host] = parse_robots(html)
+    return out
+
+
+class FetchSim:
+    """url → (html, status) point lookups with robots gating."""
+
+    def __init__(self, corpus_dir: str, robots_map, pages_shards: int,
+                 cache_partitions: int = 8):
+        import ray
+
+        self.corpus_dir = corpus_dir
+        self.pages_shards = pages_shards
+        self.robots = (
+            ray.get(robots_map) if isinstance(robots_map, ray.ObjectRef)
+            else robots_map
+        )
+        self.cache_partitions = cache_partitions
+        self._cache: OrderedDict[int, dict[str, bytes]] = OrderedDict()
+
+    # -- partition cache ------------------------------------------------
+    def _partition(self, shard: int) -> dict[str, bytes]:
+        part = self._cache.get(shard)
+        if part is not None:
+            self._cache.move_to_end(shard)
+            return part
+        path = os.path.join(self.corpus_dir, "pages", f"shard={shard}", "part.parquet")
+        if os.path.exists(path):
+            tbl = pq.read_table(path, columns=["url", "html"])
+            part = dict(
+                zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist())
+            )
+        else:
+            part = {}
+        self._cache[shard] = part
+        while len(self._cache) > self.cache_partitions:
+            self._cache.popitem(last=False)
+        return part
+
+    def _blocked(self, url: str, host: str) -> bool:
+        prefixes = self.robots.get(host)
+        if not prefixes:
+            return False
+        path = url.split(host, 1)[-1]
+        return any(path.startswith(p) for p in prefixes)
+
+    # -- per batch ------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls: list[bytes | None] = []
+        statuses: list[int] = []
+        blocked_flags: list[bool] = []
+        for url in batch.column("url").to_pylist():
+            host = url_host(url) or ""
+            if self._blocked(url, host):
+                htmls.append(None)
+                statuses.append(999)
+                blocked_flags.append(True)
+                continue
+            blocked_flags.append(False)
+            html = self._partition(_host_shard(host, self.pages_shards)).get(url)
+            if html is None:
+                htmls.append(None)
+                statuses.append(404)
+            else:
+                htmls.append(html)
+                statuses.append(200)
+        return (
+            batch.append_column("html", pa.array(htmls, pa.binary()))
+            .append_column("status", pa.array(statuses, pa.int32()))
+            .append_column("robots_blocked", pa.array(blocked_flags, pa.bool_()))
+        )

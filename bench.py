@@ -1,0 +1,158 @@
+"""Benchmark harness — headline crawl pipeline + operator suite.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "urls_per_sec": ...}
+
+Headline = wall-seconds for the frontier→fetch-sim→extract crawl of the
+synthetic pages corpus matching $GRAFT_SF_DIR (default
+/root/testdata/sf0.1 → 50k pages, 50 domains), using a throughput-tuned
+config (the parity tests use the reference's conservative defaults;
+the bench raises the per-wave quota the way a real deployment would).
+
+``--scaling``: runs the headline crawl twice in FRESH subprocesses
+(num_cpus=8 then 32) on the same corpus and reports both throughputs
+plus scaling efficiency  eff = (T8/T32) / (32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def bench_settings(num_cpus: int):
+    from neocrawler_ray.config import CrawlSettings
+
+    pool = max(2, num_cpus // 2 - 1)
+    return CrawlSettings(
+        schedule_quantity_limitation=20000,
+        politeness_per_host_per_wave=2000,
+        num_frontier_shards=max(4, num_cpus // 2),
+        fetch_concurrency=pool,
+        extract_concurrency=pool,
+        extract_batch_size=256,
+        max_waves=100,
+    )
+
+
+def run_crawl(sf_dir: str, num_cpus: int) -> dict:
+    """One timed crawl; corpus generation is cached and excluded."""
+    from neocrawler_ray.pipelines.crawl import CrawlJob
+    from neocrawler_ray.sources.pages_gen import corpus_for_sf
+
+    corpus = corpus_for_sf(sf_dir)
+    out = tempfile.mkdtemp(prefix="nc_bench_")
+    try:
+        t0 = time.perf_counter()
+        job = CrawlJob(corpus, bench_settings(num_cpus), out)
+        totals = job.run()
+        dt = time.perf_counter() - t0
+        return {"sec": dt, "scheduled": totals.get("scheduled", 0),
+                "waves": totals.get("waves", 0),
+                "urls_per_sec": totals.get("scheduled", 0) / dt}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Operator-suite timings over the driver testdata tables."""
+    from neocrawler_ray.pipelines import analytics as an
+    from neocrawler_ray.pipelines import corpus_ops as co
+    from neocrawler_ray.pipelines import doc_extract as de
+
+    def consume(x):
+        if hasattr(x, "to_pandas"):
+            x.to_pandas()
+
+    timed = {
+        "doc_extract": lambda: consume(de.doc_extract(sf_dir)),
+        "doc_text_stats": lambda: consume(co.doc_text_stats(sf_dir)),
+        "dedup_exact": lambda: consume(co.dedup_exact(sf_dir)),
+        "dedup_minhash": lambda: co.dedup_minhash_verified(sf_dir),
+        "dedup_simhash": lambda: consume(co.dedup_simhash_pairs(sf_dir, 7)),
+        "ann_brute_topk": lambda: co.ann_brute_topk(sf_dir),
+        "q1_lineitem": lambda: consume(an.q1_lineitem(sf_dir)),
+        "events_daily_counts": lambda: consume(an.events_daily_counts(sf_dir)),
+    }
+    out = {}
+    for name, fn in timed.items():
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def worker_main(sf_dir: str, num_cpus: int, crawl_only: bool) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    crawl = run_crawl(sf_dir, num_cpus)
+    queries = {} if crawl_only else run_queries(sf_dir)
+    result = {
+        "metric": "crawl frontier-to-extracted wall sec (synthetic pages corpus)",
+        "value": round(crawl["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "urls_per_sec": round(crawl["urls_per_sec"], 1),
+        "scheduled_urls": crawl["scheduled"],
+        "waves": crawl["waves"],
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def scaling_main(sf_dir: str) -> None:
+    """Same corpus, two fresh Ray sessions (8 then 32 cpus) → efficiency."""
+    from neocrawler_ray.sources.pages_gen import corpus_for_sf
+
+    corpus_for_sf(sf_dir)  # warm the corpus cache outside the timed runs
+    results = {}
+    for n in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker", str(n), "--crawl-only",
+             "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    print(json.dumps({
+        "metric": "crawl scaling efficiency 8→32 cpus (fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "urls_per_sec_8": t8,
+        "urls_per_sec_32": t32,
+        "sec_8": results[8]["value"],
+        "sec_32": results[32]["value"],
+    }))
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = DEFAULT_SF_DIR
+    if "--sf-dir" in args:
+        sf_dir = args[args.index("--sf-dir") + 1]
+    if "--scaling" in args:
+        scaling_main(sf_dir)
+    elif "--worker" in args:
+        n = int(args[args.index("--worker") + 1])
+        worker_main(sf_dir, n, "--crawl-only" in args)
+    else:
+        worker_main(sf_dir, DEFAULT_CPUS, False)

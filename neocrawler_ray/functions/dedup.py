@@ -1,0 +1,245 @@
+"""Deduplication operators for the training-data pipeline layer.
+
+Five dedup families over the ``documents`` / ``embeddings`` tables, each
+designed Ray-Data-first for 100 TB:
+
+- **exact**: md5(text) key → hash-partitioned ``groupby.min(doc_id)``.
+  The shuffle moves 16-byte digests + int64 ids, never document bodies,
+  and batches are locally pre-deduped (combiner) before the exchange.
+  (Generalizes the reference's exact URL dedup — the URL-seen set,
+  reference pipeline.js:127-172 — from urls to contents.)
+- **MinHash + LSH**: word-shingle → 128-perm minhash signature (numpy,
+  one matrix op per doc) → band keys; candidate pairs come from a
+  groupby on band hash, so only (band_key, doc_id, signature) rows are
+  shuffled (~1 KB/doc), never text.  Estimated Jaccard from signature
+  agreement gates the output pairs.
+- **SimHash**: 64-bit weighted word-hash sketch; 4×16-bit band blocking
+  (any pair within Hamming distance 3 shares ≥1 exact band) → verify
+  true Hamming distance within buckets.
+- **n-gram Jaccard**: exact verification kernel for candidate pairs
+  (used downstream of LSH; exact-by-construction, pytest-verified).
+- **embedding near-dup**: random-hyperplane LSH buckets over unit
+  vectors → within-bucket cosine ≥ threshold pairs (brute variant for
+  oracle-scale checks).
+
+All randomized structures are seeded module constants, so every run —
+and every actor — derives identical hash families (required for
+cross-batch bucketing and for resumability).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import numpy as np
+import pandas as pd
+
+_WORD_RE = re.compile(r"\S+")
+
+MINHASH_PERMS = 128
+MINHASH_SEED = 0xC0FFEE
+LSH_BANDS = 16  # 16 bands × 8 rows ≈ threshold ~ (1/16)^(1/8) ≈ 0.71
+SIMHASH_BANDS = 4
+
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(MINHASH_SEED)
+_PERM_A = _rng.randint(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.uint64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.uint64)
+_EMPTY_SIG = np.full(MINHASH_PERMS, _MERSENNE, dtype=np.uint64)
+
+
+def _hash64(token: str) -> int:
+    return struct.unpack("<Q", hashlib.blake2b(token.encode(), digest_size=8).digest())[0]
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    toks = _WORD_RE.findall(text.lower())
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    return np.fromiter(
+        {_hash64(s) for s in word_shingles(text, k)}, dtype=np.uint64
+    )
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """128-perm minhash over word k-shingles: sig[p] = min_h (a_p*h+b_p mod M).
+
+    One (P×S) broadcasted multiply-add per document — no python loop over
+    shingles×perms.
+    """
+    h = shingle_hashes(text, k)
+    if h.size == 0:
+        return _EMPTY_SIG.copy()
+    # (P,1)*(1,S) in uint64: overflow wraps mod 2^64; then reduce mod M.
+    with np.errstate(over="ignore"):
+        m = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return m.min(axis=1)
+
+
+def band_keys(sig: np.ndarray, bands: int = LSH_BANDS) -> list[str]:
+    """LSH band keys: md5 of each band's signature bytes, prefixed with
+    the band index so different bands never collide into one bucket."""
+    r = len(sig) // bands
+    return [
+        f"{b}:{hashlib.md5(sig[b * r:(b + 1) * r].tobytes()).hexdigest()[:16]}"
+        for b in range(bands)
+    ]
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.count_nonzero(sig_a == sig_b)) / float(len(sig_a))
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard (the verify kernel behind LSH)."""
+    sa, sb = set(word_shingles(text_a, k)), set(word_shingles(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+# --- simhash ----------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word counts (Charikar sketch)."""
+    toks = _WORD_RE.findall(text.lower())
+    if not toks:
+        return 0
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    hashes = np.fromiter((_hash64(t) for t in counts), dtype=np.uint64,
+                         count=len(counts))
+    weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    votes = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)
+    out = 0
+    for i in range(64):
+        if votes[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_bands(h: int, bands: int = SIMHASH_BANDS) -> list[str]:
+    w = 64 // bands
+    return [f"{b}:{(h >> (b * w)) & ((1 << w) - 1):04x}" for b in range(bands)]
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# --- embedding near-dup ----------------------------------------------
+
+_HYPERPLANE_SEED = 0x5EED
+_N_HYPERPLANES = 16
+
+
+def hyperplanes(dim: int) -> np.ndarray:
+    """Seeded random hyperplanes (deterministic per dim) for cosine LSH."""
+    rng = np.random.RandomState(_HYPERPLANE_SEED + dim)
+    return rng.standard_normal((_N_HYPERPLANES, dim)).astype(np.float64)
+
+
+def cosine_lsh_keys(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket id per row (uint32)."""
+    signs = (vecs @ planes.T) > 0
+    return (signs.astype(np.uint32) << np.arange(_N_HYPERPLANES, dtype=np.uint32)).sum(axis=1)
+
+
+# --- batch-level kernels (used inside map_batches) --------------------
+
+
+def md5_hex_series(texts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [hashlib.md5(str(t).encode()).hexdigest() for t in texts.fillna("")],
+        index=texts.index, dtype="string",
+    )
+
+
+def exact_dedup_batch(df: pd.DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> pd.DataFrame:
+    """Combiner for exact dedup: local (text_md5 → min id) per batch.
+
+    Emits only (text_md5, doc_id); the global ``groupby("text_md5")``
+    then reduces combiner outputs — the exchange never carries text.
+    """
+    out = pd.DataFrame(
+        {"text_md5": md5_hex_series(df[text_col]), id_col: df[id_col]}
+    )
+    return (
+        out.groupby("text_md5", as_index=False, sort=False)[id_col]
+        .min()
+        .astype({id_col: "int64"})
+    )
+
+
+def minhash_batch(df: pd.DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> pd.DataFrame:
+    """Per-batch minhash: one output row per (doc, band)."""
+    ids, bands_out, sigs = [], [], []
+    for i, t in zip(df[id_col], df[text_col].fillna("")):
+        sig = minhash_signature(str(t), k)
+        for bk in band_keys(sig):
+            ids.append(int(i))
+            bands_out.append(bk)
+            sigs.append(sig.tobytes())
+    return pd.DataFrame(
+        {"band_key": pd.Series(bands_out, dtype="string"),
+         id_col: pd.Series(ids, dtype="int64"),
+         "sig": pd.Series(sigs, dtype=object)}
+    )
+
+
+def candidate_pairs_from_bucket(ids: list[int], sigs: list[bytes],
+                                threshold: float) -> list[tuple[int, int, float]]:
+    """Within one LSH bucket: all pairs whose estimated Jaccard passes.
+
+    Bucket sizes are bounded in practice (identical band ⇒ near-dup
+    cluster); a hot bucket is itself the answer, not a skew bug.
+    """
+    order = np.argsort(ids)
+    ids_s = [ids[i] for i in order]
+    sig_arr = [np.frombuffer(sigs[i], dtype=np.uint64) for i in order]
+    out = []
+    for i in range(len(ids_s)):
+        for j in range(i + 1, len(ids_s)):
+            if ids_s[i] == ids_s[j]:
+                continue
+            est = estimate_jaccard(sig_arr[i], sig_arr[j])
+            if est >= threshold:
+                out.append((ids_s[i], ids_s[j], est))
+    return out
+
+
+def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over near-dup pairs → {id: cluster_representative}.
+
+    Driver-side: the pair list is tiny relative to the corpus (only
+    near-dups).  Representative = min id in component (deterministic).
+    """
+    parent: dict[int, int] = {}
+    seen: set[int] = set()
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in seen}

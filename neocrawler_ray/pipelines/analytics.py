@@ -1,0 +1,190 @@
+"""Reporting / aggregation pipelines (reference §2.5 A1-A3 re-expressed).
+
+The reference's monitoring layer is daily counters (`hincrby
+count:{yyyymmdd}` by event class × domain, reference
+instance/example/spider_extend.js:97-169) read back as per-day series
+(reference webconfig/controllers/monitor.js:53-171).  Here the same
+shapes run over the synthetic ``events`` / TPC-H-ish tables as proper
+distributed aggregates:
+
+- per-batch **partial aggregation** (pandas groupby inside map_batches)
+  before the global ``groupby`` — the exchange carries one row per
+  (key, block), not per event;
+- **broadcast joins** for small dimension tables (customer, nation) —
+  a dict captured in the batch fn, never a shuffle;
+- money columns are compared in **fixed-point**: ``FLOOR(v * 10000)``
+  per row on both the Ray and the DuckDB side, so value hashes match
+  bit-for-bit (double sums are order-dependent; floored-int sums are
+  exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _e4(series: pd.Series) -> np.ndarray:
+    """FLOOR(v*10000) as int64 — the shared fixed-point convention."""
+    return np.floor(series.to_numpy(dtype="float64") * 10000.0).astype("int64")
+
+
+def events_daily_counts(sf_dir: str):
+    """Daily event counters by class — A1 (count:{yyyymmdd} hash) shape."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"date": df["ts"].dt.strftime("%Y-%m-%d"),
+             "event_type": df["event_type"]}
+        )
+        g = out.groupby(["date", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "partial_n"}).astype({"partial_n": "int64"})
+
+    ds = ds.map_batches(partial, batch_format="pandas")
+    g = ds.groupby(["date", "event_type"]).sum("partial_n")
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"date": df["date"].to_numpy(dtype=object),
+             "event_type": df["event_type"].to_numpy(dtype=object),
+             "n": df["sum(partial_n)"].astype("int64").to_numpy()}
+        )
+
+    return g.map_batches(rename, batch_format="pandas")
+
+
+def events_value_by_type(sf_dir: str):
+    """Σ value (fixed-point) + count per event class."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {"event_type": df["event_type"], "value_e4": _e4(df["value"])}
+        )
+        g = tmp.groupby("event_type", as_index=False).agg(
+            partial_sum=("value_e4", "sum"), partial_n=("value_e4", "size")
+        )
+        return g.astype({"partial_sum": "int64", "partial_n": "int64"})
+
+    ds = ds.map_batches(partial, batch_format="pandas")
+    g = ds.groupby("event_type").sum(["partial_sum", "partial_n"])
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(dtype=object),
+             "value_e4": df["sum(partial_sum)"].astype("int64").to_numpy(),
+             "n": df["sum(partial_n)"].astype("int64").to_numpy()}
+        )
+
+    return g.map_batches(rename, batch_format="pandas")
+
+
+def q1_lineitem(sf_dir: str):
+    """TPC-H Q1 shape: per (returnflag, linestatus) sums/counts."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "l_linestatus": df["l_linestatus"],
+             "qty": df["l_quantity"].to_numpy(dtype="float64").astype("int64"),
+             "price_e4": _e4(df["l_extendedprice"])}
+        )
+        g = tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("qty", "sum"), p_price=("price_e4", "sum"), p_n=("qty", "size")
+        )
+        return g.astype({"p_qty": "int64", "p_price": "int64", "p_n": "int64"})
+
+    ds = ds.map_batches(partial, batch_format="pandas")
+    g = ds.groupby(["l_returnflag", "l_linestatus"]).sum(["p_qty", "p_price", "p_n"])
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"].to_numpy(dtype=object),
+             "l_linestatus": df["l_linestatus"].to_numpy(dtype=object),
+             "sum_qty": df["sum(p_qty)"].astype("int64").to_numpy(),
+             "sum_price_e4": df["sum(p_price)"].astype("int64").to_numpy(),
+             "count_order": df["sum(p_n)"].astype("int64").to_numpy()}
+        )
+
+    return g.map_batches(rename, batch_format="pandas")
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by order revenue — broadcast join to names.
+
+    Revenue aggregates distributed (partial per batch → groupby); the
+    customer dimension is read once, turned into a plain dict and
+    captured by the rename fn (broadcast-join semantics, J1 analogue)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {"o_custkey": df["o_custkey"].astype("int64"),
+             "rev": _e4(df["o_totalprice"])}
+        )
+        g = tmp.groupby("o_custkey", as_index=False).agg(
+            p_rev=("rev", "sum"), p_n=("rev", "size"))
+        return g.astype({"p_rev": "int64", "p_n": "int64"})
+
+    agg = orders.map_batches(partial, batch_format="pandas") \
+        .groupby("o_custkey").sum(["p_rev", "p_n"]).to_pandas()
+    agg = agg.rename(columns={"sum(p_rev)": "revenue_e4", "sum(p_n)": "n_orders"})
+    agg = agg.sort_values(["revenue_e4", "o_custkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    names = dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"]))
+    out = pd.DataFrame(
+        {"c_custkey": agg["o_custkey"].astype("int64").to_numpy(),
+         "c_name": [names.get(int(ck), "") for ck in agg["o_custkey"]],
+         "revenue_e4": agg["revenue_e4"].astype("int64").to_numpy(),
+         "n_orders": agg["n_orders"].astype("int64").to_numpy()}
+    )
+    return out.reset_index(drop=True)
+
+
+def revenue_by_nation(sf_dir: str):
+    """Order revenue rolled up to nations via two broadcast dims.
+
+    orders (fact, streamed) × customer (broadcast dict) × nation
+    (broadcast dict) → partial per batch → small global groupby."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"].astype("int64"),
+                   cust["c_nationkey"].astype("int64")))
+    n2name = dict(zip(nation["n_nationkey"].astype("int64"), nation["n_name"]))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df["o_custkey"].astype("int64").map(lambda x: c2n.get(int(x), -1))
+        tmp = pd.DataFrame(
+            {"n_name": nk.map(lambda x: n2name.get(int(x), "UNKNOWN")),
+             "rev": _e4(df["o_totalprice"])}
+        )
+        g = tmp.groupby("n_name", as_index=False).agg(
+            p_rev=("rev", "sum"), p_n=("rev", "size"))
+        return g.astype({"p_rev": "int64", "p_n": "int64"})
+
+    g = orders.map_batches(partial, batch_format="pandas") \
+        .groupby("n_name").sum(["p_rev", "p_n"])
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n_name": df["n_name"].to_numpy(dtype=object),
+             "revenue_e4": df["sum(p_rev)"].astype("int64").to_numpy(),
+             "n_orders": df["sum(p_n)"].astype("int64").to_numpy()}
+        )
+
+    return g.map_batches(rename, batch_format="pandas")

@@ -1,0 +1,422 @@
+"""Ray Data pipelines for the training-data corpus operators.
+
+Every function takes an ``sf_dir`` (a testdata directory holding
+``documents.parquet`` / ``embeddings.parquet``) and returns a Dataset or
+a small pandas DataFrame.  Design rules applied throughout (SURVEY.md
+§4 scale notes):
+
+- reads prune columns (``columns=[...]``) — a stats scan never loads
+  more than (id, text);
+- shuffles move digests/signatures/ids, never document bodies;
+- per-batch work is vectorized (pandas str kernels / numpy matmuls);
+- small sides (query matrices, candidate-id sets) are broadcast, not
+  shuffled;
+- final reduces operate on data proportional to the *answer*, not the
+  corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import dedup as dd
+from ..functions import similarity as sim
+from ..functions import text_stats as ts
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- text analysis ----------------------------------------------------
+
+
+def doc_text_stats(sf_dir: str):
+    """Exact token/char/punct/stopword counts + integer quality gate."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = ts.text_stats_frame(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].astype("int64").to_numpy())
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def doc_lang_id(sf_dir: str):
+    """Marker-word language ID (SQL-mirrorable argmax)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "lang_pred": ts.lang_id_markers(df["text"]).to_numpy(dtype=object)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprint (simplefp) per document.
+
+    Reference parity: the md5-of-alnum-content near-dup key of
+    reference README.md:575-576 / instance/wiki/spider_extend.js:109-160.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "fp": ts.simplefp(df["text"]).to_numpy(dtype=object)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# --- dedup ------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: md5(text) → min(doc_id) survivor per content key.
+
+    Per-batch combiner first (local min per digest), then the global
+    groupby reduces combiner rows — classic partial aggregation so the
+    all-to-all carries one row per distinct digest per block.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(dd.exact_dedup_batch, batch_format="pandas")
+    ds = ds.groupby("text_md5").min("doc_id")
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"text_md5": df["text_md5"].to_numpy(dtype=object),
+             "doc_id": df["min(doc_id)"].astype("int64").to_numpy()}
+        )
+
+    return ds.map_batches(rename, batch_format="pandas")
+
+
+def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
+
+    shingle → 128-perm signature → 16 band keys (map_batches, ~1 KB/doc
+    emitted) → groupby(band_key) → per-bucket pair generation → global
+    pair dedup (a pair found in several bands collapses to one row).
+    """
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(dd.minhash_batch, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = dd.candidate_pairs_from_bucket(
+            df["doc_id"].tolist(), df["sig"].tolist(), threshold
+        )
+        return pd.DataFrame(
+            {"doc_a": pd.Series([p[0] for p in pairs], dtype="int64"),
+             "doc_b": pd.Series([p[1] for p in pairs], dtype="int64"),
+             "est_jaccard": pd.Series([p[2] for p in pairs], dtype="float64")}
+        )
+
+    pairs = ds.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
+    # same pair surfaces once per agreeing band → collapse
+    uniq = pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_a": df["doc_a"].astype("int64").to_numpy(),
+             "doc_b": df["doc_b"].astype("int64").to_numpy(),
+             "est_jaccard": df["max(est_jaccard)"].astype("float64").to_numpy()}
+        )
+
+    return uniq.map_batches(rename, batch_format="pandas")
+
+
+def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
+                           jaccard_threshold: float = 0.8) -> pd.DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard.
+
+    The verify side is a semi-join: only candidate ids' texts are pulled
+    (candidate set ≪ corpus), broadcast as a dict — never a full-corpus
+    shuffle.  Returns a small pandas frame (doc_a, doc_b, jaccard).
+    """
+    cands = dedup_minhash_pairs(sf_dir, lsh_threshold).to_pandas()
+    if cands.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    wanted = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def only_wanted(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch["doc_id"], pa.array(wanted)))
+
+    small = docs.map_batches(only_wanted, batch_format="pyarrow").to_pandas()
+    texts = dict(zip(small["doc_id"], small["text"]))
+    jac = [
+        dd.ngram_jaccard(texts.get(a, ""), texts.get(b, ""))
+        for a, b in zip(cands["doc_a"], cands["doc_b"])
+    ]
+    out = cands.assign(jaccard=pd.Series(jac, index=cands.index, dtype="float64"))
+    out = out[out["jaccard"] >= jaccard_threshold]
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return out[["doc_a", "doc_b", "jaccard"]]
+
+
+def dedup_clusters(sf_dir: str, lsh_threshold: float = 0.7,
+                   jaccard_threshold: float = 0.8) -> pd.DataFrame:
+    """Near-dup cluster assignment: union-find over verified pairs.
+
+    Output rows only for docs in a non-trivial cluster; representative
+    is the min doc_id (deterministic keep-one policy)."""
+    pairs = dedup_minhash_verified(sf_dir, lsh_threshold, jaccard_threshold)
+    comp = dd.connected_components(
+        list(zip(pairs["doc_a"].tolist(), pairs["doc_b"].tolist()))
+    )
+    items = sorted(comp.items())
+    return pd.DataFrame(
+        {"doc_id": pd.Series([k for k, _ in items], dtype="int64"),
+         "cluster_rep": pd.Series([v for _, v in items], dtype="int64")}
+    )
+
+
+def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup pairs: 64-bit sketch, band blocking, verify
+    true Hamming distance inside each band bucket.
+
+    Band count adapts to the budget: any pair within ``max_hamming``
+    shares at least one of ``bands`` exact band keys iff
+    ``bands > max_hamming`` (pigeonhole), so 4 bands serve d≤3 (the
+    classic web-dedup setting) and 8 bands serve d≤7 (short docs flip
+    more bits per edit).  More bands ⇒ smaller band keys ⇒ more random
+    bucket collisions — that trade is the caller's knob."""
+    bands = 4 if max_hamming < 4 else 8
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_band, rows_h = [], [], []
+        for i, t in zip(df["doc_id"], df["text"].fillna("")):
+            h = dd.simhash64(str(t))
+            for bk in dd.simhash_bands(h, bands):
+                rows_id.append(int(i))
+                rows_band.append(bk)
+                rows_h.append(h)
+        return pd.DataFrame(
+            {"band_key": pd.Series(rows_band, dtype="string"),
+             "doc_id": pd.Series(rows_id, dtype="int64"),
+             # uint64 simhash carried as its int64 bit pattern (Arrow-safe)
+             "simhash": pd.Series([v - (1 << 64) if v >= 1 << 63 else v
+                                   for v in rows_h], dtype="int64")}
+        )
+
+    ds = ds.map_batches(sketch, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].tolist()
+        hs = [int(h) & ((1 << 64) - 1) for h in df["simhash"]]
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        out_a, out_b, out_d = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                d = dd.hamming64(hs[i], hs[j])
+                if d <= max_hamming:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_d.append(d)
+        return pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"),
+             "doc_b": pd.Series(out_b, dtype="int64"),
+             "hamming": pd.Series(out_d, dtype="int64")}
+        )
+
+    pairs = ds.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
+    uniq = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_a": df["doc_a"].astype("int64").to_numpy(),
+             "doc_b": df["doc_b"].astype("int64").to_numpy(),
+             "hamming": df["min(hamming)"].astype("int64").to_numpy()}
+        )
+
+    return uniq.map_batches(rename, batch_format="pandas")
+
+
+def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets.
+
+    Vectors are normalized and bucketed by 16-bit sign pattern inside
+    ``map_batches``; only same-bucket pairs are cosine-checked.  (The
+    sign-LSH key is computed per batch; the hyperplanes are a seeded
+    module constant, identical in every task.)"""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        m = sim.batch_to_matrix(df["embedding"].to_numpy())
+        planes = dd.hyperplanes(m.shape[1] if m.size else 64)
+        keys = dd.cosine_lsh_keys(m, planes) if m.size else []
+        out = df.copy()
+        out["bucket"] = pd.Series(keys, index=df.index, dtype="int64") \
+            if len(df) else pd.Series(dtype="int64")
+        return out
+
+    ds = ds.map_batches(key, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy(dtype="int64")
+        m = sim.normalize_rows(sim.batch_to_matrix(df["embedding"].to_numpy()))
+        s = m @ m.T
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if s[i, j] >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_s.append(float(s[i, j]))
+        return pd.DataFrame(
+            {"vec_a": pd.Series(out_a, dtype="int64"),
+             "vec_b": pd.Series(out_b, dtype="int64"),
+             "cosine": pd.Series(out_s, dtype="float64")}
+        )
+
+    pairs = ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    df = pairs.to_pandas()
+    if df.empty:  # stable schema even when the corpus has no near-dups
+        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_pairs_brute(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """All-pairs cosine ≥ threshold, brute force vs a broadcast matrix.
+
+    The full (id, vector) matrix is broadcast once and each batch
+    compares only against ids greater than its own (each pair emitted
+    exactly once).  This is the oracle-scale exactness baseline for
+    :func:`dedup_embedding_pairs`; at 100 TB the broadcast side must be
+    a filtered candidate subset, not the corpus.
+    Returns (vec_a, vec_b) ids only → SQL-comparable."""
+    import numpy as np
+
+    all_df = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    all_df = all_df.sort_values("vec_id")
+    ids_all = all_df["vec_id"].to_numpy(dtype="int64")
+    m_all = sim.normalize_rows(sim.batch_to_matrix(all_df["embedding"].to_numpy()))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(dtype="int64")
+        m = sim.normalize_rows(sim.batch_to_matrix(df["embedding"].to_numpy()))
+        s = m @ m_all.T
+        hit = (s >= threshold) & (ids[:, None] < ids_all[None, :])
+        ii, jj = np.nonzero(hit)
+        return pd.DataFrame(
+            {"vec_a": pd.Series(ids[ii], dtype="int64"),
+             "vec_b": pd.Series(ids_all[jj], dtype="int64")}
+        )
+
+    out = ds.map_batches(pairs_fn, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                            "vec_b": pd.Series(dtype="int64")})
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# --- similarity search ------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n_queries: int):
+    """First ``n_queries`` vec_ids as the query set (deterministic)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def only_q(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.less(batch["vec_id"], n_queries))
+
+    q = ds.map_batches(only_q, batch_format="pyarrow").to_pandas()
+    q = q.sort_values("vec_id")
+    return q["vec_id"].tolist(), sim.batch_to_matrix(q["embedding"].to_numpy())
+
+
+def ann_brute_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
+    """Brute-force cosine top-k (exact baseline): per-block local top-k
+    against the broadcast query matrix, tiny global reduce.
+
+    Returns (qid, vec_id, rank) — ids only, so the DuckDB oracle
+    (list_cosine_similarity + row_number) compares exactly."""
+    qids, qmat = _query_vectors(sf_dir, n_queries)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cands = ds.map_batches(
+        sim.BruteTopK,
+        fn_constructor_kwargs=dict(query_ids=qids, query_matrix=qmat, k=k),
+        batch_format="pandas",
+        concurrency=2,
+        num_cpus=0.5,  # light stage: never starve the upstream read
+    ).to_pandas()
+    out = sim.global_topk(cands, k)
+    return out[["qid", "vec_id", "rank"]]
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                 n_clusters: int = 16, nprobe: int = 8) -> pd.DataFrame:
+    """IVF top-k (scale path): coarse codebook from a driver sample,
+    cell assignment in map_batches, probe only nprobe cells per query."""
+    import numpy as np
+
+    qids, qmat = _query_vectors(sf_dir, n_queries)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = ds.limit(2048).to_pandas()
+    centroids = sim.kmeans_fit(
+        sim.batch_to_matrix(sample["embedding"].to_numpy()), n_clusters
+    )
+    assigned = ds.map_batches(
+        sim.IVFAssign, fn_constructor_kwargs=dict(centroids=centroids),
+        batch_format="pandas", concurrency=2, num_cpus=0.5,
+    )
+    probes = sim.probe_cells(qmat, centroids, nprobe)
+    probe_sets = [set(map(int, row)) for row in probes]
+
+    class ProbedTopK(sim.BruteTopK):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for qi, cells in enumerate(probe_sets):
+                hit = batch[batch["ivf_cell"].isin(cells)]
+                if hit.empty:
+                    continue
+                ids = hit["vec_id"].to_numpy(dtype=np.int64)
+                m = sim.batch_to_matrix(hit["embedding"].to_numpy())
+                sims = sim.cosine_matrix(self.q[qi:qi + 1], m)[0]
+                sims[ids == self.qids[qi]] = -np.inf
+                kk = min(self.k, len(ids))
+                idx = np.argpartition(-sims, kk - 1)[:kk] if kk else []
+                outs.append(pd.DataFrame(
+                    {"qid": pd.Series([self.qids[qi]] * len(idx), dtype="int64"),
+                     "vec_id": pd.Series(ids[idx], dtype="int64"),
+                     "sim": pd.Series(sims[idx], dtype="float64")}
+                ))
+            if not outs:
+                return pd.DataFrame(
+                    {"qid": pd.Series(dtype="int64"),
+                     "vec_id": pd.Series(dtype="int64"),
+                     "sim": pd.Series(dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
+
+    cands = assigned.map_batches(
+        ProbedTopK,
+        fn_constructor_kwargs=dict(query_ids=qids, query_matrix=qmat, k=k),
+        batch_format="pandas", concurrency=2, num_cpus=0.5,
+    ).to_pandas()
+    out = sim.global_topk(cands, k)
+    return out[["qid", "vec_id", "rank"]]

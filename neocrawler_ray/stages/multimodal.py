@@ -1,0 +1,173 @@
+"""Multimodal (binary-column) stages — schema, plumbing and stub decode.
+
+Media payloads are opaque ``binary`` columns with typed metadata,
+processed by actor-pool ``map_batches`` stages exactly as image/audio
+decode would run at 100 TB: small ``batch_size`` (payloads are wide),
+decoder state built once per actor in ``__init__``, zero-copy Arrow in,
+Arrow out.  The real decoders (PIL / libav) are NOT in this container,
+so ``RealImageDecode`` raises ``NotImplementedError`` unless PIL is
+importable; the deterministic ``FakeDecode`` keeps every piece of
+Ray-side plumbing (schema, batching, actor signature, output layout)
+real and testable — and its arithmetic is mirrored in SQL so the
+oracle verifies the full pipeline.
+
+The synthetic ``media`` table derives from ``documents``:
+``payload = utf-8 bytes of text``, ``kind = doc_id % 3 ∈
+{image, audio, video}`` — no external data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("meta", pa.string()),
+    ]
+)
+
+KINDS = ("image", "audio", "video")
+
+
+def media_from_documents(sf_dir: str):
+    """documents → synthetic media table (deterministic payloads)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {"media_id": ids,
+             "kind": pd.Series([KINDS[int(i) % 3] for i in ids], dtype="string"),
+             "payload": pd.Series(
+                 [str(t).encode("utf-8") for t in df["text"].fillna("")],
+                 index=df.index, dtype=object),
+             "meta": pd.Series(
+                 ['{"source": "' + str(s) + '"}' for s in df["source"]],
+                 index=df.index, dtype="string")}
+        )
+
+    return ds.map_batches(synth, batch_format="pandas")
+
+
+class FakeDecode:
+    """Deterministic stand-in decoder (actor-pool stage).
+
+    width/height/n_frames are pure integer functions of the payload
+    length, so the stage is SQL-mirrorable:
+      width    = 64 + n_bytes % 577
+      height   = 64 + n_bytes % 431
+      n_frames = n_bytes // 100 + 1   (video) else 1
+    """
+
+    def __init__(self):
+        # real decoders open codec contexts here, once per actor
+        self.decoded_batches = 0
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        self.decoded_batches += 1
+        n_bytes = np.array(
+            [len(p) if p is not None else 0 for p in df["payload"]],
+            dtype="int64",
+        )
+        kinds = df["kind"].astype(str).to_numpy()
+        width = 64 + n_bytes % 577
+        height = 64 + n_bytes % 431
+        n_frames = np.where(kinds == "video", n_bytes // 100 + 1, 1).astype("int64")
+        return pd.DataFrame(
+            {"media_id": df["media_id"].astype("int64").to_numpy(),
+             "kind": pd.Series(kinds, dtype="string"),
+             "n_bytes": n_bytes,
+             "width": width,
+             "height": height,
+             "n_frames": n_frames}
+        )
+
+
+class RealImageDecode:
+    """Real decode path — gated on PIL availability (not in container).
+
+    The stage contract matches :class:`FakeDecode`; deployments with
+    pillow installed get pixel dimensions from the actual codec."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # noqa: F401
+            self._image_mod = Image
+        except ImportError as e:  # pragma: no cover - container has no PIL
+            raise NotImplementedError(
+                "image decoding requires pillow; use FakeDecode in this "
+                "environment"
+            ) from e
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+        import io
+
+        rows = []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            im = self._image_mod.open(io.BytesIO(payload))
+            rows.append((int(mid), "image", len(payload), im.width, im.height, 1))
+        return pd.DataFrame(
+            rows, columns=["media_id", "kind", "n_bytes", "width", "height",
+                           "n_frames"]
+        )
+
+
+def multimodal_decode_meta(sf_dir: str):
+    """media table → FakeDecode actor pool → typed metadata rows."""
+    ds = media_from_documents(sf_dir)
+    return ds.map_batches(
+        FakeDecode, batch_format="pandas", batch_size=64, concurrency=2,
+        num_cpus=0.5,
+    )
+
+
+def video_frame_sample(sf_dir: str, step: int = 5):
+    """Frame sampling for 'video' payloads: flat-map each video row to
+    its sampled frame indices (0, step, 2·step, …)."""
+    ds = multimodal_decode_meta(sf_dir)
+
+    def frames(df: pd.DataFrame) -> pd.DataFrame:
+        vids = df[df["kind"] == "video"]
+        out_id, out_idx = [], []
+        for mid, nf in zip(vids["media_id"], vids["n_frames"]):
+            for fi in range(0, int(nf), step):
+                out_id.append(int(mid))
+                out_idx.append(fi)
+        return pd.DataFrame(
+            {"media_id": pd.Series(out_id, dtype="int64"),
+             "frame_idx": pd.Series(out_idx, dtype="int64")}
+        )
+
+    return ds.map_batches(frames, batch_format="pandas")
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+  CAST(64 + octet_length(encode(text)) % 431 AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 2
+       THEN octet_length(encode(text)) // 100 + 1 ELSE 1 END AS BIGINT) AS n_frames
+FROM documents
+""".strip()
+
+FRAME_SAMPLE_SQL = """
+SELECT media_id, CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx
+FROM (
+  SELECT doc_id AS media_id,
+    CAST(CASE WHEN doc_id % 3 = 2
+         THEN octet_length(encode(text)) // 100 + 1 ELSE 1 END AS BIGINT) AS n_frames
+  FROM documents
+  WHERE doc_id % 3 = 2
+)
+""".strip()

@@ -1,0 +1,318 @@
+"""Training-data corpus operators: text stats, dedup families,
+similarity search, multimodal plumbing, analytics aggregates.
+
+SQL-checkable operators are verified against DuckDB here at sf0.001
+(the driver re-checks at sf0.01); approximate operators are verified
+against exact baselines / planted duplicates."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from neocrawler_ray.functions import dedup as dd
+from neocrawler_ray.functions import similarity as sim
+from neocrawler_ray.functions import text_stats as ts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer", "nation"):
+        c.execute(
+            f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].sort_values(sorted(df.columns))
+    return df.reset_index(drop=True).astype({c: str for c in df.columns})
+
+
+def assert_matches_sql(ray_res, con, sql):
+    a = ray_res.to_pandas() if hasattr(ray_res, "to_pandas") else ray_res
+    b = con.execute(sql).fetchdf()
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(_norm(a), _norm(b))
+
+
+# --- pure-function unit tests ----------------------------------------
+
+
+def test_minhash_jaccard_estimate_tracks_truth():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox leaps over the lazy dog " * 5
+    sa, sb = dd.minhash_signature(a), dd.minhash_signature(b)
+    est = dd.estimate_jaccard(sa, sb)
+    true = dd.ngram_jaccard(a, b)
+    assert abs(est - true) < 0.15
+    assert dd.estimate_jaccard(sa, sa) == 1.0
+
+
+def test_minhash_lsh_bands_collide_for_near_dups():
+    a = " ".join(f"tok{i}" for i in range(200))
+    b = " ".join(f"tok{i}" for i in range(200) if i != 100)  # ~99% jaccard
+    c = " ".join(f"other{i}" for i in range(200))
+    ba, bb, bc = (dd.band_keys(dd.minhash_signature(x)) for x in (a, b, c))
+    assert set(ba) & set(bb)
+    assert not set(ba) & set(bc)
+
+
+def test_simhash_hamming_small_for_near_dups():
+    a = " ".join(f"tok{i}" for i in range(200))
+    b = " ".join(f"tok{i}" for i in range(200) if i != 100)
+    c = " ".join(f"other{i}" for i in range(200))
+    ha, hb, hc = dd.simhash64(a), dd.simhash64(b), dd.simhash64(c)
+    assert dd.hamming64(ha, hb) <= 7  # short docs flip a few bits per edit
+    assert dd.hamming64(ha, hc) > 10
+    assert set(dd.simhash_bands(ha, 8)) & set(dd.simhash_bands(hb, 8))
+
+
+def test_connected_components_min_representative():
+    comp = dd.connected_components([(5, 3), (3, 9), (20, 21)])
+    assert comp[5] == comp[3] == comp[9] == 3
+    assert comp[21] == 20
+
+
+def test_rolling_fingerprint_shift_invariant_overlap():
+    f1 = ts.rolling_fingerprint("hello world this is a document about rays")
+    f2 = ts.rolling_fingerprint("PREFIX hello world this is a document about rays")
+    # winnowing keeps smallest hashes → heavy overlap despite the shift
+    assert len(set(f1) & set(f2)) >= 2
+
+
+def test_lang_id_trigram_detects_cjk_and_english():
+    s = pd.Series(["the cat and the dog in the house", "这是一个中文文档测试样本"])
+    out = ts.lang_id_trigram(s)
+    assert out.tolist() == ["en", "zh"]
+
+
+def test_kmeans_and_probe_deterministic():
+    rng = np.random.RandomState(0)
+    x = rng.standard_normal((200, 8))
+    c1 = sim.kmeans_fit(x, 4)
+    c2 = sim.kmeans_fit(x, 4)
+    assert np.array_equal(c1, c2)
+    p = sim.probe_cells(x[:3], c1, 2)
+    assert p.shape == (3, 2)
+
+
+# --- Ray pipelines vs DuckDB -----------------------------------------
+
+
+def test_text_stats_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_text_stats(SF), con, ts.text_stats_sql())
+
+
+def test_lang_id_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_lang_id(SF), con, ts.lang_id_markers_sql())
+
+
+def test_fingerprint_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(
+        co.doc_fingerprint(SF), con,
+        f"select doc_id, {ts.SIMPLEFP_SQL.format(col='text')} AS fp from documents",
+    )
+
+
+def test_dedup_exact_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(
+        co.dedup_exact(SF), con,
+        "select md5(text) text_md5, min(doc_id) doc_id from documents "
+        "group by md5(text)",
+    )
+
+
+def test_doc_extract_byte_identical(ray_session, con):
+    from neocrawler_ray.pipelines import doc_extract as de
+
+    out = de.doc_extract(SF).to_pandas().sort_values("doc_id")
+    truth = con.execute(
+        "select doc_id, text from documents order by doc_id"
+    ).fetchdf()
+    # corpus precondition for the no-escaping envelope
+    assert not truth["text"].str.contains("[<&]", regex=True).any()
+    assert out["text"].tolist() == truth["text"].tolist()  # byte identical
+    assert_matches_sql(out, con, de.DOC_EXTRACT_SQL)
+
+
+def test_multimodal_meta_matches_sql(ray_session, con):
+    from neocrawler_ray.stages import multimodal as mm
+
+    assert_matches_sql(mm.multimodal_decode_meta(SF), con, mm.MULTIMODAL_META_SQL)
+    assert_matches_sql(mm.video_frame_sample(SF), con, mm.FRAME_SAMPLE_SQL)
+
+
+def test_real_decode_gated():
+    from neocrawler_ray.stages.multimodal import RealImageDecode
+
+    try:
+        import PIL  # noqa: F401
+        RealImageDecode()  # importable → constructor must succeed
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            RealImageDecode()
+
+
+def test_analytics_match_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(
+        an.events_daily_counts(SF), con,
+        "select strftime(ts,'%Y-%m-%d') date, event_type, count(*) n "
+        "from events group by 1,2",
+    )
+    assert_matches_sql(
+        an.q1_lineitem(SF), con,
+        "select l_returnflag, l_linestatus, "
+        "cast(sum(cast(l_quantity as bigint)) as bigint) sum_qty, "
+        "cast(sum(cast(floor(l_extendedprice*10000) as bigint)) as bigint) "
+        "sum_price_e4, count(*) count_order from lineitem group by 1,2",
+    )
+    assert_matches_sql(
+        an.revenue_by_nation(SF), con,
+        "select n_name, cast(sum(cast(floor(o_totalprice*10000) as bigint)) "
+        "as bigint) revenue_e4, count(*) n_orders from orders o "
+        "join customer c on o.o_custkey=c.c_custkey "
+        "join nation n on c.c_nationkey=n.n_nationkey group by 1",
+    )
+
+
+def test_minhash_pipeline_finds_planted_dups(ray_session, tmp_path):
+    """Plant near-duplicates in a parquet table; LSH must find exactly
+    the planted pairs and no cross-pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    rng = np.random.RandomState(7)
+    texts, ids = [], []
+    vocab = [f"w{i}" for i in range(500)]
+    for d in range(40):
+        words = [vocab[rng.randint(0, 500)] for _ in range(120)]
+        texts.append(" ".join(words))
+        ids.append(d)
+    # plant: 100..103 are 1-word edits of docs 0..3
+    for j in range(4):
+        words = texts[j].split()
+        words[10] = "EDITED"
+        texts.append(" ".join(words))
+        ids.append(100 + j)
+    d = tmp_path / "planted"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    pairs = co.dedup_minhash_verified(str(d), jaccard_threshold=0.8)
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert found == {(j, 100 + j) for j in range(4)}
+
+    clusters = co.dedup_clusters(str(d), jaccard_threshold=0.8)
+    assert dict(zip(clusters["doc_id"], clusters["cluster_rep"])) == {
+        j: j for j in range(4)
+    } | {100 + j: j for j in range(4)}
+
+    sh = co.dedup_simhash_pairs(str(d), max_hamming=7).to_pandas()
+    sh_found = set(zip(sh["doc_a"], sh["doc_b"]))
+    assert {(j, 100 + j) for j in range(4)} <= sh_found
+
+
+def test_embedding_pairs_brute_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    b = co.embedding_pairs_brute(SF, 0.4)
+    sql = con.execute(
+        "select a.vec_id vec_a, b.vec_id vec_b from embeddings a, embeddings b "
+        "where a.vec_id < b.vec_id and list_cosine_similarity("
+        "cast(a.embedding as double[]), cast(b.embedding as double[])) >= 0.4 "
+        "order by 1,2"
+    ).fetchdf()
+    assert b.reset_index(drop=True).equals(sql.astype("int64"))
+
+
+def test_embedding_lsh_finds_planted_near_dups(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((30, 64))
+    vecs = list(base)
+    ids = list(range(30))
+    for j in range(3):  # 100+j ≈ tiny perturbation of j
+        vecs.append(base[j] + 0.01 * rng.standard_normal(64))
+        ids.append(100 + j)
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))}),
+        d / "embeddings.parquet",
+    )
+    pairs = co.dedup_embedding_pairs(str(d), threshold=0.97)
+    found = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert found == {(j, 100 + j) for j in range(3)}
+
+
+def test_ann_brute_matches_sql_and_ivf_recall(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    brute = co.ann_brute_topk(SF)
+    sql = con.execute("""
+WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) s2
+      FROM embeddings e, q WHERE e.vec_id != q.qid)
+SELECT qid, vec_id, CAST(r AS BIGINT) rank FROM
+  (SELECT qid, vec_id,
+          row_number() OVER (PARTITION BY qid ORDER BY s2 DESC, vec_id) r
+   FROM s) WHERE r <= 10 ORDER BY qid, rank
+""").fetchdf()
+    pd.testing.assert_frame_equal(_norm(brute), _norm(sql))
+
+    ivf = co.ann_ivf_topk(SF)
+    bs = set(map(tuple, brute[["qid", "vec_id"]].values))
+    ivs = set(map(tuple, ivf[["qid", "vec_id"]].values))
+    assert len(bs & ivs) / len(bs) >= 0.6  # random vectors: weak structure
+
+    # clustered data → IVF should be near-exact
+    rng = np.random.RandomState(3)
+    cents = rng.standard_normal((8, 32)) * 5
+    labels = rng.randint(0, 8, size=300)
+    m = cents[labels] + rng.standard_normal((300, 32))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in m],
+                                        pa.list_(pa.float32()))}),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    b2 = co.ann_brute_topk(d, n_queries=5, k=10)
+    i2 = co.ann_ivf_topk(d, n_queries=5, k=10, n_clusters=8, nprobe=2)
+    bs2 = set(map(tuple, b2[["qid", "vec_id"]].values))
+    is2 = set(map(tuple, i2[["qid", "vec_id"]].values))
+    assert len(bs2 & is2) / len(bs2) >= 0.9

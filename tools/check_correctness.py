@@ -1,0 +1,81 @@
+"""Local mimic of the driver's correctness gate: run every queries()
+entry at a given sf, compare against oracle_sql() via DuckDB
+(row-count + sorted-column value comparison), print one line per query.
+
+Usage: python tools/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    import duckdb
+    import pandas as pd
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            res = fn(sf_dir)
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            elif not isinstance(res, pd.DataFrame):
+                res = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+            dt = time.time() - t0
+            if name in oracles:
+                exp = con.execute(oracles[name]).fetchdf()
+                a = res[sorted(res.columns)].sort_values(
+                    sorted(res.columns)).reset_index(drop=True)
+                b = exp[sorted(exp.columns)].sort_values(
+                    sorted(exp.columns)).reset_index(drop=True)
+                same_cols = list(a.columns) == list(b.columns)
+                same_rows = len(a) == len(b)
+                ok = (
+                    same_cols and same_rows
+                    and a.astype(str).equals(b.astype(str))
+                )
+                status = "MATCH" if ok else "MISMATCH"
+                if not ok:
+                    failures += 1
+                    detail = (f" cols={list(a.columns)}vs{list(b.columns)}"
+                              if not same_cols else f" rows={len(a)}vs{len(b)}")
+                    print(f"{name:26s} {status} ({dt:5.1f}s){detail}")
+                    if same_cols and same_rows:
+                        neq = ~(a.astype(str) == b.astype(str)).all(axis=1)
+                        print(a[neq].head(3))
+                        print(b[neq].head(3))
+                    continue
+            else:
+                status = f"rows-only n={len(res)}"
+            print(f"{name:26s} {status} ({dt:5.1f}s)")
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"{name:26s} ERROR ({time.time()-t0:5.1f}s): {type(e).__name__}: {e}")
+    print(f"done, {failures} failures")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(*sys.argv[1:]) else 0)

@@ -33,7 +33,15 @@ def _crawl_out_dir(sf_dir: str) -> str:
     marker = os.path.join(out, "metrics.json")
     if not os.path.exists(marker):
         corpus = corpus_for_sf(sf_dir)
-        job = CrawlJob(corpus, CrawlSettings(), out)
+        # throughput config (deterministic; the reference-default quota of
+        # 200 urls/wave is exercised by the pytest parity suite instead —
+        # here it would only multiply wave overhead ~26×)
+        settings = CrawlSettings(
+            schedule_quantity_limitation=20000,
+            politeness_per_host_per_wave=2000,
+            num_frontier_shards=8,
+        )
+        job = CrawlJob(corpus, settings, out)
         job.run()
     return out
 

@@ -25,9 +25,21 @@ import pandas as pd
 
 
 def _read(sf_dir: str, table: str, columns: list[str]):
+    """Column-pruned read with a row-aware block count.
+
+    Ray's default splits any file into ~2×CPU blocks; for small dimension
+    tables that floods downstream groupbys with per-block overhead.  One
+    block per ~50k rows (min 1) keeps map parallelism where the data is
+    and makes shuffles on small tables near-free; huge inputs still fan
+    out wide (the count comes from parquet metadata, not a scan)."""
+    import pyarrow.parquet as pq
     import ray
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    rows = pq.read_metadata(path).num_rows
+    blocks = max(1, rows // 50_000)
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=blocks)
 
 
 def _e4(series: pd.Series) -> np.ndarray:

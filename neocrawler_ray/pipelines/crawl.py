@@ -33,8 +33,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import CrawlSettings, RuleSet
-from ..stages.extract_stage import ExtractBatch
-from ..stages.fetch import FetchSim, build_robots_map
+from ..stages.extract_stage import extract_batch_task
+from ..stages.fetch import build_robots_map, fetch_sim_batch
 from ..state.frontier import FrontierShard
 from .scheduler import run_schedule_wave, shard_for_url
 
@@ -71,7 +71,7 @@ def _scheduled_to_table(scheduled: list[dict]) -> pa.Table:
 
 class CrawlJob:
     def __init__(self, corpus_dir: str, settings: CrawlSettings,
-                 out_dir: str, resume: bool = False):
+                 out_dir: str, resume: bool = False, plugin=None):
         import ray
 
         self.corpus_dir = corpus_dir
@@ -94,6 +94,14 @@ class CrawlJob:
             for i in range(S)
         ]
         self.robots_ref = ray.put(build_robots_map(corpus_dir))
+        self.rules_ref = ray.put(self.rules)
+        self.run_token = f"{os.getpid()}-{id(self)}"
+
+        # spider_extend surface (SURVEY.md §2.10): assembly runs once on
+        # the driver (spider/index.js:43); batch hooks ride into the actors
+        self.plugin = plugin
+        if plugin is not None:
+            plugin.assembly({"corpus_dir": corpus_dir, "out_dir": out_dir})
 
         self.start_wave = 0
         if resume:
@@ -201,32 +209,40 @@ class CrawlJob:
             chunk = (n + target_blocks - 1) // target_blocks
             blocks = [sched_tbl.slice(i, chunk) for i in range(0, n, chunk)]
             ds = ray.data.from_arrow(blocks)
+            # task-mode stages with worker-global singletons: worker
+            # processes (and their pages-partition / compiled-rules
+            # caches) persist across waves, unlike per-wave actor pools
             ds = ds.map_batches(
-                FetchSim,
-                fn_constructor_kwargs=dict(
+                fetch_sim_batch,
+                fn_kwargs=dict(
+                    run_token=self.run_token,
                     corpus_dir=self.corpus_dir,
                     robots_map=self.robots_ref,
                     pages_shards=pages_shards,
+                    plugin=self.plugin,
                 ),
                 batch_format="pyarrow",
                 batch_size=s.extract_batch_size,
-                concurrency=s.fetch_concurrency,
-                num_cpus=1,
             )
             ds = ds.map_batches(
-                ExtractBatch,
-                fn_constructor_kwargs=dict(
-                    rules=self.rules,
+                extract_batch_task,
+                fn_kwargs=dict(
+                    run_token=self.run_token,
+                    rules_ref=self.rules_ref,
                     settings=s,
                     frontier_shards=self.shards,
+                    plugin=self.plugin,
                 ),
                 batch_format="pyarrow",
                 batch_size=s.extract_batch_size,
-                concurrency=s.extract_concurrency,
-                num_cpus=1,
             )
             mat = ds.materialize()  # wave-sized (quota-bounded): safe to pin
             mat.write_parquet(os.path.join(self.out_dir, "extracted", f"wave={wave}"))
+            if self.plugin is not None:
+                # pipeline.js:573-575 sink hook, driver-side per wave
+                for b in mat.iter_batches(batch_format="pyarrow"):
+                    self.plugin.sink_batch(b)
+                self.plugin.alert("crawl_finish_alert", {"wave": wave, "n": n})
 
             # ---- deterministic frontier commit + checkpoint -------------
             counts = ray.get(

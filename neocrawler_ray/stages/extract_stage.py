@@ -54,9 +54,30 @@ OUT_SCHEMA = pa.schema(
 )
 
 
+_WORKER_EXTRACTORS: dict = {}
+
+
+def extract_batch_task(batch: pa.Table, *, run_token: str, rules_ref,
+                       settings, frontier_shards: list, plugin=None) -> pa.Table:
+    """Task-mode extract: worker-global singleton per run (see
+    ``fetch.fetch_sim_batch`` for why tasks + a module cache beat a
+    per-wave actor pool here).  ``rules_ref`` is the broadcast rules
+    dict ``ObjectRef``; resolved once per worker process."""
+    import ray
+
+    inst = _WORKER_EXTRACTORS.get(run_token)
+    if inst is None:
+        rules = ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef) else rules_ref
+        inst = ExtractBatch(rules, settings, frontier_shards, plugin=plugin)
+        _WORKER_EXTRACTORS.clear()  # one run at a time per worker
+        _WORKER_EXTRACTORS[run_token] = inst
+    return inst(batch)
+
+
 class ExtractBatch:
     def __init__(self, rules: dict, settings, frontier_shards: list,
-                 push_to_frontier: bool = True):
+                 push_to_frontier: bool = True, plugin=None):
+        self.plugin = plugin
         self.rules = rules
         self.settings = settings
         self.shards = frontier_shards
@@ -181,4 +202,8 @@ class ExtractBatch:
                     for sid, rows in shard_buffers.items()
                 ]
             )
-        return pa.Table.from_pydict(out, schema=OUT_SCHEMA)
+        result = pa.Table.from_pydict(out, schema=OUT_SCHEMA)
+        if self.plugin is not None:
+            # spider/index.js:69-74 extract hook (per-actor plugin instance)
+            result = self.plugin.extract_batch(result)
+        return result

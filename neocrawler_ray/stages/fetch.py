@@ -73,11 +73,38 @@ def build_robots_map(corpus_dir: str) -> dict[str, list[str]]:
     return out
 
 
+_WORKER_FETCHERS: "OrderedDict[tuple, FetchSim]" = OrderedDict()
+
+
+def fetch_sim_batch(batch: pa.Table, *, run_token: str, corpus_dir: str,
+                    robots_map, pages_shards: int, plugin=None) -> pa.Table:
+    """Task-mode fetch-sim: ``map_batches(fetch_sim_batch, fn_kwargs=...)``.
+
+    Ray reuses worker *processes* across tasks and across the wave loop's
+    datasets, so a module-global singleton gives the same once-per-worker
+    setup an actor pool would — without paying an actor-pool spawn per
+    wave (the wave loop creates a new Dataset every wave; actor pools
+    would be torn down and restarted each time).  ``robots_map`` is an
+    ``ray.ObjectRef`` (broadcast once via ``ray.put``); the pages
+    partition cache lives in the singleton and therefore persists for
+    the whole run."""
+    # keyed by run token, NOT just corpus: two runs over one corpus may
+    # carry different plugins; the cache must not leak across runs
+    key = (run_token, corpus_dir, pages_shards)
+    fs = _WORKER_FETCHERS.get(key)
+    if fs is None:
+        fs = FetchSim(corpus_dir, robots_map, pages_shards, plugin=plugin)
+        _WORKER_FETCHERS[key] = fs
+        while len(_WORKER_FETCHERS) > 2:  # bound worker memory across runs
+            _WORKER_FETCHERS.popitem(last=False)
+    return fs(batch)
+
+
 class FetchSim:
     """url → (html, status) point lookups with robots gating."""
 
     def __init__(self, corpus_dir: str, robots_map, pages_shards: int,
-                 cache_partitions: int = 8):
+                 cache_partitions: int = 8, plugin=None):
         import ray
 
         self.corpus_dir = corpus_dir
@@ -88,6 +115,7 @@ class FetchSim:
         )
         self.cache_partitions = cache_partitions
         self._cache: OrderedDict[int, dict[str, bytes]] = OrderedDict()
+        self.plugin = plugin
 
     # -- partition cache ------------------------------------------------
     def _partition(self, shard: int) -> dict[str, bytes]:
@@ -117,6 +145,12 @@ class FetchSim:
 
     # -- per batch ------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.plugin is not None:
+            # downloader.js:294-306: plugin download replaces the built-in
+            # downloader; None falls through (cb(null, null) semantics)
+            res = self.plugin.download_batch(batch)
+            if res is not None:
+                return res
         htmls: list[bytes | None] = []
         statuses: list[int] = []
         blocked_flags: list[bool] = []

@@ -1,0 +1,67 @@
+"""Single-URL debug mode — the reference's ``run.js -a test -l URL``
+golden-output path (reference run.js:80-90, spider/index.js:132-164,
+pipeline.js:516-544): wrap the url, download it, extract, and write
+``debug-page.html`` + ``debug-result.json`` instead of sinking.
+
+Runs fully locally (the stage classes are plain callables — no Ray
+session needed), which is exactly what a rule author wants when
+iterating on an ``extract_rule``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+from ..config import CrawlSettings, RuleSet
+from ..functions.extract import detect_link
+from ..stages.extract_stage import ExtractBatch
+from ..stages.fetch import FetchSim, build_robots_map
+
+
+def test_single_url(corpus_dir: str, url: str, out_dir: str,
+                    settings: CrawlSettings | None = None) -> dict:
+    """Debug-crawl one url against the pages corpus; returns the
+    extracted record and writes the reference's two debug artifacts."""
+    settings = settings or CrawlSettings()
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(corpus_dir, "rules.json")) as f:
+        rules = json.load(f)
+    with open(os.path.join(corpus_dir, "meta.json")) as f:
+        meta = json.load(f)
+
+    # wrapLink (spider/spider.js:317-345): url → rule match
+    urllib_key, _rule = detect_link(url, rules)
+    if urllib_key is None:
+        return {"url": url, "error": "no driller rule matches"}
+
+    batch = pa.table(
+        {
+            "seq": pa.array([0], pa.int64()),
+            "wave": pa.array([0], pa.int32()),
+            "url": pa.array([url], pa.string()),
+            "urllib": pa.array(["urllib:" + urllib_key], pa.string()),
+            "version": pa.array([settings.wave_version(0)], pa.int64()),
+            "drill_relation": pa.array(["*"], pa.string()),
+        }
+    )
+    fetch = FetchSim(corpus_dir, build_robots_map(corpus_dir),
+                     meta.get("pages_shards", 16))
+    extract = ExtractBatch(rules, settings, frontier_shards=[],
+                           push_to_frontier=False)
+    fetched = fetch(batch)
+    result = extract(fetched).to_pylist()[0]
+
+    html = fetched.column("html")[0].as_py()
+    if html is not None:  # debug-page.html (pipeline.js:523-527)
+        with open(os.path.join(out_dir, "debug-page.html"), "wb") as f:
+            f.write(html)
+    record = {k: v for k, v in result.items() if k != "content_bin"}
+    if record.get("extracted_json"):
+        record["extracted_data"] = json.loads(record.pop("extracted_json"))
+    with open(os.path.join(out_dir, "debug-result.json"), "w") as f:
+        # debug-result.json = extracted_info minus content (pipeline.js:529-543)
+        json.dump(record, f, ensure_ascii=False, indent=1, default=str)
+    return record

@@ -25,22 +25,57 @@ from ..functions import similarity as sim
 from ..functions import text_stats as ts
 
 
-def _read(sf_dir: str, table: str, columns: list[str]):
+def _read(sf_dir: str, table: str, columns: list[str],
+          rows_per_block: int = 50_000):
     """Column-pruned read with a row-aware block count.
 
     Ray's default splits any file into ~2×CPU blocks; for small dimension
     tables that floods downstream groupbys with per-block overhead.  One
-    block per ~50k rows (min 1) keeps map parallelism where the data is
-    and makes shuffles on small tables near-free; huge inputs still fan
-    out wide (the count comes from parquet metadata, not a scan)."""
+    block per ``rows_per_block`` rows (min 1) keeps map parallelism where
+    the data is and makes shuffles on small tables near-free; huge inputs
+    still fan out wide (the count comes from parquet metadata, not a
+    scan).  CPU-heavy per-row stages (minhash, sketching, DOM parsing)
+    pass a small ``rows_per_block`` so they still use every core."""
     import pyarrow.parquet as pq
     import ray
 
     path = f"{sf_dir}/{table}.parquet"
     rows = pq.read_metadata(path).num_rows
-    blocks = max(1, rows // 50_000)
+    blocks = max(1, rows // max(1, rows_per_block))
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=blocks)
+
+
+def _hash_grouped(ds, key_cols: list[str], agg_fn, num_parts: int = 64):
+    """High-cardinality distributed groupby.
+
+    Ray's built-in ``groupby().agg`` runs a python-level reduce per
+    distinct key (~600 rows/s at 5k keys — measured via ``ds.stats()``);
+    for key counts ≫ cluster width that is the bottleneck.  Instead:
+    coarse hash-partition on the key (same key → same partition, so
+    semantics are exact), then one *vectorized pandas* groupby inside
+    each of ``num_parts`` partitions.  The exchange volume is identical;
+    the reduce is a C-speed kernel.  ``agg_fn(df) -> df`` must be a
+    per-partition-complete aggregation."""
+    import zlib
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "\x1f" + df[c].astype(str)
+        df = df.copy()
+        df["part"] = [zlib.crc32(k.encode()) % num_parts for k in key]
+        df["part"] = df["part"].astype("int64")
+        return df
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return agg_fn(df.drop(columns=["part"]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 # --- text analysis ----------------------------------------------------
@@ -100,15 +135,11 @@ def dedup_exact(sf_dir: str):
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(dd.exact_dedup_batch, batch_format="pandas")
-    ds = ds.groupby("text_md5").min("doc_id")
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"text_md5": df["text_md5"].to_numpy(dtype=object),
-             "doc_id": df["min(doc_id)"].astype("int64").to_numpy()}
-        )
-
-    return ds.map_batches(rename, batch_format="pandas")
+    return _hash_grouped(
+        ds, ["text_md5"],
+        lambda df: df.groupby("text_md5", as_index=False, sort=True)["doc_id"]
+        .min().astype({"doc_id": "int64"}),
+    )
 
 
 def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
@@ -120,7 +151,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
     """
     import ray
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     ds = ds.map_batches(dd.minhash_batch, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -133,18 +164,36 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
              "est_jaccard": pd.Series([p[2] for p in pairs], dtype="float64")}
         )
 
-    pairs = ds.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
+    # Shuffle by a COARSE partition of the band key (≈64 partitions), not
+    # by the raw key: one Ray group per band bucket means tens of
+    # thousands of tiny groups and per-group overhead dwarfs the work.
+    # Inside a partition a vectorized pandas groupby walks the buckets —
+    # same exchange volume, partition-level compute.
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        df = df.copy()
+        df["part"] = df["band_key"].map(
+            lambda k: zlib.crc32(k.encode()) % 64).astype("int64")
+        return df
+
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            bucket_pairs(g) for _, g in df.groupby("band_key", sort=True)
+            if len(g) > 1
+        ]
+        if not outs:
+            return bucket_pairs(df.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    ds = ds.map_batches(add_part, batch_format="pandas")
+    pairs = ds.groupby("part").map_groups(partition_pairs, batch_format="pandas")
     # same pair surfaces once per agreeing band → collapse
-    uniq = pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_a": df["doc_a"].astype("int64").to_numpy(),
-             "doc_b": df["doc_b"].astype("int64").to_numpy(),
-             "est_jaccard": df["max(est_jaccard)"].astype("float64").to_numpy()}
-        )
-
-    return uniq.map_batches(rename, batch_format="pandas")
+    return _hash_grouped(
+        pairs, ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False, sort=True)
+        ["est_jaccard"].max(),
+    )
 
 
 def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
@@ -208,7 +257,7 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     more bits per edit).  More bands ⇒ smaller band keys ⇒ more random
     bucket collisions — that trade is the caller's knob."""
     bands = 4 if max_hamming < 4 else 8
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         rows_id, rows_band, rows_h = [], [], []
@@ -229,37 +278,56 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     ds = ds.map_batches(sketch, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].tolist()
-        hs = [int(h) & ((1 << 64) - 1) for h in df["simhash"]]
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        import numpy as np
+
+        df = df.sort_values("doc_id")
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        hs = df["simhash"].to_numpy(dtype="int64").view(np.uint64)
         out_a, out_b, out_d = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                d = dd.hamming64(hs[i], hs[j])
-                if d <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_d.append(d)
+        # vectorized pairwise Hamming in row chunks: XOR matrix → byte
+        # view → per-byte popcount table — no python pair loop
+        popb = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+        n = len(ids)
+        for lo in range(0, n, 512):
+            hi = min(lo + 512, n)
+            x = hs[lo:hi, None] ^ hs[None, :]
+            d = popb[x.view(np.uint8).reshape(hi - lo, n, 8)].sum(axis=2)
+            cand = (d <= max_hamming) & (ids[lo:hi, None] < ids[None, :])
+            ii, jj = np.nonzero(cand)
+            out_a.extend(ids[lo + ii])
+            out_b.extend(ids[jj])
+            out_d.extend(d[ii, jj])
         return pd.DataFrame(
             {"doc_a": pd.Series(out_a, dtype="int64"),
              "doc_b": pd.Series(out_b, dtype="int64"),
              "hamming": pd.Series(out_d, dtype="int64")}
         )
 
-    pairs = ds.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
-    uniq = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
 
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_a": df["doc_a"].astype("int64").to_numpy(),
-             "doc_b": df["doc_b"].astype("int64").to_numpy(),
-             "hamming": df["min(hamming)"].astype("int64").to_numpy()}
-        )
+        df = df.copy()
+        df["part"] = df["band_key"].map(
+            lambda k: zlib.crc32(k.encode()) % 64).astype("int64")
+        return df
 
-    return uniq.map_batches(rename, batch_format="pandas")
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            bucket_pairs(g) for _, g in df.groupby("band_key", sort=True)
+            if len(g) > 1
+        ]
+        if not outs:
+            return bucket_pairs(df.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    ds = ds.map_batches(add_part, batch_format="pandas")
+    pairs = ds.groupby("part").map_groups(partition_pairs, batch_format="pandas")
+    return _hash_grouped(
+        pairs, ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False, sort=True)
+        ["hamming"].min().astype({"hamming": "int64"}),
+    )
 
 
 def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97):
@@ -300,7 +368,25 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97):
              "cosine": pd.Series(out_s, dtype="float64")}
         )
 
-    pairs = ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["bucket"] % 64).astype("int64")
+        return df
+
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            bucket_pairs(g) for _, g in df.groupby("bucket", sort=True)
+            if len(g) > 1
+        ]
+        if not outs:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    ds = ds.map_batches(add_part, batch_format="pandas")
+    pairs = ds.groupby("part").map_groups(partition_pairs, batch_format="pandas")
     df = pairs.to_pandas()
     if df.empty:  # stable schema even when the corpus has no near-dups
         df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),

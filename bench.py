@@ -28,6 +28,10 @@ import time
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Bench pages carry realistic Common-Crawl DOM weight (filler chrome ×12
+# ≈ 15-30 KB html/page) so fetch+extract compute — not wave bookkeeping —
+# dominates, as it would on real pages; parity corpora stay small.
+BENCH_PAGE_WEIGHT = int(os.environ.get("GRAFT_PAGE_WEIGHT", "12"))
 
 
 def bench_settings(num_cpus: int):
@@ -36,7 +40,7 @@ def bench_settings(num_cpus: int):
     pool = max(2, num_cpus // 2 - 1)
     return CrawlSettings(
         schedule_quantity_limitation=20000,
-        politeness_per_host_per_wave=2000,
+        politeness_per_host_per_wave=5000,
         num_frontier_shards=max(4, num_cpus // 2),
         fetch_concurrency=pool,
         extract_concurrency=pool,
@@ -50,7 +54,7 @@ def run_crawl(sf_dir: str, num_cpus: int) -> dict:
     from neocrawler_ray.pipelines.crawl import CrawlJob
     from neocrawler_ray.sources.pages_gen import corpus_for_sf
 
-    corpus = corpus_for_sf(sf_dir)
+    corpus = corpus_for_sf(sf_dir, page_weight=BENCH_PAGE_WEIGHT)
     out = tempfile.mkdtemp(prefix="nc_bench_")
     try:
         t0 = time.perf_counter()
@@ -120,7 +124,8 @@ def scaling_main(sf_dir: str) -> None:
     """Same corpus, two fresh Ray sessions (8 then 32 cpus) → efficiency."""
     from neocrawler_ray.sources.pages_gen import corpus_for_sf
 
-    corpus_for_sf(sf_dir)  # warm the corpus cache outside the timed runs
+    # warm the corpus cache outside the timed runs
+    corpus_for_sf(sf_dir, page_weight=BENCH_PAGE_WEIGHT)
     results = {}
     for n in (8, 32):
         proc = subprocess.run(

@@ -35,7 +35,23 @@ import pyarrow.parquet as pq
 from ..config import CrawlSettings, RuleSet
 from ..stages.extract_stage import extract_batch_task
 from ..stages.fetch import build_robots_map, fetch_sim_batch
+
+
+def fused_fetch_extract(batch, *, run_token, corpus_dir, robots_map,
+                        pages_shards, rules_ref, settings, frontier_shards,
+                        plugin=None):
+    """fetch-sim → extract in one task (html stays in-process)."""
+    fetched = fetch_sim_batch(
+        batch, run_token=run_token, corpus_dir=corpus_dir,
+        robots_map=robots_map, pages_shards=pages_shards, plugin=plugin,
+    )
+    return extract_batch_task(
+        fetched, run_token=run_token, rules_ref=rules_ref, settings=settings,
+        frontier_shards=frontier_shards, plugin=plugin,
+    )
 from ..state.frontier import FrontierShard
+from ..functions.urls import url_host
+from ..sources.pages_gen import _host_shard
 from .scheduler import run_schedule_wave, shard_for_url
 
 SCHED_SCHEMA = pa.schema(
@@ -106,6 +122,11 @@ class CrawlJob:
         self.start_wave = 0
         if resume:
             self.start_wave = self._restore_checkpoint()
+        # post-commit queue lengths per urllib key (schedule-skip index)
+        self.queue_lens: dict[str, int] = {}
+        for lens in ray.get([sh.all_queue_lens.remote() for sh in self.shards]):
+            for k, v in lens.items():
+                self.queue_lens[k] = self.queue_lens.get(k, 0) + v
 
     # ------------------------------------------------------------------
     def _call(self, shard, method, *args):
@@ -118,10 +139,28 @@ class CrawlJob:
     def ckpt_dir(self) -> str:
         return self.settings.checkpoint_dir or os.path.join(self.out_dir, "ckpt")
 
-    def _write_checkpoint(self, wave: int) -> None:
-        import ray
+    def _write_checkpoint_async(self, wave: int, blobs: list[bytes]) -> None:
+        """Persist the wave checkpoint off the critical path.
 
-        blobs = ray.get([s.snapshot.remote() for s in self.shards])
+        The snapshots are already consistent immutable bytes (taken at
+        the commit barrier); only the file IO overlaps the next wave.
+        The manifest is written last, after every shard file, so a crash
+        mid-write resumes from the previous complete wave."""
+        import threading
+
+        self._join_checkpoint()
+        t = threading.Thread(target=self._write_checkpoint_files,
+                             args=(wave, blobs), daemon=True)
+        t.start()
+        self._ckpt_thread = t
+
+    def _join_checkpoint(self) -> None:
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
+
+    def _write_checkpoint_files(self, wave: int, blobs: list[bytes]) -> None:
         for i, blob in enumerate(blobs):
             d = os.path.join(self.ckpt_dir, f"shard={i}")
             os.makedirs(d, exist_ok=True)
@@ -176,7 +215,7 @@ class CrawlJob:
         while wave < max_waves:
             scheduled = run_schedule_wave(
                 wave, self.entries, self.total_rates, self.shards, s,
-                backlog_len=0, call=self._call,
+                backlog_len=0, call=self._call, queue_lens=self.queue_lens,
             )
             if not scheduled:
                 break
@@ -202,32 +241,46 @@ class CrawlJob:
             pq.write_table(sched_tbl, os.path.join(sdir, f"wave_{wave}.parquet"))
 
             # ---- the wave pipeline --------------------------------------
+            # Blocks are built per PAGES-SHARD (url-host hash), so each
+            # fetch task reads exactly one co-partitioned pages file and
+            # worker-local partition caches stay hot — arbitrary chunking
+            # makes every worker page in every partition (measured: that
+            # inverts scaling at high CPU counts).  Large shard groups
+            # split into batch-sized sub-blocks to keep full parallelism.
             n = sched_tbl.num_rows
-            target_blocks = max(1, min(s.fetch_concurrency * 4,
-                                       (n + s.extract_batch_size - 1)
-                                       // s.extract_batch_size))
-            chunk = (n + target_blocks - 1) // target_blocks
-            blocks = [sched_tbl.slice(i, chunk) for i in range(0, n, chunk)]
+            shard_of = [
+                _host_shard(url_host(u) or "", pages_shards)
+                for u in sched_tbl.column("url").to_pylist()
+            ]
+            order = sorted(range(n), key=lambda i: (shard_of[i], i))
+            # shard-sorted rows are cut into ~batch-sized blocks; a cut
+            # prefers a shard boundary once the block is half full, so a
+            # task reads 1-2 pages partitions and blocks stay big enough
+            # to amortize the frontier-push barrier per block
+            blocks = []
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order) and j - i < s.extract_batch_size:
+                    if (j > i and shard_of[order[j]] != shard_of[order[j - 1]]
+                            and j - i >= s.extract_batch_size // 2):
+                        break
+                    j += 1
+                blocks.append(sched_tbl.take(order[i:j]))
+                i = j
             ds = ray.data.from_arrow(blocks)
-            # task-mode stages with worker-global singletons: worker
-            # processes (and their pages-partition / compiled-rules
-            # caches) persist across waves, unlike per-wave actor pools
+            # ONE fused task-mode stage (fetch-sim + extract) with
+            # worker-global singletons: worker processes (and their
+            # pages-partition / compiled-rules caches) persist across
+            # waves, and fusing halves per-block task overhead — the html
+            # bytes never cross the object store between the stages
             ds = ds.map_batches(
-                fetch_sim_batch,
+                fused_fetch_extract,
                 fn_kwargs=dict(
                     run_token=self.run_token,
                     corpus_dir=self.corpus_dir,
                     robots_map=self.robots_ref,
                     pages_shards=pages_shards,
-                    plugin=self.plugin,
-                ),
-                batch_format="pyarrow",
-                batch_size=s.extract_batch_size,
-            )
-            ds = ds.map_batches(
-                extract_batch_task,
-                fn_kwargs=dict(
-                    run_token=self.run_token,
                     rules_ref=self.rules_ref,
                     settings=s,
                     frontier_shards=self.shards,
@@ -236,26 +289,35 @@ class CrawlJob:
                 batch_format="pyarrow",
                 batch_size=s.extract_batch_size,
             )
-            mat = ds.materialize()  # wave-sized (quota-bounded): safe to pin
-            mat.write_parquet(os.path.join(self.out_dir, "extracted", f"wave={wave}"))
-            if self.plugin is not None:
+            wave_path = os.path.join(self.out_dir, "extracted", f"wave={wave}")
+            if self.plugin is None:
+                # streaming consume: write is the pipeline's sink
+                ds.write_parquet(wave_path)
+            else:
+                mat = ds.materialize()
+                mat.write_parquet(wave_path)
                 # pipeline.js:573-575 sink hook, driver-side per wave
                 for b in mat.iter_batches(batch_format="pyarrow"):
                     self.plugin.sink_batch(b)
                 self.plugin.alert("crawl_finish_alert", {"wave": wave, "n": n})
 
             # ---- deterministic frontier commit + checkpoint -------------
-            counts = ray.get(
-                [shard.commit_wave.remote(version) for shard in self.shards]
+            results = ray.get(
+                [shard.commit_wave_and_snapshot.remote(version)
+                 for shard in self.shards]
             )
-            for c in counts:
+            self.queue_lens = {}
+            for c, _blob, lens in results:
                 for k, v in c.items():
                     totals[k] = totals.get(k, 0) + v
+                for k, v in lens.items():
+                    self.queue_lens[k] = self.queue_lens.get(k, 0) + v
             totals["scheduled"] = totals.get("scheduled", 0) + n
-            self._write_checkpoint(wave)
+            self._write_checkpoint_async(wave, [blob for _c, blob, _l in results])
             wave += 1
 
         totals["waves"] = wave
+        self._join_checkpoint()  # durable before declaring the run done
         self._finalize(totals)
         return totals
 

@@ -46,6 +46,7 @@ def run_schedule_wave(
     settings: CrawlSettings,
     backlog_len: int = 0,
     call=None,
+    queue_lens: dict | None = None,
 ):
     """One scheduler round.  ``shards[i]`` may be a local
     :class:`FrontierShard` or a Ray actor handle — pass ``call`` to invoke
@@ -75,25 +76,43 @@ def run_schedule_wave(
         urllib_key = "urllib:" + entry["key"]
         # --- reSchedule (seed refresh) --------------------------------
         if now - entry["first_schedule"] >= entry["interval"] * 1000:
-            for seed in entry["seed"]:
-                for link in expand_seed(seed):
-                    sid = shard_for_url(link, num_shards)
-                    if call(shards[sid], "push_seed", link, version, now):
-                        scheduled.append(
-                            {
-                                "seq": len(scheduled),
-                                "url": link,
-                                "urllib": urllib_key,
-                                "version": version,
-                                "referer": "",
-                                "drill_relation": "*",
-                                "wave": wave,
-                            }
-                        )
+            links = [link for seed in entry["seed"]
+                     for link in expand_seed(seed)]
+            # one batched RPC per shard; the schedule log is rebuilt in
+            # original seed order from the returned accept flags, and
+            # within-shard push order is preserved — both invariants the
+            # sequential oracle checks
+            by_shard: dict[int, list[int]] = {}
+            for idx, link in enumerate(links):
+                by_shard.setdefault(shard_for_url(link, num_shards), []).append(idx)
+            accepted_flags = [False] * len(links)
+            for sid, idxs in by_shard.items():
+                flags = call(shards[sid], "push_seeds",
+                             [links[i] for i in idxs], version, now)
+                for i, ok in zip(idxs, flags):
+                    accepted_flags[i] = ok
+            for link, ok in zip(links, accepted_flags):
+                if ok:
+                    scheduled.append(
+                        {
+                            "seq": len(scheduled),
+                            "url": link,
+                            "urllib": urllib_key,
+                            "version": version,
+                            "referer": "",
+                            "drill_relation": "*",
+                            "wave": wave,
+                        }
+                    )
             entry["first_schedule"] = version
         # --- doScheduleExt (quota pop) --------------------------------
         ct = math.ceil(avg_rate * entry["rate"]) + left
         sid = shard_for_domain(entry["domain"], num_shards)
+        if queue_lens is not None and not queue_lens.get(urllib_key):
+            # provably-empty queue (post-commit length): the pop would
+            # accept nothing and carry the full quota — skip the RPC
+            left = ct
+            continue
         accepted, left = call(
             shards[sid],
             "schedule_pop",

@@ -111,8 +111,15 @@ def generate_corpus(
     n_domains: int = 20,
     seed: int = 42,
     pages_shards: int = 16,
+    page_weight: int = 1,
 ) -> dict:
-    """Write pages + rules + meta under ``out_dir``; returns meta dict."""
+    """Write pages + rules + meta under ``out_dir``; returns meta dict.
+
+    ``page_weight`` multiplies the filler-paragraph sizes (navigation
+    chrome, non-extracted body copy) so benchmark corpora can match the
+    50-150 KB DOM weight of real Common-Crawl pages while the parity
+    corpora stay small; the extracted-text parity construction is
+    untouched by it."""
     rng = random.Random(seed)
     rows: list[dict] = []
     rules: dict[str, dict[str, dict]] = {}
@@ -153,7 +160,7 @@ def generate_corpus(
             f'<li><a class="cat" href="cat_{c}.html">cat {c}</a></li>'
             for c in range(n_cats)
         )
-        filler = _para(rng, 80, zh)
+        filler = _para(rng, 80 * page_weight, zh)
         page(
             f"{base}/",
             f"<html><head><title>{title}</title></head><body>\n"
@@ -169,7 +176,7 @@ def generate_corpus(
                 f'<li><a class="list" href="cat_{c}/list_{p}.html">page {p}</a></li>'
                 for p in range(1, n_lists + 1)
             )
-            filler = _para(rng, 80, zh)
+            filler = _para(rng, 80 * page_weight, zh)
             page(
                 f"{base}/cat_{c}.html",
                 f"<html><head><title>{title}</title></head><body>\n"
@@ -199,7 +206,7 @@ def generate_corpus(
                     if p < n_lists
                     else ""
                 )
-                filler = _para(rng, 80, zh)
+                filler = _para(rng, 80 * page_weight, zh)
                 page(
                     f"{base}/cat_{c}/list_{p}.html",
                     f"<html><head><title>{title}</title></head><body>\n"
@@ -234,7 +241,7 @@ def generate_corpus(
                         title, price, t1, t2, color, wt, p1, p2
                     )
                     k2 = k_lo + (k + 1 - k_lo) % items_per_list
-                    filler = _para(rng, 70, zh)
+                    filler = _para(rng, 70 * page_weight, zh)
                     page(
                         item_url,
                         f"<html><head><title>{title} - {domain}</title></head><body>\n"
@@ -344,6 +351,7 @@ def generate_corpus(
         "n_domains": n_domains,
         "seed": seed,
         "pages_shards": pages_shards,
+        "page_weight": page_weight,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -396,17 +404,25 @@ _SF_PARAMS = {
 }
 
 
-def corpus_for_sf(sf_dir: str, cache_root: str = "/tmp/neocrawler_ray_corpus") -> str:
+def corpus_for_sf(sf_dir: str, cache_root: str = "/tmp/neocrawler_ray_corpus",
+                  page_weight: int = 1) -> str:
     """Deterministically generate (or reuse) the synthetic crawl corpus
-    matching an sf testdata dir; returns the corpus dir."""
+    matching an sf testdata dir; returns the corpus dir.  A
+    ``page_weight > 1`` corpus (bench profile) caches separately."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    params = _SF_PARAMS.get(tag, _SF_PARAMS["sf0.01"])
+    if page_weight > 1:
+        tag = f"{tag}-w{page_weight}"
+    params = _SF_PARAMS.get(tag.split("-")[0], _SF_PARAMS["sf0.01"])
     out = os.path.join(cache_root, tag)
     marker = os.path.join(out, "meta.json")
+    shards = 64 if page_weight > 1 else 16  # bench profile: wider fetch locality
     if os.path.exists(marker):
         with open(marker) as f:
             meta = json.load(f)
-        if meta.get("n_pages") and meta.get("seed") == 42:
+        if (meta.get("n_pages") and meta.get("seed") == 42
+                and meta.get("page_weight", 1) == page_weight
+                and meta.get("pages_shards", 16) == shards):
             return out
-    generate_corpus(out, seed=42, **params)
+    generate_corpus(out, seed=42, page_weight=page_weight,
+                    pages_shards=shards, **params)
     return out

@@ -120,6 +120,11 @@ class FrontierShard:
     # ------------------------------------------------------------------
     # checkURL — scheduler/index.js:336-410
     # ------------------------------------------------------------------
+    def push_seeds(self, links: list[str], version: int, now: int) -> list[bool]:
+        """Batched ``push_seed`` (one RPC per shard per rule instead of one
+        per seed) — same per-link semantics and within-shard order."""
+        return [self.push_seed(link, version, now) for link in links]
+
     def _check_url(self, url: str, interval: int, now: int, _depth: int = 0):
         if _depth > 4:
             return None
@@ -251,6 +256,17 @@ class FrontierShard:
         for k, v in counts.items():
             self._bump(k, v)
         return counts
+
+    def commit_wave_and_snapshot(self, now: int) -> tuple[dict, bytes, dict]:
+        """One RPC for the wave barrier: apply buffers, snapshot the
+        committed state, and report post-commit queue lengths (the next
+        scheduler round skips rules whose queues are provably empty —
+        identical semantics, no RPC per idle rule)."""
+        counts = self.commit_wave(now)
+        return counts, self.snapshot(), self.all_queue_lens()
+
+    def all_queue_lens(self) -> dict:
+        return {k: len(q) for k, q in self.queues.items() if q}
 
     # ------------------------------------------------------------------
     # save_links single-link admission — spider/pipeline.js:119-193

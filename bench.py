@@ -37,13 +37,12 @@ BENCH_PAGE_WEIGHT = int(os.environ.get("GRAFT_PAGE_WEIGHT", "12"))
 def bench_settings(num_cpus: int):
     from neocrawler_ray.config import CrawlSettings
 
-    pool = max(2, num_cpus // 2 - 1)
     return CrawlSettings(
         schedule_quantity_limitation=20000,
-        politeness_per_host_per_wave=5000,
-        num_frontier_shards=max(4, num_cpus // 2),
-        fetch_concurrency=pool,
-        extract_concurrency=pool,
+        politeness_per_host_per_wave=10000,
+        # shard count follows frontier size, not CPU count: shards are
+        # state partitions; RPC fan-out per wave barrier is O(shards)
+        num_frontier_shards=8,
         extract_batch_size=256,
         max_waves=100,
     )
@@ -56,6 +55,13 @@ def run_crawl(sf_dir: str, num_cpus: int) -> dict:
 
     corpus = corpus_for_sf(sf_dir, page_weight=BENCH_PAGE_WEIGHT)
     out = tempfile.mkdtemp(prefix="nc_bench_")
+    # warm the worker pool (python import cost per worker process) so the
+    # measurement is steady-state throughput, not interpreter spawn
+    import ray
+
+    ray.data.range(num_cpus * 4).map_batches(
+        lambda b: b, batch_size=1, num_cpus=1
+    ).materialize()
     try:
         t0 = time.perf_counter()
         job = CrawlJob(corpus, bench_settings(num_cpus), out)

@@ -4,16 +4,21 @@ frontier actor pool together (the new-engine lifecycle of SURVEY.md §3).
 Each wave is one Ray Data pipeline::
 
     scheduled batch (from frontier pops, deterministic order)
-      → ray.data.from_arrow(blocks)
-      → map_batches(FetchSim,  concurrency=F)   # actor pool, robots + lookup
-      → map_batches(ExtractBatch, concurrency=E) # actor pool, rules broadcast
-      → materialize (wave-sized, quota-bounded) → write wave Parquet
+      → ray.data.from_arrow(blocks grouped by pages-shard)   # fetch locality
+      → map_batches(fused fetch-sim + extract)   # task pool, worker-global
+      → write wave Parquet (streaming sink)      #   caches persist per run
+      → route feedback columns → one buffer RPC per frontier shard
+      → commit_wave (deterministic order) → checkpoint (async IO)
 
-Link discovery flows back into the frontier shards during the extract
-stage (seq-tagged buffers) and is applied in deterministic order by
-``commit_wave`` — making the parallel run order-equivalent to the
-reference's sequential scheduler+spider (parity target: schedule order +
-URL-seen set, SURVEY.md §2.9).
+Link discovery rides the output table as a ``feedback_json`` column and
+is routed to the frontier shards once per wave, then applied in
+deterministic seq order by ``commit_wave`` — making the parallel run
+order-equivalent to the reference's sequential scheduler+spider (parity
+target: schedule order + URL-seen set, SURVEY.md §2.9).  Design notes
+measured via ``ds.stats()``/phase timers: per-wave actor pools,
+per-block frontier RPC barriers, and per-rule scheduler RPCs each
+dominated wall time at high CPU counts and were restructured away
+(task-mode singletons, feedback column, queue-length schedule skip).
 
 Checkpoint/resume (north_rule): after every wave each shard snapshots
 (cuckoo bytes + queues + url state + metrics) to
@@ -33,26 +38,27 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import CrawlSettings, RuleSet
-from ..stages.extract_stage import extract_batch_task
-from ..stages.fetch import build_robots_map, fetch_sim_batch
+from ..functions.urls import url_host
+from ..sources.pages_gen import _host_shard
+from ..stages.extract_stage import extract_batch_task, route_feedback
+from ..stages.fetch import build_robots_map, fetch_sim_batch, load_partition_refs
+from ..state.frontier import FrontierShard
+from .scheduler import run_schedule_wave, shard_for_url
 
 
 def fused_fetch_extract(batch, *, run_token, corpus_dir, robots_map,
                         pages_shards, rules_ref, settings, frontier_shards,
-                        plugin=None):
+                        partition_refs=None, plugin=None):
     """fetch-sim → extract in one task (html stays in-process)."""
     fetched = fetch_sim_batch(
         batch, run_token=run_token, corpus_dir=corpus_dir,
-        robots_map=robots_map, pages_shards=pages_shards, plugin=plugin,
+        robots_map=robots_map, pages_shards=pages_shards,
+        partition_refs=partition_refs, plugin=plugin,
     )
     return extract_batch_task(
         fetched, run_token=run_token, rules_ref=rules_ref, settings=settings,
         frontier_shards=frontier_shards, plugin=plugin,
     )
-from ..state.frontier import FrontierShard
-from ..functions.urls import url_host
-from ..sources.pages_gen import _host_shard
-from .scheduler import run_schedule_wave, shard_for_url
 
 SCHED_SCHEMA = pa.schema(
     [
@@ -112,6 +118,8 @@ class CrawlJob:
         self.robots_ref = ray.put(build_robots_map(corpus_dir))
         self.rules_ref = ray.put(self.rules)
         self.run_token = f"{os.getpid()}-{id(self)}"
+        self.partition_refs = load_partition_refs(
+            corpus_dir, self.corpus_meta.get("pages_shards", 16))
 
         # spider_extend surface (SURVEY.md §2.10): assembly runs once on
         # the driver (spider/index.js:43); batch hooks ride into the actors
@@ -139,35 +147,9 @@ class CrawlJob:
     def ckpt_dir(self) -> str:
         return self.settings.checkpoint_dir or os.path.join(self.out_dir, "ckpt")
 
-    def _write_checkpoint_async(self, wave: int, blobs: list[bytes]) -> None:
-        """Persist the wave checkpoint off the critical path.
-
-        The snapshots are already consistent immutable bytes (taken at
-        the commit barrier); only the file IO overlaps the next wave.
-        The manifest is written last, after every shard file, so a crash
-        mid-write resumes from the previous complete wave."""
-        import threading
-
-        self._join_checkpoint()
-        t = threading.Thread(target=self._write_checkpoint_files,
-                             args=(wave, blobs), daemon=True)
-        t.start()
-        self._ckpt_thread = t
-
-    def _join_checkpoint(self) -> None:
-        t = getattr(self, "_ckpt_thread", None)
-        if t is not None:
-            t.join()
-            self._ckpt_thread = None
-
-    def _write_checkpoint_files(self, wave: int, blobs: list[bytes]) -> None:
-        for i, blob in enumerate(blobs):
-            d = os.path.join(self.ckpt_dir, f"shard={i}")
-            os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, f".wave_{wave}.pkl.tmp")
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, os.path.join(d, f"wave_{wave}.pkl"))
+    def _write_manifest(self, wave: int) -> None:
+        """Manifest written after every shard checkpoint file landed, so
+        a crash mid-wave resumes from the previous complete wave."""
         manifest = {
             "last_complete_wave": wave,
             "first_schedule": {e["key"]: e["first_schedule"] for e in self.entries},
@@ -206,39 +188,39 @@ class CrawlJob:
         """
         import ray
 
+        import time as _time
+
         s = self.settings
         max_waves = max_waves if max_waves is not None else s.max_waves
         pages_shards = self.corpus_meta.get("pages_shards", 16)
         totals: dict[str, int] = {}
         wave = self.start_wave
+        prof = {} if os.environ.get("NC_PROFILE") else None
+
+        def _tick(name, t0):
+            if prof is not None:
+                prof[name] = prof.get(name, 0.0) + (_time.perf_counter() - t0)
+            return _time.perf_counter()
 
         while wave < max_waves:
+            t = _time.perf_counter()
             scheduled = run_schedule_wave(
                 wave, self.entries, self.total_rates, self.shards, s,
                 backlog_len=0, call=self._call, queue_lens=self.queue_lens,
             )
+            t = _tick("schedule", t)
             if not scheduled:
                 break
             version = s.wave_version(wave)
-
-            # spider marks 'crawling' on queue pickup (spider/index.js:55-59)
-            by_shard: dict[int, list[str]] = {}
-            for row in scheduled:
-                by_shard.setdefault(
-                    shard_for_url(row["url"], len(self.shards)), []
-                ).append(row["url"])
-            ray.get(
-                [
-                    self.shards[sid].mark_states.remote(urls, "crawling", version)
-                    for sid, urls in by_shard.items()
-                ]
-            )
+            # 'crawling' pickup marks are folded into the pop/seed RPCs
+            # (frontier.push_seeds / schedule_pop) — no extra barrier here
 
             # schedule-order log (parity artifact + resumable output unit)
             sched_tbl = _scheduled_to_table(scheduled)
             sdir = os.path.join(self.out_dir, "schedule")
             os.makedirs(sdir, exist_ok=True)
             pq.write_table(sched_tbl, os.path.join(sdir, f"wave_{wave}.parquet"))
+            t = _tick("mark+log", t)
 
             # ---- the wave pipeline --------------------------------------
             # Blocks are built per PAGES-SHARD (url-host hash), so each
@@ -248,10 +230,16 @@ class CrawlJob:
             # inverts scaling at high CPU counts).  Large shard groups
             # split into batch-sized sub-blocks to keep full parallelism.
             n = sched_tbl.num_rows
-            shard_of = [
-                _host_shard(url_host(u) or "", pages_shards)
-                for u in sched_tbl.column("url").to_pylist()
-            ]
+            host_shard_cache: dict[str, int] = {}
+
+            def _pshard(u: str) -> int:
+                h = url_host(u) or ""
+                v = host_shard_cache.get(h)
+                if v is None:
+                    v = host_shard_cache[h] = _host_shard(h, pages_shards)
+                return v
+
+            shard_of = [_pshard(u) for u in sched_tbl.column("url").to_pylist()]
             order = sorted(range(n), key=lambda i: (shard_of[i], i))
             # shard-sorted rows are cut into ~batch-sized blocks; a cut
             # prefers a shard boundary once the block is half full, so a
@@ -268,6 +256,7 @@ class CrawlJob:
                     j += 1
                 blocks.append(sched_tbl.take(order[i:j]))
                 i = j
+            t = _tick("blocks", t)
             ds = ray.data.from_arrow(blocks)
             # ONE fused task-mode stage (fetch-sim + extract) with
             # worker-global singletons: worker processes (and their
@@ -284,6 +273,7 @@ class CrawlJob:
                     rules_ref=self.rules_ref,
                     settings=s,
                     frontier_shards=self.shards,
+                    partition_refs=self.partition_refs,
                     plugin=self.plugin,
                 ),
                 batch_format="pyarrow",
@@ -300,24 +290,56 @@ class CrawlJob:
                 for b in mat.iter_batches(batch_format="pyarrow"):
                     self.plugin.sink_batch(b)
                 self.plugin.alert("crawl_finish_alert", {"wave": wave, "n": n})
+            t = _tick("pipeline", t)
+
+            # ---- frontier feedback (off the hot path) -------------------
+            # read back only the narrow feedback columns of the wave just
+            # written and push once per shard — replaces the per-block
+            # blocking fan-out that inverted scaling at high CPU counts
+            import pyarrow.dataset as pads
+
+            fb_tbl = pads.dataset(wave_path).to_table(
+                columns=["seq", "url", "domain", "final_state",
+                         "drill_relation", "version", "feedback_json"]
+            )
+            buffers = route_feedback(fb_tbl, len(self.shards))
+            if buffers:
+                ray.get([
+                    self.shards[sid].buffer_results.remote(rows)
+                    for sid, rows in buffers.items()
+                ])
+            t = _tick("feedback", t)
 
             # ---- deterministic frontier commit + checkpoint -------------
+            # each shard writes its own checkpoint file (atomic) — the
+            # per-partition snapshot bytes never ship through the driver;
+            # the driver only appends the manifest once all shards land
             results = ray.get(
-                [shard.commit_wave_and_snapshot.remote(version)
+                [shard.commit_wave_and_checkpoint.remote(
+                    version, self.ckpt_dir, wave)
                  for shard in self.shards]
             )
             self.queue_lens = {}
-            for c, _blob, lens in results:
+            for c, lens in results:
                 for k, v in c.items():
                     totals[k] = totals.get(k, 0) + v
                 for k, v in lens.items():
                     self.queue_lens[k] = self.queue_lens.get(k, 0) + v
             totals["scheduled"] = totals.get("scheduled", 0) + n
-            self._write_checkpoint_async(wave, [blob for _c, blob, _l in results])
+            if wave > self.start_wave:
+                # wave-1 files are durable (the commit RPC joined their
+                # writers before starting wave's) — manifest lags one wave
+                self._write_manifest(wave - 1)
+            t = _tick("commit", t)
             wave += 1
 
         totals["waves"] = wave
-        self._join_checkpoint()  # durable before declaring the run done
+        if wave > self.start_wave:
+            ray.get([s_.finish_checkpoints.remote() for s_ in self.shards])
+            self._write_manifest(wave - 1)
+        if prof is not None:
+            print("NC_PROFILE", {k: round(v, 2) for k, v in prof.items()},
+                  flush=True)
         self._finalize(totals)
         return totals
 

@@ -69,7 +69,7 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
         if not scheduled:
             break
         version = settings.wave_version(wave)
-        shard.mark_states([r["url"] for r in scheduled], "crawling", version)
+        # 'crawling' marks are folded into the pop/seed path in the shard
         schedule_log.extend(scheduled)
 
         for row in scheduled:

@@ -72,10 +72,35 @@ def run_schedule_wave(
     for shard in shards:
         call(shard, "begin_wave")
 
+    def flush_run(run_sid, run_reqs, run_keys, left_in):
+        """One RPC for a run of consecutive same-shard pops (the shard
+        chains the leftover-carry internally — exact driver-loop
+        semantics, O(#shard-changes) round trips instead of O(#rules))."""
+        results, left_out = call(shards[run_sid], "schedule_pop_run",
+                                 run_reqs, left_in, now)
+        for urllib_key, accepted in zip(run_keys, results):
+            for url, ver, referer, drill_relation in accepted:
+                scheduled.append(
+                    {
+                        "seq": len(scheduled),
+                        "url": url,
+                        "urllib": urllib_key,
+                        "version": ver,
+                        "referer": referer,
+                        "drill_relation": drill_relation or "*",
+                        "wave": wave,
+                    }
+                )
+        return left_out
+
+    run_sid, run_reqs, run_keys = None, [], []
     for entry in priority_entries:
         urllib_key = "urllib:" + entry["key"]
         # --- reSchedule (seed refresh) --------------------------------
         if now - entry["first_schedule"] >= entry["interval"] * 1000:
+            if run_reqs:
+                left = flush_run(run_sid, run_reqs, run_keys, left)
+                run_sid, run_reqs, run_keys = None, [], []
             links = [link for seed in entry["seed"]
                      for link in expand_seed(seed)]
             # one batched RPC per shard; the schedule log is rebuilt in
@@ -106,32 +131,24 @@ def run_schedule_wave(
                     )
             entry["first_schedule"] = version
         # --- doScheduleExt (quota pop) --------------------------------
-        ct = math.ceil(avg_rate * entry["rate"]) + left
+        ct_base = math.ceil(avg_rate * entry["rate"])
         sid = shard_for_domain(entry["domain"], num_shards)
         if queue_lens is not None and not queue_lens.get(urllib_key):
             # provably-empty queue (post-commit length): the pop would
-            # accept nothing and carry the full quota — skip the RPC
-            left = ct
+            # accept nothing and carry the full quota — but any pending
+            # same-shard run must flush first to keep the chain exact
+            if run_reqs:
+                left = flush_run(run_sid, run_reqs, run_keys, left)
+                run_sid, run_reqs, run_keys = None, [], []
+            left += ct_base
             continue
-        accepted, left = call(
-            shards[sid],
-            "schedule_pop",
-            urllib_key,
-            ct,
-            entry["rule"] == "LIFO",
-            entry["interval"],
-            now,
-        )
-        for url, ver, referer, drill_relation in accepted:
-            scheduled.append(
-                {
-                    "seq": len(scheduled),
-                    "url": url,
-                    "urllib": urllib_key,
-                    "version": ver,
-                    "referer": referer,
-                    "drill_relation": drill_relation or "*",
-                    "wave": wave,
-                }
-            )
+        if run_reqs and sid != run_sid:
+            left = flush_run(run_sid, run_reqs, run_keys, left)
+            run_sid, run_reqs, run_keys = None, [], []
+        run_sid = sid
+        run_reqs.append(
+            (urllib_key, ct_base, entry["rule"] == "LIFO", entry["interval"]))
+        run_keys.append(urllib_key)
+    if run_reqs:
+        flush_run(run_sid, run_reqs, run_keys, left)
     return scheduled

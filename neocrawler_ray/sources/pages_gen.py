@@ -73,6 +73,24 @@ def _host_shard(host: str, n: int) -> int:
 
 
 def _para(rng: random.Random, n_words: int, zh: bool) -> str:
+    if n_words > 400:
+        # heavy-corpus fast path: numpy draw seeded from the stream rng —
+        # same determinism contract, ~100× faster for benchmark page
+        # weights.  Emitted as many small <span> elements, not one text
+        # blob: real pages cost per DOM NODE, not per byte, so benchmark
+        # realism means element-rich markup (~1 node / 5 words).
+        import numpy as np
+
+        vocab = _ZH_VOCAB if zh else _VOCAB
+        nrng = np.random.RandomState(rng.randrange(2**31))
+        idx = nrng.randint(0, len(vocab), size=n_words * (6 if zh else 1))
+        sep = "" if zh else " "
+        words = [vocab[i] for i in idx]
+        step = 5
+        return "".join(
+            f"<span>{sep.join(words[i:i + step])}</span>"
+            for i in range(0, len(words), step)
+        )
     if zh:
         # CJK text is denser (no spaces, ~2 chars/word): pad to a char count
         # comparable to the EN variant so pages clear the reference's
@@ -412,7 +430,13 @@ def corpus_for_sf(sf_dir: str, cache_root: str = "/tmp/neocrawler_ray_corpus",
     tag = os.path.basename(os.path.normpath(sf_dir))
     if page_weight > 1:
         tag = f"{tag}-w{page_weight}"
-    params = _SF_PARAMS.get(tag.split("-")[0], _SF_PARAMS["sf0.01"])
+    params = dict(_SF_PARAMS.get(tag.split("-")[0], _SF_PARAMS["sf0.01"]))
+    if page_weight > 1:
+        # bench profile: few rule-sets over many heavy pages — the shape
+        # of a Common-Crawl-scale crawl (a handful of generic extract
+        # rules, millions of hosts); per-rule scheduler cost is exercised
+        # by the parity corpora, page volume by this one
+        params["n_domains"] = min(params["n_domains"], 8)
     out = os.path.join(cache_root, tag)
     marker = os.path.join(out, "meta.json")
     shards = 64 if page_weight > 1 else 16  # bench profile: wider fetch locality

@@ -1,6 +1,8 @@
 """Extract stage — vectorized rule-engine transform + frontier feedback.
 
-One ``map_batches`` actor class that, per Arrow batch of fetched pages:
+One ``map_batches`` stage (task-mode with a worker-global singleton via
+:func:`extract_batch_task`, or a plain callable class) that, per Arrow
+batch of fetched pages:
 
 1. decodes ``html`` per the rule's ``encoding`` (downloader.js:272-285
    charset handling, minus live headers);
@@ -11,15 +13,18 @@ One ``map_batches`` actor class that, per Arrow batch of fetched pages:
 3. extracts links + drill_relation + extract_rule data
    (extractor.js:180-294) via the pure functions in
    :mod:`neocrawler_ray.functions.extract`;
-4. routes discovered links and the page's final state transition to their
-   owning frontier shards (``md5(tld) % S``) as seq-tagged buffer rows —
-   the ``flat_map → groupby(host) → frontier push`` feedback loop
-   (SURVEY.md §2.1 S10) expressed as direct sharded actor pushes with a
-   deterministic wave-commit ordering;
+4. emits discovered links as a ``feedback_json`` column riding the
+   output table — the driver (or, at larger scale, a follow-up
+   shard-grouped ``map_batches`` stage) routes them to their owning
+   frontier shards (``md5(tld) % S``) as seq-tagged buffer rows after
+   the wave completes.  Pushing from inside the hot task was measured
+   to invert scaling: every block paid a blocking fan-out RPC to all
+   shards, and at 32 CPUs × 16 shards the barrier dominated
+   (SURVEY.md §2.1 S10 feedback loop, re-expressed off the hot path);
 5. returns the extracted rows (no html bytes unless the rule keeps them —
    wide binary stays out of the frontier path, SURVEY.md §7.5).
 
-Rules are passed to ``__init__`` (broadcast once per actor, never
+Rules are broadcast once (``ray.put`` ref resolved per worker, never
 shuffled — J1 broadcast-join semantics).
 """
 
@@ -37,6 +42,7 @@ OUT_SCHEMA = pa.schema(
     [
         ("seq", pa.int64()),
         ("wave", pa.int32()),
+        ("version", pa.int64()),
         ("url", pa.string()),
         ("urllib", pa.string()),
         ("domain", pa.string()),
@@ -49,6 +55,7 @@ OUT_SCHEMA = pa.schema(
         ("lacks", pa.list_(pa.string())),
         ("drill_relation", pa.string()),
         ("n_links", pa.int32()),
+        ("feedback_json", pa.string()),
         ("content_bin", pa.binary()),
     ]
 )
@@ -93,10 +100,7 @@ class ExtractBatch:
         return (self.rules.get(parts[1]) or {}).get(parts[2])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
-
         out = {name: [] for name in OUT_SCHEMA.names}
-        shard_buffers: dict[int, list[tuple]] = {}
 
         cols = {
             c: batch.column(c).to_pylist()
@@ -161,24 +165,19 @@ class ExtractBatch:
                         if rule.get("save_page"):
                             content_bin = html
 
-            # --- frontier feedback rows --------------------------------
-            if self.push:
-                gidx = 0
-                for ulib, links in links_for_shards.items():
-                    for lidx, dst in enumerate(links):
-                        sid = shard_for_domain(url_tld(dst) or "", self.num_shards)
-                        shard_buffers.setdefault(sid, []).append(
-                            (seq, "link",
-                             (gidx, lidx, ulib, dst, url, relation, version))
-                        )
-                    gidx += 1
-                sid = shard_for_domain(domain, self.num_shards)
-                shard_buffers.setdefault(sid, []).append(
-                    (seq, "state", (url, final_state))
-                )
+            # --- frontier feedback column ------------------------------
+            feedback = [
+                [gidx, lidx, ulib, dst]
+                for gidx, (ulib, links) in enumerate(links_for_shards.items())
+                for lidx, dst in enumerate(links)
+            ]
 
             out["seq"].append(seq)
             out["wave"].append(cols["wave"][i])
+            out["version"].append(int(version))
+            out["feedback_json"].append(
+                json.dumps(feedback) if feedback else ""
+            )
             out["url"].append(url)
             out["urllib"].append(urllib_key)
             out["domain"].append(domain)
@@ -193,17 +192,55 @@ class ExtractBatch:
             out["n_links"].append(n_links)
             out["content_bin"].append(content_bin)
 
-        if self.push and shard_buffers:
-            # barrier: the wave's commit must see every buffered row, so the
-            # stage blocks until its pushes are applied to the shard buffers
-            ray.get(
-                [
-                    self.shards[sid].buffer_results.remote(rows)
-                    for sid, rows in shard_buffers.items()
-                ]
-            )
         result = pa.Table.from_pydict(out, schema=OUT_SCHEMA)
         if self.plugin is not None:
             # spider/index.js:69-74 extract hook (per-actor plugin instance)
             result = self.plugin.extract_batch(result)
         return result
+
+
+def route_feedback(table: pa.Table, num_shards: int) -> dict[int, list[tuple]]:
+    """Wave output table → per-shard seq-tagged buffer rows (links +
+    final-state transitions), ready for one ``buffer_results`` RPC per
+    shard.  Runs on the driver at bench scale; the identical function
+    body works inside a shard-grouped ``map_batches`` for larger waves."""
+    shard_buffers: dict[int, list[tuple]] = {}
+    cols = {
+        c: table.column(c).to_pylist()
+        for c in ("seq", "url", "domain", "final_state", "drill_relation",
+                  "version", "feedback_json")
+    }
+    # host/domain shard ids are md5-derived — memoize (few distinct hosts
+    # per wave, tens of thousands of rows)
+    dom_cache: dict[str, int] = {}
+
+    def _dsid(domain: str) -> int:
+        v = dom_cache.get(domain)
+        if v is None:
+            v = dom_cache[domain] = shard_for_domain(domain, num_shards)
+        return v
+
+    tld_cache: dict[str, int] = {}
+
+    def _lsid(dst: str) -> int:
+        t = url_tld(dst) or ""
+        v = tld_cache.get(t)
+        if v is None:
+            v = tld_cache[t] = shard_for_domain(t, num_shards)
+        return v
+
+    for i in range(table.num_rows):
+        seq = cols["seq"][i]
+        url = cols["url"][i]
+        fb = cols["feedback_json"][i]
+        if fb:
+            relation = cols["drill_relation"][i]
+            version = cols["version"][i]
+            for gidx, lidx, ulib, dst in json.loads(fb):
+                shard_buffers.setdefault(_lsid(dst), []).append(
+                    (seq, "link", (gidx, lidx, ulib, dst, url, relation, version))
+                )
+        shard_buffers.setdefault(_dsid(cols["domain"][i]), []).append(
+            (seq, "state", (url, cols["final_state"][i]))
+        )
+    return shard_buffers

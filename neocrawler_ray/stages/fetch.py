@@ -1,18 +1,24 @@
-"""Fetch-sim stage — an actor-pool ``map_batches`` class.
+"""Fetch-sim stage — a ``map_batches`` stage with once-per-worker state.
 
 Replaces the reference's live HTTP downloader (reference:
 spider/downloader.js:128-267) with deterministic lookups into the
 host-partitioned pages corpus (SURVEY.md §2.4 J4): url → (html bytes,
-status).  Run as ``ds.map_batches(FetchSim, concurrency=N,
-batch_format="pyarrow")`` so per-actor state — the partition cache and the
-robots index — is built once in ``__init__``, not per batch.
+status).  Run task-mode via :func:`fetch_sim_batch` (worker-global
+singleton: setup once per worker process, surviving the whole wave
+loop) or as a plain callable class for rayless debug use.
 
-Scale design: the corpus is laid out as ``pages/shard={md5(host)%P}``;
-each actor lazily loads and LRU-caches whole shard partitions as
-url→bytes dicts.  On a real cluster P is sized so a partition fits worker
-memory, and locality makes each actor serve a few partitions.  Reading
-only ``url`` + ``html`` columns prunes the scan (no ``text``/``lang``
-bytes move).
+Scale design: the corpus is laid out as ``pages/shard={md5(host)%P}``.
+In a crawl run each partition is loaded ONCE cluster-wide into the Ray
+object store (parallel read tasks at job start, ``url`` + ``html``
+columns only) and every fetch task maps it zero-copy via ``ray.get`` —
+workers share the node's single copy instead of each parsing parquet
+into private heap dicts (the private-cache design measurably inverted
+CPU scaling: 32 workers × cold partition loads dominated the wave).
+Per worker, only a tiny url→row-index dict is built per partition; the
+html bytes stay in shared memory.  At 100 TB the same layout holds —
+the object store spills cold partitions to disk and the scheduled
+blocks are grouped by pages-shard so a task touches 1-2 partitions.
+Without Ray (debug mode) the stage falls back to direct parquet reads.
 
 Robots gating (north_rule capability; the reference has none): a
 ``robots.txt`` per host is parsed once (driver-side, broadcast via
@@ -73,11 +79,31 @@ def build_robots_map(corpus_dir: str) -> dict[str, list[str]]:
     return out
 
 
+def load_partition_refs(corpus_dir: str, pages_shards: int) -> dict:
+    """Read every pages partition into the object store in parallel —
+    one shared immutable copy per cluster (node), mapped zero-copy by
+    every fetch task."""
+    import ray
+
+    @ray.remote
+    def _load(path: str):
+        return pq.read_table(path, columns=["url", "html"])
+
+    refs = {}
+    for shard in range(pages_shards):
+        path = os.path.join(corpus_dir, "pages", f"shard={shard}",
+                            "part.parquet")
+        if os.path.exists(path):
+            refs[shard] = _load.remote(path)
+    return refs
+
+
 _WORKER_FETCHERS: "OrderedDict[tuple, FetchSim]" = OrderedDict()
 
 
 def fetch_sim_batch(batch: pa.Table, *, run_token: str, corpus_dir: str,
-                    robots_map, pages_shards: int, plugin=None) -> pa.Table:
+                    robots_map, pages_shards: int, partition_refs=None,
+                    plugin=None) -> pa.Table:
     """Task-mode fetch-sim: ``map_batches(fetch_sim_batch, fn_kwargs=...)``.
 
     Ray reuses worker *processes* across tasks and across the wave loop's
@@ -93,7 +119,8 @@ def fetch_sim_batch(batch: pa.Table, *, run_token: str, corpus_dir: str,
     key = (run_token, corpus_dir, pages_shards)
     fs = _WORKER_FETCHERS.get(key)
     if fs is None:
-        fs = FetchSim(corpus_dir, robots_map, pages_shards, plugin=plugin)
+        fs = FetchSim(corpus_dir, robots_map, pages_shards,
+                      partition_refs=partition_refs, plugin=plugin)
         _WORKER_FETCHERS[key] = fs
         while len(_WORKER_FETCHERS) > 2:  # bound worker memory across runs
             _WORKER_FETCHERS.popitem(last=False)
@@ -104,33 +131,42 @@ class FetchSim:
     """url → (html, status) point lookups with robots gating."""
 
     def __init__(self, corpus_dir: str, robots_map, pages_shards: int,
-                 cache_partitions: int = 8, plugin=None):
-        import ray
+                 cache_partitions: int = 16, plugin=None, partition_refs=None):
+        try:
+            import ray
 
+            _is_ref = isinstance(robots_map, ray.ObjectRef)
+        except Exception:  # pragma: no cover - rayless debug mode
+            _is_ref = False
         self.corpus_dir = corpus_dir
         self.pages_shards = pages_shards
-        self.robots = (
-            ray.get(robots_map) if isinstance(robots_map, ray.ObjectRef)
-            else robots_map
-        )
+        self.robots = ray.get(robots_map) if _is_ref else robots_map
         self.cache_partitions = cache_partitions
-        self._cache: OrderedDict[int, dict[str, bytes]] = OrderedDict()
+        self.partition_refs = partition_refs or {}
+        # shard → (html ChunkedArray in shared memory, url → row index)
+        self._cache: OrderedDict[int, tuple] = OrderedDict()
         self.plugin = plugin
 
     # -- partition cache ------------------------------------------------
-    def _partition(self, shard: int) -> dict[str, bytes]:
+    def _partition(self, shard: int) -> tuple:
         part = self._cache.get(shard)
         if part is not None:
             self._cache.move_to_end(shard)
             return part
-        path = os.path.join(self.corpus_dir, "pages", f"shard={shard}", "part.parquet")
-        if os.path.exists(path):
-            tbl = pq.read_table(path, columns=["url", "html"])
-            part = dict(
-                zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist())
-            )
+        ref = self.partition_refs.get(shard)
+        if ref is not None:
+            import ray
+
+            tbl = ray.get(ref)  # zero-copy map of the shared copy
         else:
-            part = {}
+            path = os.path.join(self.corpus_dir, "pages",
+                                f"shard={shard}", "part.parquet")
+            tbl = (pq.read_table(path, columns=["url", "html"])
+                   if os.path.exists(path)
+                   else pa.table({"url": pa.array([], pa.string()),
+                                  "html": pa.array([], pa.binary())}))
+        index = {u: i for i, u in enumerate(tbl.column("url").to_pylist())}
+        part = (tbl.column("html"), index)
         self._cache[shard] = part
         while len(self._cache) > self.cache_partitions:
             self._cache.popitem(last=False)
@@ -162,12 +198,13 @@ class FetchSim:
                 blocked_flags.append(True)
                 continue
             blocked_flags.append(False)
-            html = self._partition(_host_shard(host, self.pages_shards)).get(url)
-            if html is None:
+            htmls_col, index = self._partition(_host_shard(host, self.pages_shards))
+            row = index.get(url)
+            if row is None:
                 htmls.append(None)
                 statuses.append(404)
             else:
-                htmls.append(html)
+                htmls.append(htmls_col[row].as_py())
                 statuses.append(200)
         return (
             batch.append_column("html", pa.array(htmls, pa.binary()))

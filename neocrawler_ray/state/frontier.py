@@ -122,8 +122,18 @@ class FrontierShard:
     # ------------------------------------------------------------------
     def push_seeds(self, links: list[str], version: int, now: int) -> list[bool]:
         """Batched ``push_seed`` (one RPC per shard per rule instead of one
-        per seed) — same per-link semantics and within-shard order."""
-        return [self.push_seed(link, version, now) for link in links]
+        per seed) — same per-link semantics and within-shard order.  The
+        spider-side ``crawling`` mark (spider/index.js:55-59) is folded in
+        for accepted seeds: every scheduled url is picked up this wave, and
+        ``schedule``/``crawling`` take the same lock branch in checkURL, so
+        admission decisions are unchanged — one RPC replaces two."""
+        out = []
+        for link in links:
+            ok = self.push_seed(link, version, now)
+            if ok:
+                self.update_link_state(link, "crawling", False, now)
+            out.append(ok)
+        return out
 
     def _check_url(self, url: str, interval: int, now: int, _depth: int = 0):
         if _depth > 4:
@@ -201,6 +211,8 @@ class FrontierShard:
                         info.get("drill_relation", "*"),
                     )
                 )
+                # spider pickup mark folded into the pop (see push_seeds)
+                self.update_link_state(ok, "crawling", False, now)
                 count += 1
                 h = url_host(ok) or ""
                 host_budget[h] = host_budget.get(h, 0) + 1
@@ -208,6 +220,18 @@ class FrontierShard:
                 self._bump("check_rejected")
         left = ct - count if count < ct else 0
         return accepted, left
+
+    def schedule_pop_run(self, reqs: list[tuple], left_in: int, now: int):
+        """A run of consecutive same-shard ``schedule_pop``s in one RPC,
+        chaining the leftover-carry exactly as the driver loop would
+        (reqs: ``(urllib_key, ct_base, lifo, interval)``)."""
+        out = []
+        left = left_in
+        for urllib_key, ct_base, lifo, interval in reqs:
+            accepted, left = self.schedule_pop(
+                urllib_key, ct_base + left, lifo, interval, now)
+            out.append(accepted)
+        return out, left
 
     def queue_len(self, urllib_key: str) -> int:
         q = self.queues.get(urllib_key)
@@ -264,6 +288,45 @@ class FrontierShard:
         identical semantics, no RPC per idle rule)."""
         counts = self.commit_wave(now)
         return counts, self.snapshot(), self.all_queue_lens()
+
+    def commit_wave_and_checkpoint(self, now: int, ckpt_dir: str,
+                                   wave: int) -> tuple[dict, dict]:
+        """Wave barrier with the north_rule's per-partition checkpoint
+        written BY THE SHARD (atomic rename) — snapshot bytes never ship
+        through the driver.  The snapshot is taken synchronously (state
+        is quiescent at the barrier) but the FILE IO runs on a shard-local
+        thread so variable disk latency never blocks the next wave's RPCs;
+        the driver writes the manifest for wave k only after the k+1
+        barrier (or ``finish_checkpoints``) has joined the writer, so a
+        manifest never references an unwritten file.  Single-node paths
+        here; on a cluster the same call targets shared storage."""
+        import os
+        import threading
+
+        counts = self.commit_wave(now)
+        blob = self.snapshot()
+        self.finish_checkpoints()  # wave k-1 durable before k starts writing
+
+        def _write() -> None:
+            d = os.path.join(ckpt_dir, f"shard={self.shard_id}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".wave_{wave}.pkl.tmp")
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(d, f"wave_{wave}.pkl"))
+
+        t = threading.Thread(target=_write, daemon=True)
+        t.start()
+        self._ckpt_thread = t
+        return counts, self.all_queue_lens()
+
+    def finish_checkpoints(self) -> bool:
+        """Join the in-flight checkpoint write (durability barrier)."""
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
+        return True
 
     def all_queue_lens(self) -> dict:
         return {k: len(q) for k, q in self.queues.items() if q}

@@ -125,8 +125,11 @@ def test_schedule_pop_60min_lock_and_hit_bypass():
     acc, left = shard.schedule_pop(URLLIB, 5, False, 3600, now=1)
     assert [a[0] for a in acc] == [LINK] and left == 4
     info = shard.url_info[url_md5(LINK)]
-    assert info["status"] == "schedule"
-    # re-queue while status 'schedule': 60-min scheduler lock
+    # pop folds the spider pickup mark (spider/index.js:55-59) in — the url
+    # leaves the pop already 'crawling'; both states hit the same 60-min
+    # scheduler lock branch (scheduler/index.js:381-383)
+    assert info["status"] == "crawling"
+    # re-queue while locked: 60-min scheduler lock
     shard.queues.setdefault(URLLIB, __import__("collections").deque()).append(LINK)
     acc, _ = shard.schedule_pop(URLLIB, 5, False, 3600, now=1 + s.scheduler_lock_ms - 1)
     assert acc == []  # dropped, not re-queued (pop-without-requeue parity)

@@ -126,6 +126,15 @@ def _q_crawl_report(sf_dir: str):
     return g.map_batches(rename, batch_format="pandas").sort("domain")
 
 
+def _q_crawl_failures(sf_dir: str):
+    """Fail/stuck report read from the run's per-shard checkpoints
+    (reference zsets fail:urllib:* / stuck:urllib:*, README.md:764-781)."""
+    from neocrawler_ray.pipelines.replay import failure_report
+
+    out = _crawl_out_dir(sf_dir)
+    return failure_report(os.path.join(out, "ckpt"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.pipelines import analytics as an
     from neocrawler_ray.pipelines import corpus_ops as co
@@ -138,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule_order": _q_crawl_schedule,
         "crawl_url_seen": _q_crawl_url_seen,
         "crawl_report": _q_crawl_report,
+        "crawl_failure_report": _q_crawl_failures,
         # rule-engine extraction with a SQL-checkable envelope (M7-M10)
         "doc_extract": de.doc_extract,
         # text analysis

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the pure kernels: URL
+functions, cuckoo filter, dedup sketches, union-find — the invariants
+the distributed pipelines rely on regardless of input shape."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from neocrawler_ray.functions import dedup as dd
+from neocrawler_ray.functions import text_stats as ts
+from neocrawler_ray.functions.urls import (
+    expand_seed,
+    transform_link,
+    url_host,
+    url_md5,
+    url_tld,
+)
+from neocrawler_ray.state.cuckoo import CuckooFilter
+
+words = st.text(alphabet="abcdefghij ", min_size=0, max_size=200)
+hostnames = st.from_regex(r"[a-z]{1,8}(\.[a-z]{1,8}){1,3}", fullmatch=True)
+
+
+@given(hostnames, st.text(alphabet="abc/0123456789._-", max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_url_functions_total(host, path):
+    url = f"http://{host}/{path}"
+    assert url_host(url) == host
+    tld = url_tld(url)
+    assert tld and host.endswith(tld)
+    assert len(url_md5(url)) == 32
+
+
+@given(st.lists(st.text(alphabet="abcdef:/._", min_size=1, max_size=40),
+                min_size=1, max_size=50, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_cuckoo_no_false_negatives(items):
+    f = CuckooFilter(capacity=1 << 10)
+    for it in items:
+        f.add(it)
+    for it in items:
+        assert it in f  # cuckoo filters may false-positive, never false-negative
+    # snapshot round-trip preserves membership exactly
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    for it in items:
+        assert it in g
+
+
+@given(words)
+@settings(max_examples=100, deadline=None)
+def test_minhash_identity_and_range(text):
+    sig = dd.minhash_signature(text)
+    assert len(sig) == dd.MINHASH_PERMS
+    assert dd.estimate_jaccard(sig, sig) == 1.0
+    h = dd.simhash64(text)
+    assert 0 <= h < 1 << 64
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_connected_components_invariants(pairs):
+    comp = dd.connected_components(pairs)
+    for a, b in pairs:
+        assert comp[a] == comp[b]          # endpoints co-clustered
+    for node, rep in comp.items():
+        assert rep <= node                  # representative is min id
+        assert comp[rep] == rep             # representatives are roots
+
+
+@given(words)
+@settings(max_examples=60, deadline=None)
+def test_text_stats_consistency(text):
+    import pandas as pd
+
+    frame = ts.text_stats_frame(pd.Series([text]))
+    row = frame.iloc[0]
+    assert row["n_chars"] == len(text)
+    assert row["n_tokens"] == len(text.split())
+    assert row["n_stopwords"] <= row["n_tokens"]
+    fp = ts.simplefp(pd.Series([text])).iloc[0]
+    assert len(fp) == 32
+
+
+@given(st.integers(0, 30), st.integers(0, 30), st.integers(1, 5))
+@settings(max_examples=40, deadline=None)
+def test_expand_seed_range(lo, hi, step):
+    seed = f"http://h.example/p#?id=#{lo}#{hi}#{step}"
+    out = expand_seed(seed)
+    if lo > hi:
+        assert out == [] or len(out) <= 1
+    else:
+        assert len(out) == len(range(lo, hi + 1, step))
+
+
+@given(hostnames)
+@settings(max_examples=50, deadline=None)
+def test_transform_link_idempotent(host):
+    rule = {"id_parameter": ["id"]}
+    url = f"http://{host}/x.html?b=2&id=9&a=1"
+    once = transform_link(url, rule)
+    assert transform_link(once, rule) == once  # canonicalization idempotent
+    assert "id=9" in once and "a=1" not in once

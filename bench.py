@@ -49,7 +49,9 @@ def bench_settings(num_cpus: int):
         # shard count follows frontier size, not CPU count: shards are
         # state partitions; RPC fan-out per wave barrier is O(shards)
         num_frontier_shards=8,
-        extract_batch_size=256,
+        # small blocks: a heavy-page block is ~1s of extract; the last
+        # block per wave is pure tail latency, so pack tighter
+        extract_batch_size=96,
         max_waves=100,
     )
 

@@ -169,3 +169,42 @@ def expand_seed(seed: str) -> list[str]:
         lo, hi, scale = int(arr[2]), int(arr[3]), int(arr[4])
         return [f"{arr[0]}{x}{arr[1]}" for x in range(lo, hi + 1, scale)]
     return [seed]
+
+
+def trans_cookie_kv_pair(cookies: list[dict] | None) -> str:
+    """Cookie objects → ``k=v;k=v`` request-header string (M15 parity:
+    downloader.js:117-123).  Fetch-sim carries this as metadata only —
+    there is no live HTTP — but rule configs still declare cookies."""
+    if not cookies:
+        return ""
+    return ";".join(
+        f"{c.get('name', '')}={c.get('value', '')}" for c in cookies
+    )
+
+
+def json_smart_deep_parse(obj):
+    """Coerce a string-valued hash into typed values — JSON / int / bool
+    detection per field (M14 parity: spider/spider.js:67-84).  The new
+    engine loads rules from native JSON so this only matters when
+    ingesting reference-format redis dumps of driller rules."""
+    if isinstance(obj, dict):
+        return {k: json_smart_deep_parse(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [json_smart_deep_parse(v) for v in obj]
+    if isinstance(obj, str):
+        s = obj.strip()
+        if s in ("true", "false"):
+            return s == "true"
+        if s.lstrip("-").isdigit():
+            try:
+                return int(s)
+            except ValueError:
+                return obj
+        if s[:1] in "[{":
+            import json as _json
+
+            try:
+                return json_smart_deep_parse(_json.loads(s))
+            except (ValueError, TypeError):
+                return obj
+    return obj

@@ -101,3 +101,23 @@ def test_expand_seed():
 
 def test_url_md5():
     assert url_md5("abc") == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_trans_cookie_kv_pair():
+    from neocrawler_ray.functions.urls import trans_cookie_kv_pair
+
+    assert trans_cookie_kv_pair(None) == ""
+    assert trans_cookie_kv_pair([
+        {"name": "sid", "value": "abc"}, {"name": "lang", "value": "en"},
+    ]) == "sid=abc;lang=en"
+
+
+def test_json_smart_deep_parse():
+    from neocrawler_ray.functions.urls import json_smart_deep_parse as p
+
+    # redis hashes store everything as strings (spider/spider.js:67-84)
+    assert p({"a": "1", "b": "true", "c": '["x", "2"]', "d": "plain"}) == {
+        "a": 1, "b": True, "c": ["x", 2], "d": "plain",
+    }
+    assert p({"neg": "-5", "obj": '{"k": "3"}'}) == {"neg": -5, "obj": {"k": 3}}
+    assert p("") == ""

@@ -78,6 +78,42 @@ def _hash_grouped(ds, key_cols: list[str], agg_fn, num_parts: int = 64):
     )
 
 
+def _bucketed_pairs(ds, bucket_col: str, bucket_pairs, num_parts: int = 64):
+    """Coarse-partitioned LSH-bucket pair generation.
+
+    Shuffle by a ~``num_parts`` hash of the bucket key — one Ray group
+    per raw bucket means tens of thousands of tiny groups whose
+    per-group overhead dwarfs the work — then walk the buckets inside
+    each partition with a vectorized pandas groupby.  Same exchange
+    volume, partition-level compute.  ``bucket_pairs(df) -> df`` runs
+    per bucket (only buckets with ≥2 members) and also defines the
+    empty-output schema via ``bucket_pairs(df.iloc[0:0])``."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        df = df.copy()
+        col = df[bucket_col]
+        if str(col.dtype).startswith(("int", "uint")):
+            part = (col.astype("int64") % num_parts)
+        else:
+            part = col.map(lambda k: zlib.crc32(str(k).encode()) % num_parts)
+        df["part"] = part.astype("int64")
+        return df
+
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            bucket_pairs(g) for _, g in df.groupby(bucket_col, sort=True)
+            if len(g) > 1
+        ]
+        if not outs:
+            return bucket_pairs(df.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    ds = ds.map_batches(add_part, batch_format="pandas")
+    return ds.groupby("part").map_groups(partition_pairs, batch_format="pandas")
+
+
 # --- text analysis ----------------------------------------------------
 
 
@@ -164,30 +200,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
              "est_jaccard": pd.Series([p[2] for p in pairs], dtype="float64")}
         )
 
-    # Shuffle by a COARSE partition of the band key (≈64 partitions), not
-    # by the raw key: one Ray group per band bucket means tens of
-    # thousands of tiny groups and per-group overhead dwarfs the work.
-    # Inside a partition a vectorized pandas groupby walks the buckets —
-    # same exchange volume, partition-level compute.
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-
-        df = df.copy()
-        df["part"] = df["band_key"].map(
-            lambda k: zlib.crc32(k.encode()) % 64).astype("int64")
-        return df
-
-    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            bucket_pairs(g) for _, g in df.groupby("band_key", sort=True)
-            if len(g) > 1
-        ]
-        if not outs:
-            return bucket_pairs(df.iloc[0:0])
-        return pd.concat(outs, ignore_index=True)
-
-    ds = ds.map_batches(add_part, batch_format="pandas")
-    pairs = ds.groupby("part").map_groups(partition_pairs, batch_format="pandas")
+    pairs = _bucketed_pairs(ds, "band_key", bucket_pairs)
     # same pair surfaces once per agreeing band → collapse
     return _hash_grouped(
         pairs, ["doc_a", "doc_b"],
@@ -304,25 +317,7 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
              "hamming": pd.Series(out_d, dtype="int64")}
         )
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-
-        df = df.copy()
-        df["part"] = df["band_key"].map(
-            lambda k: zlib.crc32(k.encode()) % 64).astype("int64")
-        return df
-
-    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            bucket_pairs(g) for _, g in df.groupby("band_key", sort=True)
-            if len(g) > 1
-        ]
-        if not outs:
-            return bucket_pairs(df.iloc[0:0])
-        return pd.concat(outs, ignore_index=True)
-
-    ds = ds.map_batches(add_part, batch_format="pandas")
-    pairs = ds.groupby("part").map_groups(partition_pairs, batch_format="pandas")
+    pairs = _bucketed_pairs(ds, "band_key", bucket_pairs)
     return _hash_grouped(
         pairs, ["doc_a", "doc_b"],
         lambda df: df.groupby(["doc_a", "doc_b"], as_index=False, sort=True)
@@ -351,6 +346,11 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97):
     ds = ds.map_batches(key, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")})
         df = df.sort_values("vec_id")
         ids = df["vec_id"].to_numpy(dtype="int64")
         m = sim.normalize_rows(sim.batch_to_matrix(df["embedding"].to_numpy()))
@@ -368,25 +368,7 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97):
              "cosine": pd.Series(out_s, dtype="float64")}
         )
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["part"] = (df["bucket"] % 64).astype("int64")
-        return df
-
-    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            bucket_pairs(g) for _, g in df.groupby("bucket", sort=True)
-            if len(g) > 1
-        ]
-        if not outs:
-            return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"),
-                 "vec_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")})
-        return pd.concat(outs, ignore_index=True)
-
-    ds = ds.map_batches(add_part, batch_format="pandas")
-    pairs = ds.groupby("part").map_groups(partition_pairs, batch_format="pandas")
+    pairs = _bucketed_pairs(ds, "bucket", bucket_pairs)
     df = pairs.to_pandas()
     if df.empty:  # stable schema even when the corpus has no near-dups
         df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),

@@ -396,6 +396,47 @@ class FrontierShard:
     # ------------------------------------------------------------------
     # introspection / reports
     # ------------------------------------------------------------------
+    def spill_cold_state(self, now: int, keep_ms: int,
+                         spill_dir: str | None = None) -> int:
+        """10^10-frontier memory bound: evict rich per-URL state for
+        quiescent urls, keeping only cuckoo membership.
+
+        An entry is cold when its terminal state (``crawled_finish`` /
+        ``crawled_failure``) is older than ``keep_ms`` — i.e. every
+        policy decision the frontier could make for it (interval
+        recrawl, lock expiry; T2 constants) would be "re-admit" anyway,
+        so dropping the rich record and letting a future re-discovery
+        re-admit it through the brand-new-url path is policy-equivalent.
+        The cuckoo filter still answers "seen" forever (the north_rule's
+        membership structure); evicted rows optionally land in a
+        per-shard Parquet spill for lineage.  Returns #evicted."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+        import os
+
+        cold = [
+            kk for kk, info in self.url_info.items()
+            if info.get("status") in ("crawled_finish", "crawled_failure")
+            and now - int(info.get("last") or 0) >= keep_ms
+        ]
+        if spill_dir and cold:
+            os.makedirs(spill_dir, exist_ok=True)
+            rows = [
+                {"url_md5": kk, "url": self.url_info[kk].get("url") or "",
+                 "status": self.url_info[kk].get("status") or "",
+                 "last": int(self.url_info[kk].get("last") or 0)}
+                for kk in cold
+            ]
+            pq_.write_table(
+                pa.Table.from_pylist(rows),
+                os.path.join(spill_dir,
+                             f"shard={self.shard_id}-spill-{now}.parquet"),
+            )
+        for kk in cold:
+            del self.url_info[kk]
+        self._bump("state_spilled", len(cold))
+        return len(cold)
+
     def stats(self) -> dict:
         return {
             "shard": self.shard_id,

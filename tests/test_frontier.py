@@ -220,3 +220,28 @@ def test_snapshot_restore_roundtrip():
     }
     assert all(url_md5(f"http://www.site0.example/item_{i}?id={i}") in clone.seen
                for i in range(20))
+
+
+def test_spill_cold_state_keeps_membership(tmp_path):
+    from neocrawler_ray.functions.urls import url_md5
+
+    shard, s = mk_shard()
+    _save(shard, now=0)
+    kk = url_md5(LINK)
+    shard.url_info[kk]["status"] = "crawled_finish"
+    shard.url_info[kk]["last"] = 0
+    shard.queues[URLLIB].clear()  # simulate the url having been crawled
+
+    # too fresh → kept
+    assert shard.spill_cold_state(now=10, keep_ms=100) == 0
+    # cold → evicted, membership survives in the cuckoo filter
+    n = shard.spill_cold_state(now=1000, keep_ms=100, spill_dir=str(tmp_path))
+    assert n == 1 and kk not in shard.url_info and kk in shard.seen
+    import glob
+
+    assert glob.glob(str(tmp_path / "shard=*-spill-*.parquet"))
+    # re-discovery re-admits through the brand-new-url path (policy for a
+    # long-expired crawled_finish url is "re-admit" either way)
+    assert shard._save_link(URLLIB, LINK, "http://ref/", "*",
+                            version=2000, now=2000)
+    assert shard.queue_len(URLLIB) == 1

@@ -37,6 +37,12 @@ class CrawlSettings:
     max_waves: int = 50
     logical_epoch_ms: int = 1_735_689_600_000    # 2025-01-01T00:00:00Z, logical clock base
 
+    # --- frontier memory bound (0 = disabled; parity runs keep full state)
+    # evict terminal per-URL state older than this many logical ms after
+    # each wave commit; cuckoo membership is permanent (see
+    # FrontierShard.spill_cold_state)
+    state_spill_keep_ms: int = 0
+
     # --- paths ----------------------------------------------------------
     checkpoint_dir: str | None = None
     output_dir: str | None = None

@@ -326,6 +326,15 @@ class CrawlJob:
                 for k, v in lens.items():
                     self.queue_lens[k] = self.queue_lens.get(k, 0) + v
             totals["scheduled"] = totals.get("scheduled", 0) + n
+            if s.state_spill_keep_ms:
+                spilled = ray.get([
+                    sh.spill_cold_state.remote(
+                        version, s.state_spill_keep_ms,
+                        os.path.join(self.out_dir, "state_spill"))
+                    for sh in self.shards
+                ])
+                totals["state_spilled"] = (
+                    totals.get("state_spilled", 0) + sum(spilled))
             if wave > self.start_wave:
                 # wave-1 files are durable (the commit RPC joined their
                 # writers before starting wave's) — manifest lags one wave

@@ -18,7 +18,10 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-_RUN_CACHE_ROOT = "/tmp/neocrawler_ray_runs"
+# bump when crawl output semantics/schema change so a stale /tmp cache
+# from an older code version is never served to the driver's gate
+_RUN_SCHEMA_VERSION = 2
+_RUN_CACHE_ROOT = f"/tmp/neocrawler_ray_runs/v{_RUN_SCHEMA_VERSION}"
 
 
 def _crawl_out_dir(sf_dir: str) -> str:

@@ -20,7 +20,7 @@ from typing import Any
 
 # bump when crawl output semantics/schema change so a stale /tmp cache
 # from an older code version is never served to the driver's gate
-_RUN_SCHEMA_VERSION = 2
+_RUN_SCHEMA_VERSION = 3  # v3: url_seen/ is a per-shard parquet dataset
 _RUN_CACHE_ROOT = f"/tmp/neocrawler_ray_runs/v{_RUN_SCHEMA_VERSION}"
 
 
@@ -98,7 +98,10 @@ def _q_crawl_url_seen(sf_dir: str):
     import pyarrow.parquet as pq
 
     out = _crawl_out_dir(sf_dir)
-    return pq.read_table(os.path.join(out, "url_seen.parquet"))
+    # url_seen/ is a per-shard parquet dataset (shards write their own
+    # partitions; the driver never holds the full set) — read + sort here
+    tbl = pq.read_table(os.path.join(out, "url_seen"))
+    return tbl.sort_by("url_md5")
 
 
 def _q_crawl_report(sf_dir: str):

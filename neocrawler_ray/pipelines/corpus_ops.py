@@ -479,12 +479,17 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                 m = sim.batch_to_matrix(hit["embedding"].to_numpy())
                 sims = sim.cosine_matrix(self.q[qi:qi + 1], m)[0]
                 sims[ids == self.qids[qi]] = -np.inf
-                kk = min(self.k, len(ids))
-                idx = np.argpartition(-sims, kk - 1)[:kk] if kk else []
+                # mirror BruteTopK: the masked self-row (or any non-finite
+                # sim) must never receive a rank when the probed cells
+                # hold fewer than k vectors
+                finite = np.isfinite(sims)
+                ids_f, sims_f = ids[finite], sims[finite]
+                kk = min(self.k, len(ids_f))
+                idx = np.argpartition(-sims_f, kk - 1)[:kk] if kk else []
                 outs.append(pd.DataFrame(
                     {"qid": pd.Series([self.qids[qi]] * len(idx), dtype="int64"),
-                     "vec_id": pd.Series(ids[idx], dtype="int64"),
-                     "sim": pd.Series(sims[idx], dtype="float64")}
+                     "vec_id": pd.Series(ids_f[idx], dtype="int64"),
+                     "sim": pd.Series(sims_f[idx], dtype="float64")}
                 ))
             if not outs:
                 return pd.DataFrame(

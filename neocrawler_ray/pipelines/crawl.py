@@ -33,6 +33,8 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import shutil
+import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -40,7 +42,8 @@ import pyarrow.parquet as pq
 from ..config import CrawlSettings, RuleSet
 from ..functions.urls import url_host
 from ..sources.pages_gen import _host_shard
-from ..stages.extract_stage import extract_batch_task, route_feedback
+from ..stages.extract_stage import (extract_batch_task, route_feedback,
+                                    route_feedback_files)
 from ..stages.fetch import build_robots_map, fetch_sim_batch, load_partition_refs
 from ..state.frontier import FrontierShard
 from .scheduler import run_schedule_wave, shard_for_url
@@ -117,7 +120,9 @@ class CrawlJob:
         ]
         self.robots_ref = ray.put(build_robots_map(corpus_dir))
         self.rules_ref = ray.put(self.rules)
-        self.run_token = f"{os.getpid()}-{id(self)}"
+        # uuid, not pid+id(): id() reuse after GC could hand a new job the
+        # previous job's worker-global fetch/extract singletons
+        self.run_token = uuid.uuid4().hex
         self.partition_refs = load_partition_refs(
             corpus_dir, self.corpus_meta.get("pages_shards", 16))
 
@@ -128,6 +133,11 @@ class CrawlJob:
             plugin.assembly({"corpus_dir": corpus_dir, "out_dir": out_dir})
 
         self.start_wave = 0
+        # per-wave first_schedule snapshots for the lagged manifest: the
+        # manifest for wave k must carry the clocks AS OF the end of wave
+        # k — writing the live entries after wave k+1's scheduler advanced
+        # them made a resumed run skip reSchedules its replay performed
+        self._fs_snapshots: dict[int, dict[str, int]] = {}
         if resume:
             self.start_wave = self._restore_checkpoint()
         # post-commit queue lengths per urllib key (schedule-skip index)
@@ -149,10 +159,15 @@ class CrawlJob:
 
     def _write_manifest(self, wave: int) -> None:
         """Manifest written after every shard checkpoint file landed, so
-        a crash mid-wave resumes from the previous complete wave."""
+        a crash mid-wave resumes from the previous complete wave.  The
+        ``first_schedule`` clocks come from the snapshot captured at the
+        END of ``wave`` (not the live entries, which the next wave's
+        scheduler has already advanced)."""
+        fs = self._fs_snapshots.get(
+            wave, {e["key"]: e["first_schedule"] for e in self.entries})
         manifest = {
             "last_complete_wave": wave,
-            "first_schedule": {e["key"]: e["first_schedule"] for e in self.entries},
+            "first_schedule": fs,
             "num_shards": len(self.shards),
         }
         tmp = os.path.join(self.ckpt_dir, ".manifest.tmp")
@@ -239,8 +254,14 @@ class CrawlJob:
                     v = host_shard_cache[h] = _host_shard(h, pages_shards)
                 return v
 
-            shard_of = [_pshard(u) for u in sched_tbl.column("url").to_pylist()]
-            order = sorted(range(n), key=lambda i: (shard_of[i], i))
+            import numpy as np
+
+            shard_of = np.fromiter(
+                (_pshard(u) for u in sched_tbl.column("url").to_pylist()),
+                dtype=np.int64, count=n)
+            # stable sort by shard (ties keep seq order) — C-speed vs the
+            # previous python sorted(key=tuple)
+            order = np.argsort(shard_of, kind="stable")
             # shard-sorted rows are cut into ~batch-sized blocks; a cut
             # prefers a shard boundary once the block is half full, so a
             # task reads 1-2 pages partitions and blocks stay big enough
@@ -280,6 +301,11 @@ class CrawlJob:
                 batch_size=s.extract_batch_size,
             )
             wave_path = os.path.join(self.out_dir, "extracted", f"wave={wave}")
+            # a crash-resume (or rerun into the same out_dir) re-executes
+            # this wave; write_parquet APPENDS uuid-named files, so a stale
+            # dir would duplicate rows and double-apply frontier feedback —
+            # clear it before writing
+            shutil.rmtree(wave_path, ignore_errors=True)
             if self.plugin is None:
                 # streaming consume: write is the pipeline's sink
                 ds.write_parquet(wave_path)
@@ -293,21 +319,15 @@ class CrawlJob:
             t = _tick("pipeline", t)
 
             # ---- frontier feedback (off the hot path) -------------------
-            # read back only the narrow feedback columns of the wave just
-            # written and push once per shard — replaces the per-block
-            # blocking fan-out that inverted scaling at high CPU counts
-            import pyarrow.dataset as pads
-
-            fb_tbl = pads.dataset(wave_path).to_table(
-                columns=["seq", "url", "domain", "final_state",
-                         "drill_relation", "version", "feedback_json"]
-            )
-            buffers = route_feedback(fb_tbl, len(self.shards))
-            if buffers:
-                ray.get([
-                    self.shards[sid].buffer_results.remote(rows)
-                    for sid, rows in buffers.items()
-                ])
+            # DISTRIBUTED routing: one Ray task per wave-output file reads
+            # only the narrow feedback columns, computes each row's owning
+            # shard (json parse + md5 tld hash — the former driver-serial
+            # cost) and pushes its own buffer rows, ray.get-ing the pushes
+            # so stage completion ⇒ delivery (commit_wave sorts by seq, so
+            # cross-task arrival order is free).  Replaces both the
+            # per-block blocking fan-out (inverted scaling) and the
+            # driver-side per-row loop (the per-wave serial floor).
+            route_feedback_files(wave_path, self.shards)
             t = _tick("feedback", t)
 
             # ---- deterministic frontier commit + checkpoint -------------
@@ -335,6 +355,11 @@ class CrawlJob:
                 ])
                 totals["state_spilled"] = (
                     totals.get("state_spilled", 0) + sum(spilled))
+            # clocks as of the end of THIS wave (consumed by the lagged
+            # manifest one wave later; keep only a short history)
+            self._fs_snapshots[wave] = {
+                e["key"]: e["first_schedule"] for e in self.entries}
+            self._fs_snapshots.pop(wave - 2, None)
             if wave > self.start_wave:
                 # wave-1 files are durable (the commit RPC joined their
                 # writers before starting wave's) — manifest lags one wave
@@ -356,16 +381,14 @@ class CrawlJob:
     def _finalize(self, totals: dict) -> None:
         import ray
 
-        # URL-seen set (parity artifact)
-        rows = ray.get([s.seen_table.remote() for s in self.shards])
-        seen = [
-            {"url_md5": kk, "url": u} for shard_rows in rows for kk, u in shard_rows
-        ]
-        seen.sort(key=lambda r: r["url_md5"])
-        tbl = pa.Table.from_pylist(
-            seen, schema=pa.schema([("url_md5", pa.string()), ("url", pa.string())])
-        )
-        pq.write_table(tbl, os.path.join(self.out_dir, "url_seen.parquet"))
+        # URL-seen set (parity artifact): each shard writes its own
+        # partition — at the 10^10-URL design point the driver never
+        # holds (or sorts) the full set; readers treat ``url_seen/`` as a
+        # parquet dataset (within-shard rows are md5-sorted)
+        seen_dir = os.path.join(self.out_dir, "url_seen")
+        shutil.rmtree(seen_dir, ignore_errors=True)
+        os.makedirs(seen_dir, exist_ok=True)
+        ray.get([s.write_seen.remote(seen_dir) for s in self.shards])
         stats = ray.get([s.stats.remote() for s in self.shards])
         with open(os.path.join(self.out_dir, "metrics.json"), "w") as f:
             json.dump({"totals": totals, "shards": stats}, f, indent=1, default=str)

@@ -31,6 +31,7 @@ shuffled — J1 broadcast-join semantics).
 from __future__ import annotations
 
 import json
+import os
 
 import pyarrow as pa
 
@@ -199,11 +200,53 @@ class ExtractBatch:
         return result
 
 
+FEEDBACK_COLUMNS = ["seq", "url", "domain", "final_state",
+                    "drill_relation", "version", "feedback_json"]
+
+
+def _route_file_task(path: str, shards: list) -> int:
+    """One wave-output file → routed + delivered to frontier shards.
+
+    Runs as a Ray task: reads ONLY the narrow feedback columns, computes
+    per-row owning shards (json parse + md5-tld hash), pushes one
+    ``buffer_results`` RPC per touched shard and JOINS those pushes —
+    task completion therefore implies delivery, giving the driver a
+    happens-before edge to ``commit_wave`` without any driver-side row
+    loop (the former per-wave serial floor)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    tbl = pq.read_table(path, columns=FEEDBACK_COLUMNS)
+    buffers = route_feedback(tbl, len(shards))
+    if buffers:
+        ray.get([shards[sid].buffer_results.remote(rows)
+                 for sid, rows in buffers.items()])
+    return tbl.num_rows
+
+
+_ROUTE_TASK = None
+
+
+def route_feedback_files(wave_path: str, shards: list) -> int:
+    """Distributed wave-feedback routing: one task per output file."""
+    import glob
+
+    import ray
+
+    global _ROUTE_TASK
+    files = sorted(glob.glob(os.path.join(wave_path, "*.parquet")))
+    if not files:
+        return 0
+    if _ROUTE_TASK is None:
+        _ROUTE_TASK = ray.remote(num_cpus=0.5)(_route_file_task)
+    return sum(ray.get([_ROUTE_TASK.remote(f, shards) for f in files]))
+
+
 def route_feedback(table: pa.Table, num_shards: int) -> dict[int, list[tuple]]:
     """Wave output table → per-shard seq-tagged buffer rows (links +
     final-state transitions), ready for one ``buffer_results`` RPC per
-    shard.  Runs on the driver at bench scale; the identical function
-    body works inside a shard-grouped ``map_batches`` for larger waves."""
+    shard.  Driver-callable; at wave scale it runs inside
+    :func:`_route_file_task` Ray tasks (one per wave-output file)."""
     shard_buffers: dict[int, list[tuple]] = {}
     cols = {
         c: table.column(c).to_pylist()

@@ -414,10 +414,30 @@ class FrontierShard:
         import pyarrow.parquet as pq_
         import os
 
+        # policy-equivalence guard: an entry is only droppable once EVERY
+        # decision the frontier could make for it is "re-admit" — so the
+        # effective keep window is clamped per entry to at least the
+        # rule's recrawl interval and the 2-day linksave hit lock (an
+        # early-evicted crawled_finish url re-discovered before its
+        # interval would otherwise recrawl via the brand-new-url path)
+        hit_lock = self.settings.linksave_hit_lock_ms
+        interval_cache: dict[str, int] = {}
+
+        def _keep_for(info: dict) -> int:
+            trace = info.get("trace") or ""
+            keep = interval_cache.get(trace)
+            if keep is None:
+                rule = self._rule_for_urllib(trace) or {}
+                keep = max(keep_ms,
+                           int(rule.get("schedule_interval", 3600)) * 1000,
+                           hit_lock)
+                interval_cache[trace] = keep
+            return keep
+
         cold = [
             kk for kk, info in self.url_info.items()
             if info.get("status") in ("crawled_finish", "crawled_failure")
-            and now - int(info.get("last") or 0) >= keep_ms
+            and now - int(info.get("last") or 0) >= _keep_for(info)
         ]
         if spill_dir and cold:
             os.makedirs(spill_dir, exist_ok=True)
@@ -449,6 +469,24 @@ class FrontierShard:
     def seen_table(self) -> list[tuple[str, str]]:
         """(url_md5, url) rows — the exact URL-seen set for parity tests."""
         return [(kk, info["url"]) for kk, info in self.url_info.items()]
+
+    def write_seen(self, seen_dir: str) -> int:
+        """Write this shard's URL-seen partition (md5-sorted) directly —
+        the 10^10-URL finalize never ships seen sets through the driver."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        rows = sorted(self.seen_table())
+        tbl = pa.Table.from_pydict(
+            {"url_md5": [r[0] for r in rows], "url": [r[1] for r in rows]},
+            schema=pa.schema([("url_md5", pa.string()), ("url", pa.string())]),
+        )
+        os.makedirs(seen_dir, exist_ok=True)
+        pq_.write_table(
+            tbl, os.path.join(seen_dir, f"shard={self.shard_id}.parquet"))
+        return tbl.num_rows
 
     def dump_states(self) -> list[dict]:
         return [

@@ -68,7 +68,7 @@ def test_schedule_order_parity(engine_out, oracle_result):
 
 def test_url_seen_parity(engine_out, oracle_result):
     out, _ = engine_out
-    seen = pq.read_table(f"{out}/url_seen.parquet").column("url_md5").to_pylist()
+    seen = pq.read_table(f"{out}/url_seen").column("url_md5").to_pylist()
     assert set(seen) == set(oracle_result["url_seen"].keys())
     assert len(seen) == len(set(seen))
 
@@ -105,8 +105,8 @@ def test_resume_from_checkpoint(corpus, tmp_path_factory, ray_session,
     job2.run()
 
     assert _schedule_rows(out) == _schedule_rows(out_full)
-    seen_r = set(pq.read_table(f"{out}/url_seen.parquet").column("url_md5").to_pylist())
+    seen_r = set(pq.read_table(f"{out}/url_seen").column("url_md5").to_pylist())
     seen_f = set(
-        pq.read_table(f"{out_full}/url_seen.parquet").column("url_md5").to_pylist()
+        pq.read_table(f"{out_full}/url_seen").column("url_md5").to_pylist()
     )
     assert seen_r == seen_f

@@ -234,8 +234,14 @@ def test_spill_cold_state_keeps_membership(tmp_path):
 
     # too fresh → kept
     assert shard.spill_cold_state(now=10, keep_ms=100) == 0
-    # cold → evicted, membership survives in the cuckoo filter
-    n = shard.spill_cold_state(now=1000, keep_ms=100, spill_dir=str(tmp_path))
+    # keep_ms below the policy clamp (rule interval / 2-day hit lock):
+    # still kept — an early eviction would let a re-discovered
+    # crawled_finish url recrawl before its interval via the new-url path
+    assert shard.spill_cold_state(now=1000, keep_ms=100) == 0
+    # cold past the clamp → evicted, membership survives in the cuckoo
+    cold_now = s.linksave_hit_lock_ms + 1000
+    n = shard.spill_cold_state(now=cold_now, keep_ms=100,
+                               spill_dir=str(tmp_path))
     assert n == 1 and kk not in shard.url_info and kk in shard.seen
     import glob
 
@@ -243,5 +249,5 @@ def test_spill_cold_state_keeps_membership(tmp_path):
     # re-discovery re-admits through the brand-new-url path (policy for a
     # long-expired crawled_finish url is "re-admit" either way)
     assert shard._save_link(URLLIB, LINK, "http://ref/", "*",
-                            version=2000, now=2000)
+                            version=cold_now + 1000, now=cold_now + 1000)
     assert shard.queue_len(URLLIB) == 1

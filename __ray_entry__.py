@@ -165,7 +165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
         "dedup_clusters": lambda sf: co.dedup_clusters(sf),
         "dedup_simhash_pairs": lambda sf: co.dedup_simhash_pairs(sf, 7),
-        "dedup_embedding_lsh": lambda sf: co.dedup_embedding_pairs(sf, 0.97),
+        # threshold matched to the testdata's cosine distribution (near-
+        # random vectors, max ~0.51) so the row is non-empty evidence;
+        # band/bit knobs tuned for ~0.99 recall at 0.4 (p=0.63/plane)
+        "dedup_embedding_lsh": lambda sf: co.dedup_embedding_pairs(
+            sf, 0.4, bands=16, bits=3),
         "embedding_pairs_brute": lambda sf: co.embedding_pairs_brute(sf, 0.4),
         # similarity search
         "ann_brute_topk": lambda sf: co.ann_brute_topk(sf, 5, 10),

@@ -108,24 +108,56 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 # --- simhash ----------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word counts (Charikar sketch)."""
-    toks = _WORD_RE.findall(text.lower())
-    if not toks:
-        return 0
-    counts: dict[str, int] = {}
-    for t in toks:
-        counts[t] = counts.get(t, 0) + 1
-    hashes = np.fromiter((_hash64(t) for t in counts), dtype=np.uint64,
-                         count=len(counts))
-    weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-    votes = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)
-    out = 0
-    for i in range(64):
-        if votes[i] > 0:
-            out |= 1 << i
+# worker-global token→hash memo: corpus vocabularies are Zipfian, so
+# across the docs of a batch (and across batches on one worker) most
+# blake2b calls are cache hits — measured as the dominant cost of the
+# original per-doc sketch.  Bounded: cleared if it ever exceeds the cap.
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_CAP = 4_000_000
+
+
+def _token_hashes(tokens) -> np.ndarray:
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > _TOKEN_HASH_CACHE_CAP:
+        cache.clear()
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, tk in enumerate(tokens):
+        h = cache.get(tk)
+        if h is None:
+            h = cache[tk] = _hash64(tk)
+        out[i] = h
     return out
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized 64-bit SimHash (Charikar sketch) for a batch of docs.
+
+    Per doc: C-regex tokenize → hash-based value_counts → unpackbits on
+    the uint64 byte view → one (U×64) weighted bit-vote matmul — no
+    python loop over tokens×bits, and token hashing amortizes through
+    the worker-global memo.  Bit-identical to the scalar ``simhash64``.
+    """
+    res = np.empty(len(texts), dtype=np.uint64)
+    for n, text in enumerate(texts):
+        toks = _WORD_RE.findall(str(text).lower())
+        if not toks:
+            res[n] = 0
+            continue
+        vc = pd.Series(toks).value_counts(sort=False)
+        hashes = _token_hashes(vc.index.tolist())
+        # little-endian byte view + bitorder="little" ⇒ column i == bit i
+        bits = np.unpackbits(
+            hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        votes = vc.to_numpy(dtype=np.int64) @ (2 * bits - 1)
+        res[n] = np.packbits(
+            (votes > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+    return res
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word counts (single-doc convenience)."""
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_bands(h: int, bands: int = SIMHASH_BANDS) -> list[str]:
@@ -140,19 +172,32 @@ def hamming64(a: int, b: int) -> int:
 # --- embedding near-dup ----------------------------------------------
 
 _HYPERPLANE_SEED = 0x5EED
-_N_HYPERPLANES = 16
+# BANDED sign-LSH (like minhash bands): a pair is a candidate if ANY band
+# of EMB_LSH_BITS sign bits matches exactly.  A single wide sign pattern
+# has recall p^bits with p = 1 - theta/pi per plane — at cosine 0.97
+# (theta ≈ 0.245 rad, p ≈ 0.922) a lone 16-bit table keeps only ~27% of
+# true pairs; 8 bands × 10 bits keep 1-(1-p^10)^8 ≈ 0.99 (≈0.98 at 0.96).
+# More bits/band ⇒ finer buckets (fewer random collisions at corpus
+# scale); more bands ⇒ higher recall — both are caller knobs.
+EMB_LSH_BANDS = 8
+EMB_LSH_BITS = 10
 
 
-def hyperplanes(dim: int) -> np.ndarray:
+def hyperplanes(dim: int, n_planes: int = EMB_LSH_BANDS * EMB_LSH_BITS) -> np.ndarray:
     """Seeded random hyperplanes (deterministic per dim) for cosine LSH."""
     rng = np.random.RandomState(_HYPERPLANE_SEED + dim)
-    return rng.standard_normal((_N_HYPERPLANES, dim)).astype(np.float64)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def cosine_lsh_keys(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    """Sign-pattern bucket id per row (uint32)."""
-    signs = (vecs @ planes.T) > 0
-    return (signs.astype(np.uint32) << np.arange(_N_HYPERPLANES, dtype=np.uint32)).sum(axis=1)
+def cosine_lsh_band_keys(vecs: np.ndarray, planes: np.ndarray,
+                         bands: int = EMB_LSH_BANDS,
+                         bits: int = EMB_LSH_BITS) -> np.ndarray:
+    """(n, bands) int64 bucket keys; key = band_index<<bits | sign-pattern
+    so different bands never collide into one bucket."""
+    signs = (vecs @ planes[:bands * bits].T) > 0  # (n, bands*bits)
+    signs = signs.reshape(len(vecs), bands, bits).astype(np.int64)
+    patt = (signs << np.arange(bits, dtype=np.int64)[None, None, :]).sum(axis=2)
+    return patt + (np.arange(bands, dtype=np.int64)[None, :] << bits)
 
 
 # --- batch-level kernels (used inside map_batches) --------------------

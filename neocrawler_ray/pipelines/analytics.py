@@ -47,6 +47,23 @@ def _e4(series: pd.Series) -> np.ndarray:
     return np.floor(series.to_numpy(dtype="float64") * 10000.0).astype("int64")
 
 
+def _finish_small(ds_partials, keys: list[str], sums: dict[str, str]) -> pd.DataFrame:
+    """Final reduce for ANSWER-SIZED aggregates: the per-batch partial
+    already collapsed each block to ≤ |keys| rows, so the remaining data
+    is ~keys × blocks — pull that (tiny) frame and finish with one
+    vectorized pandas groupby on the driver.  Avoids a full Ray
+    sort-shuffle whose empty output partitions surface as schema-less
+    pandas blocks ("different schema" warnings) and whose per-key reduce
+    is orders slower than the C kernel.  ``sums`` maps partial column →
+    output column name."""
+    df = ds_partials.to_pandas()
+    g = df.groupby(keys, as_index=False)[list(sums)].sum()
+    g = g.rename(columns=sums)
+    for c in sums.values():
+        g[c] = g[c].astype("int64")
+    return g.sort_values(keys).reset_index(drop=True)
+
+
 def events_daily_counts(sf_dir: str):
     """Daily event counters by class — A1 (count:{yyyymmdd} hash) shape."""
     ds = _read(sf_dir, "events", ["ts", "event_type"])
@@ -60,16 +77,7 @@ def events_daily_counts(sf_dir: str):
         return g.rename(columns={"size": "partial_n"}).astype({"partial_n": "int64"})
 
     ds = ds.map_batches(partial, batch_format="pandas")
-    g = ds.groupby(["date", "event_type"]).sum("partial_n")
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"date": df["date"].to_numpy(dtype=object),
-             "event_type": df["event_type"].to_numpy(dtype=object),
-             "n": df["sum(partial_n)"].astype("int64").to_numpy()}
-        )
-
-    return g.map_batches(rename, batch_format="pandas")
+    return _finish_small(ds, ["date", "event_type"], {"partial_n": "n"})
 
 
 def events_value_by_type(sf_dir: str):
@@ -86,16 +94,8 @@ def events_value_by_type(sf_dir: str):
         return g.astype({"partial_sum": "int64", "partial_n": "int64"})
 
     ds = ds.map_batches(partial, batch_format="pandas")
-    g = ds.groupby("event_type").sum(["partial_sum", "partial_n"])
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"event_type": df["event_type"].to_numpy(dtype=object),
-             "value_e4": df["sum(partial_sum)"].astype("int64").to_numpy(),
-             "n": df["sum(partial_n)"].astype("int64").to_numpy()}
-        )
-
-    return g.map_batches(rename, batch_format="pandas")
+    return _finish_small(ds, ["event_type"],
+                         {"partial_sum": "value_e4", "partial_n": "n"})
 
 
 def q1_lineitem(sf_dir: str):
@@ -118,18 +118,9 @@ def q1_lineitem(sf_dir: str):
         return g.astype({"p_qty": "int64", "p_price": "int64", "p_n": "int64"})
 
     ds = ds.map_batches(partial, batch_format="pandas")
-    g = ds.groupby(["l_returnflag", "l_linestatus"]).sum(["p_qty", "p_price", "p_n"])
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"l_returnflag": df["l_returnflag"].to_numpy(dtype=object),
-             "l_linestatus": df["l_linestatus"].to_numpy(dtype=object),
-             "sum_qty": df["sum(p_qty)"].astype("int64").to_numpy(),
-             "sum_price_e4": df["sum(p_price)"].astype("int64").to_numpy(),
-             "count_order": df["sum(p_n)"].astype("int64").to_numpy()}
-        )
-
-    return g.map_batches(rename, batch_format="pandas")
+    return _finish_small(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"p_qty": "sum_qty", "p_price": "sum_price_e4", "p_n": "count_order"})
 
 
 def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -149,11 +140,25 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
             p_rev=("rev", "sum"), p_n=("rev", "size"))
         return g.astype({"p_rev": "int64", "p_n": "int64"})
 
-    agg = orders.map_batches(partial, batch_format="pandas") \
-        .groupby("o_custkey").sum(["p_rev", "p_n"]).to_pandas()
-    agg = agg.rename(columns={"sum(p_rev)": "revenue_e4", "sum(p_n)": "n_orders"})
-    agg = agg.sort_values(["revenue_e4", "o_custkey"],
-                          ascending=[False, True], kind="mergesort").head(k)
+    from .corpus_ops import _hash_grouped
+
+    def per_part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        """Custkey totals + LOCAL top-k inside each hash partition: every
+        custkey lives wholly in one partition, so the global top-k is
+        exactly the top-k of the ≤64×k partition candidates — the driver
+        never sees the full per-customer aggregate."""
+        g = df.groupby("o_custkey", as_index=False)[["p_rev", "p_n"]].sum()
+        g = g.rename(columns={"p_rev": "revenue_e4", "p_n": "n_orders"})
+        return g.sort_values(["revenue_e4", "o_custkey"],
+                             ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    cands = _hash_grouped(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"], per_part_topk,
+    ).to_pandas()
+    agg = cands.sort_values(["revenue_e4", "o_custkey"],
+                            ascending=[False, True], kind="mergesort").head(k)
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
     names = dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"]))
@@ -189,14 +194,6 @@ def revenue_by_nation(sf_dir: str):
             p_rev=("rev", "sum"), p_n=("rev", "size"))
         return g.astype({"p_rev": "int64", "p_n": "int64"})
 
-    g = orders.map_batches(partial, batch_format="pandas") \
-        .groupby("n_name").sum(["p_rev", "p_n"])
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"n_name": df["n_name"].to_numpy(dtype=object),
-             "revenue_e4": df["sum(p_rev)"].astype("int64").to_numpy(),
-             "n_orders": df["sum(p_n)"].astype("int64").to_numpy()}
-        )
-
-    return g.map_batches(rename, batch_format="pandas")
+    ds = orders.map_batches(partial, batch_format="pandas")
+    return _finish_small(ds, ["n_name"],
+                         {"p_rev": "revenue_e4", "p_n": "n_orders"})

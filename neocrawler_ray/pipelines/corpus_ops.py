@@ -211,35 +211,108 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
 
 def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
                            jaccard_threshold: float = 0.8) -> pd.DataFrame:
-    """LSH candidates verified with exact n-gram Jaccard.
+    """LSH candidates verified with exact n-gram Jaccard — DISTRIBUTED.
 
-    The verify side is a semi-join: only candidate ids' texts are pulled
-    (candidate set ≪ corpus), broadcast as a dict — never a full-corpus
-    shuffle.  Returns a small pandas frame (doc_a, doc_b, jaccard).
-    """
-    cands = dedup_minhash_pairs(sf_dir, lsh_threshold).to_pandas()
-    if cands.empty:
+    Dup-heavy web corpora make the candidate set O(corpus), so nothing
+    here may land on the driver until the final (answer-sized) frame.
+    Shape: a co-grouped join with no broadcast and no driver loop —
+
+    1. explode each candidate pair into two (doc_id, pair_key, side)
+       rows;
+    2. union with the (doc_id, text) corpus rows and hash-partition by
+       doc_id; inside each partition compute the word-shingle hash SET
+       only for docs that are actually pair sides (co-located semi-join;
+       the text shuffle is ≤1× corpus, shingles only for candidates);
+    3. hash-partition the (pair_key, side, shingle-set) rows by pair_key
+       and compute exact set Jaccard per pair inside ``map_groups``.
+
+    The Jaccard is over blake2b-64 shingle hashes — identical to
+    ``ngram_jaccard`` barring a 64-bit collision.  Returns a pandas
+    frame (doc_a, doc_b, jaccard) ∝ the answer."""
+    import numpy as np
+
+    cands = dedup_minhash_pairs(sf_dir, lsh_threshold)
+
+    # explicit Arrow schemas: empty pandas object columns would map to
+    # null type and break union / emit schema-change warnings
+    union_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pair_key", pa.string()),
+         ("side", pa.int64()), ("payload", pa.binary())])
+    attach_schema = pa.schema(
+        [("pair_key", pa.string()), ("side", pa.int64()),
+         ("payload", pa.binary())])
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        pk = (df["doc_a"].astype(str) + ":" + df["doc_b"].astype(str)).tolist()
+        return pa.Table.from_pydict(
+            {"doc_id": df["doc_a"].tolist() + df["doc_b"].tolist(),
+             "pair_key": pk + pk,
+             "side": [0] * len(df) + [1] * len(df),
+             "payload": [b""] * (2 * len(df))},
+            schema=union_schema)
+
+    sides = cands.map_batches(explode, batch_format="pandas")
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def text_rows(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": df["doc_id"].astype("int64").tolist(),
+             "pair_key": [""] * len(df),
+             "side": [-1] * len(df),
+             "payload": [str(t).encode() for t in df["text"].fillna("")]},
+            schema=union_schema)
+
+    unioned = sides.union(docs.map_batches(text_rows, batch_format="pandas"))
+
+    def attach_shingles(df: pd.DataFrame) -> pa.Table:
+        pr = df[df["side"] >= 0]
+        if pr.empty:
+            return attach_schema.empty_table()
+        txt = df[df["side"] < 0]
+        texts = dict(zip(txt["doc_id"], txt["payload"]))
+        needed = pr["doc_id"].unique()
+        sh = {
+            i: np.sort(dd.shingle_hashes(
+                bytes(texts.get(i, b"")).decode("utf-8", "replace"))).tobytes()
+            for i in needed
+        }
+        return pa.Table.from_pydict(
+            {"pair_key": pr["pair_key"].tolist(),
+             "side": pr["side"].tolist(),
+             "payload": [sh[i] for i in pr["doc_id"]]},
+            schema=attach_schema)
+
+    co_located = _hash_grouped(unioned, ["doc_id"], attach_shingles)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for pk, g in df.groupby("pair_key", sort=False):
+            if len(g) < 2:
+                continue
+            blobs = g.sort_values("side")["payload"].tolist()
+            sa = np.frombuffer(blobs[0], dtype=np.uint64)
+            sb = np.frombuffer(blobs[1], dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb))
+            union = len(sa) + len(sb) - inter
+            jac = (inter / union) if union else 1.0
+            if jac >= jaccard_threshold:
+                a, b = pk.split(":")
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(jac)
+        return pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"),
+             "doc_b": pd.Series(out_b, dtype="int64"),
+             "jaccard": pd.Series(out_j, dtype="float64")})
+
+    out = _hash_grouped(co_located, ["pair_key"], verify).to_pandas()
+    if out.empty:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
-    wanted = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def only_wanted(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.is_in(batch["doc_id"], pa.array(wanted)))
-
-    small = docs.map_batches(only_wanted, batch_format="pyarrow").to_pandas()
-    texts = dict(zip(small["doc_id"], small["text"]))
-    jac = [
-        dd.ngram_jaccard(texts.get(a, ""), texts.get(b, ""))
-        for a, b in zip(cands["doc_a"], cands["doc_b"])
-    ]
-    out = cands.assign(jaccard=pd.Series(jac, index=cands.index, dtype="float64"))
-    out = out[out["jaccard"] >= jaccard_threshold]
-    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return out[["doc_a", "doc_b", "jaccard"]]
+    return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            [["doc_a", "doc_b", "jaccard"]])
 
 
 def dedup_clusters(sf_dir: str, lsh_threshold: float = 0.7,
@@ -273,19 +346,24 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_band, rows_h = [], [], []
-        for i, t in zip(df["doc_id"], df["text"].fillna("")):
-            h = dd.simhash64(str(t))
-            for bk in dd.simhash_bands(h, bands):
-                rows_id.append(int(i))
-                rows_band.append(bk)
-                rows_h.append(h)
+        import numpy as np
+
+        hs = dd.simhash64_batch(df["text"].fillna("").tolist())
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        w = 64 // bands
+        mask = np.uint64((1 << w) - 1)
+        shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(w))
+        band_vals = (hs[:, None] >> shifts[None, :]) & mask  # (n, bands)
+        band_keys = [
+            f"{b}:{v:04x}"
+            for row in band_vals for b, v in enumerate(row)
+        ]
         return pd.DataFrame(
-            {"band_key": pd.Series(rows_band, dtype="string"),
-             "doc_id": pd.Series(rows_id, dtype="int64"),
+            {"band_key": pd.Series(band_keys, dtype="string"),
+             "doc_id": pd.Series(np.repeat(ids, bands), dtype="int64"),
              # uint64 simhash carried as its int64 bit pattern (Arrow-safe)
-             "simhash": pd.Series([v - (1 << 64) if v >= 1 << 63 else v
-                                   for v in rows_h], dtype="int64")}
+             "simhash": pd.Series(
+                 np.repeat(hs.view(np.int64), bands), dtype="int64")}
         )
 
     ds = ds.map_batches(sketch, batch_format="pandas")
@@ -325,23 +403,40 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     )
 
 
-def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97):
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets.
+def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97,
+                          bands: int = dd.EMB_LSH_BANDS,
+                          bits: int = dd.EMB_LSH_BITS):
+    """Embedding-cosine near-dup pairs via BANDED random-hyperplane LSH.
 
-    Vectors are normalized and bucketed by 16-bit sign pattern inside
-    ``map_batches``; only same-bucket pairs are cosine-checked.  (The
-    sign-LSH key is computed per batch; the hyperplanes are a seeded
-    module constant, identical in every task.)"""
+    Each vector emits one row per band (8 bands × 10 sign bits — see
+    ``dedup.cosine_lsh_band_keys`` for the recall math: ≈0.99 at cosine
+    0.97 vs ≈0.27 for a single 16-plane table); candidates are pairs
+    sharing ANY band bucket, cosine-verified inside the bucket, then a
+    tiny pair-keyed groupby collapses multi-band hits.  The shuffle
+    volume is bands × (key, id, vector) — the standard multi-band LSH
+    trade of bounded replication for recall; hyperplanes are a seeded
+    module constant, identical in every task."""
+    import numpy as np
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def key(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "embedding": pd.Series(dtype=object)})
         m = sim.batch_to_matrix(df["embedding"].to_numpy())
-        planes = dd.hyperplanes(m.shape[1] if m.size else 64)
-        keys = dd.cosine_lsh_keys(m, planes) if m.size else []
-        out = df.copy()
-        out["bucket"] = pd.Series(keys, index=df.index, dtype="int64") \
-            if len(df) else pd.Series(dtype="int64")
-        return out
+        planes = dd.hyperplanes(m.shape[1], bands * bits)
+        keys = dd.cosine_lsh_band_keys(m, planes, bands, bits)  # (n, bands)
+        return pd.DataFrame(
+            {"bucket": pd.Series(keys.reshape(-1), dtype="int64"),
+             "vec_id": pd.Series(
+                 np.repeat(df["vec_id"].to_numpy(dtype=np.int64), bands),
+                 dtype="int64"),
+             "embedding": pd.Series(
+                 df["embedding"].to_numpy().repeat(bands), dtype=object)}
+        )
 
     ds = ds.map_batches(key, batch_format="pandas")
 
@@ -355,20 +450,21 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97):
         ids = df["vec_id"].to_numpy(dtype="int64")
         m = sim.normalize_rows(sim.batch_to_matrix(df["embedding"].to_numpy()))
         s = m @ m.T
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if s[i, j] >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_s.append(float(s[i, j]))
+        hit = (s >= threshold) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(hit)
         return pd.DataFrame(
-            {"vec_a": pd.Series(out_a, dtype="int64"),
-             "vec_b": pd.Series(out_b, dtype="int64"),
-             "cosine": pd.Series(out_s, dtype="float64")}
+            {"vec_a": pd.Series(ids[ii], dtype="int64"),
+             "vec_b": pd.Series(ids[jj], dtype="int64"),
+             "cosine": pd.Series(s[ii, jj], dtype="float64")}
         )
 
     pairs = _bucketed_pairs(ds, "bucket", bucket_pairs)
+    # a pair surfaces once per agreeing band → collapse on the pair key
+    pairs = _hash_grouped(
+        pairs, ["vec_a", "vec_b"],
+        lambda df: df.groupby(["vec_a", "vec_b"], as_index=False, sort=True)
+        ["cosine"].max(),
+    )
     df = pairs.to_pandas()
     if df.empty:  # stable schema even when the corpus has no near-dups
         df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
@@ -457,7 +553,24 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
 
     qids, qmat = _query_vectors(sf_dir, n_queries)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    sample = ds.limit(2048).to_pandas()
+    # k-means sample: deterministic id-hash filter, NOT limit(2048) —
+    # limit takes the first file region and biases the codebook toward
+    # whatever cluster structure that region happens to hold
+    import pyarrow.parquet as _pq
+
+    total = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    cap = min(1.0, 4096.0 / max(1, total))
+    thresh = int(cap * (1 << 32))
+
+    def sample_filter(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["vec_id"].to_numpy().astype(np.uint64)
+        keep = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+                < np.uint64(thresh))
+        return batch.filter(pa.array(keep))
+
+    sample = ds.map_batches(sample_filter, batch_format="pyarrow").to_pandas()
     centroids = sim.kmeans_fit(
         sim.batch_to_matrix(sample["embedding"].to_numpy()), n_clusters
     )

@@ -20,7 +20,7 @@ from typing import Any
 
 # bump when crawl output semantics/schema change so a stale /tmp cache
 # from an older code version is never served to the driver's gate
-_RUN_SCHEMA_VERSION = 3  # v3: url_seen/ is a per-shard parquet dataset
+_RUN_SCHEMA_VERSION = 4  # v4: T6 retry attempts appear as crawl_retry rows
 _RUN_CACHE_ROOT = f"/tmp/neocrawler_ray_runs/v{_RUN_SCHEMA_VERSION}"
 
 

@@ -2,8 +2,9 @@
 
 Mirrors the reference's ``instance/*/settings.json`` knobs (reference:
 README.md:100-120) plus the engine's own distribution knobs (shard counts,
-actor-pool sizes).  One frozen snapshot per run — the reference's hot-reload
-(scheduler/index.js:63-120) is out of scope per SURVEY.md §2.3 T5.
+actor-pool sizes).  Rules are re-read at wave boundaries when
+``rules.json`` changes on disk (T5-lite re-expression of the reference's
+120 s hot-reload poll, scheduler/index.js:63-120).
 """
 
 from __future__ import annotations
@@ -18,6 +19,16 @@ class CrawlSettings:
     schedule_interval: int = 60                  # logical seconds per wave
     download_retry: int = 3                      # app-level retry limit
     keep_link_relation: bool = True
+    # T7 circuit breaker (extractor.js:416-423): when enabled, the run
+    # aborts (with a final checkpoint) once the running ±failure counter
+    # exceeds ``circuit_breaker_factor × schedule_quantity_limitation``
+    # — the wave-model analog of the reference's
+    # ``cumulative_failure > spider_concurrency*1.5`` then process.exit
+    to_much_fail_exit: bool = False
+    circuit_breaker_factor: float = 1.5
+    # T5 rules hot-reload (scheduler/index.js:63-120 polls every 120 s):
+    # wave-boundary re-read of rules.json when its mtime/digest changes
+    rules_reload: bool = True
 
     # --- reference policy constants (per call-site — SURVEY.md §7.3) ----
     scheduler_lock_ms: int = 60 * 60 * 1000      # scheduler/index.js:381-383

@@ -51,7 +51,7 @@ from .scheduler import run_schedule_wave, shard_for_url
 
 def fused_fetch_extract(batch, *, run_token, corpus_dir, robots_map,
                         pages_shards, rules_ref, settings, frontier_shards,
-                        partition_refs=None, plugin=None):
+                        rules_version=0, partition_refs=None, plugin=None):
     """fetch-sim → extract in one task (html stays in-process)."""
     fetched = fetch_sim_batch(
         batch, run_token=run_token, corpus_dir=corpus_dir,
@@ -60,7 +60,8 @@ def fused_fetch_extract(batch, *, run_token, corpus_dir, robots_map,
     )
     return extract_batch_task(
         fetched, run_token=run_token, rules_ref=rules_ref, settings=settings,
-        frontier_shards=frontier_shards, plugin=plugin,
+        frontier_shards=frontier_shards, rules_version=rules_version,
+        plugin=plugin,
     )
 
 SCHED_SCHEMA = pa.schema(
@@ -72,6 +73,7 @@ SCHED_SCHEMA = pa.schema(
         ("version", pa.int64()),
         ("referer", pa.string()),
         ("drill_relation", pa.string()),
+        ("retry", pa.int32()),
     ]
 )
 
@@ -87,6 +89,7 @@ def _scheduled_to_table(scheduled: list[dict]) -> pa.Table:
                 "version": int(s["version"]),
                 "referer": s.get("referer") or "",
                 "drill_relation": s.get("drill_relation") or "*",
+                "retry": int(s.get("retry") or 0),
             }
             for s in scheduled
         ],
@@ -140,17 +143,68 @@ class CrawlJob:
         self._fs_snapshots: dict[int, dict[str, int]] = {}
         if resume:
             self.start_wave = self._restore_checkpoint()
-        # post-commit queue lengths per urllib key (schedule-skip index)
+        # post-commit queue/retry lengths per urllib key (schedule-skip
+        # indexes — avoid a pop/drain RPC for provably-empty queues)
         self.queue_lens: dict[str, int] = {}
-        for lens in ray.get([sh.all_queue_lens.remote() for sh in self.shards]):
+        self.retry_lens: dict[str, int] = {}
+        pairs = ray.get([sh.all_queue_lens.remote() for sh in self.shards])
+        rlens = ray.get([sh.all_retry_lens.remote() for sh in self.shards])
+        for lens in pairs:
             for k, v in lens.items():
                 self.queue_lens[k] = self.queue_lens.get(k, 0) + v
+        for lens in rlens:
+            for k, v in lens.items():
+                self.retry_lens[k] = self.retry_lens.get(k, 0) + v
+        # T7 running ±failure counter (extractor.js:416-423 wave analog)
+        self._cum_failure = 0
+        # T5 hot-reload signature of rules.json
+        self._rules_path = os.path.join(corpus_dir, "rules.json")
+        self._rules_sig = self._rules_signature()
+        self.rules_version = 0
 
     # ------------------------------------------------------------------
     def _call(self, shard, method, *args):
         import ray
 
         return ray.get(getattr(shard, method).remote(*args))
+
+    # --- T5 rules hot-reload (wave-boundary re-expression of the
+    #     reference's 120 s poll, scheduler/index.js:63-120) -------------
+    def _rules_signature(self) -> tuple:
+        import hashlib
+
+        try:
+            with open(self._rules_path, "rb") as f:
+                blob = f.read()
+            return (os.stat(self._rules_path).st_mtime_ns,
+                    hashlib.md5(blob).hexdigest())
+        except OSError:
+            return (0, "")
+
+    def _maybe_reload_rules(self) -> bool:
+        import ray
+
+        if not self.settings.rules_reload:
+            return False
+        sig = self._rules_signature()
+        if sig == self._rules_sig:
+            return False
+        self._rules_sig = sig
+        with open(self._rules_path) as f:
+            self.rules = json.load(f)
+        self.ruleset = RuleSet(self.rules)
+        old_fs = {e["key"]: e["first_schedule"] for e in self.entries}
+        self.entries = self.ruleset.priority_list(self.settings.max_weight)
+        for e in self.entries:
+            # existing rules keep their reSchedule clocks; NEW rules get
+            # 0 → their seeds enter the very next wave (driller:*:updated
+            # semantics, scheduler/index.js:109-117)
+            e["first_schedule"] = old_fs.get(e["key"], 0)
+        self.total_rates = sum(e["rate"] for e in self.entries)
+        self.rules_ref = ray.put(self.rules)
+        self.rules_version += 1
+        ray.get([sh.update_rules.remote(self.rules) for sh in self.shards])
+        return True
 
     # --- checkpoint -----------------------------------------------------
     @property
@@ -195,11 +249,13 @@ class CrawlJob:
         return wave + 1
 
     # ------------------------------------------------------------------
-    def run(self, max_waves: int | None = None) -> dict:
+    def run(self, max_waves: int | None = None, on_wave_end=None) -> dict:
         """Run the wave loop until the frontier drains (or max_waves).
 
         Returns summary metrics.  Wave outputs land in
         ``out/extracted/wave={k}/`` and ``out/schedule/wave={k}.parquet``.
+        ``on_wave_end(wave)`` (optional) fires after each wave's commit —
+        the test seam for mid-run events (e.g. a rules.json edit).
         """
         import ray
 
@@ -219,9 +275,11 @@ class CrawlJob:
 
         while wave < max_waves:
             t = _time.perf_counter()
+            self._maybe_reload_rules()
             scheduled = run_schedule_wave(
                 wave, self.entries, self.total_rates, self.shards, s,
                 backlog_len=0, call=self._call, queue_lens=self.queue_lens,
+                retry_lens=self.retry_lens,
             )
             t = _tick("schedule", t)
             if not scheduled:
@@ -292,6 +350,7 @@ class CrawlJob:
                     robots_map=self.robots_ref,
                     pages_shards=pages_shards,
                     rules_ref=self.rules_ref,
+                    rules_version=self.rules_version,
                     settings=s,
                     frontier_shards=self.shards,
                     partition_refs=self.partition_refs,
@@ -327,7 +386,7 @@ class CrawlJob:
             # cross-task arrival order is free).  Replaces both the
             # per-block blocking fan-out (inverted scaling) and the
             # driver-side per-row loop (the per-wave serial floor).
-            route_feedback_files(wave_path, self.shards)
+            fb_counts = route_feedback_files(wave_path, self.shards)
             t = _tick("feedback", t)
 
             # ---- deterministic frontier commit + checkpoint -------------
@@ -340,11 +399,14 @@ class CrawlJob:
                  for shard in self.shards]
             )
             self.queue_lens = {}
-            for c, lens in results:
+            self.retry_lens = {}
+            for c, lens, rlens in results:
                 for k, v in c.items():
                     totals[k] = totals.get(k, 0) + v
                 for k, v in lens.items():
                     self.queue_lens[k] = self.queue_lens.get(k, 0) + v
+                for k, v in rlens.items():
+                    self.retry_lens[k] = self.retry_lens.get(k, 0) + v
             totals["scheduled"] = totals.get("scheduled", 0) + n
             if s.state_spill_keep_ms:
                 spilled = ray.get([
@@ -365,6 +427,28 @@ class CrawlJob:
                 # writers before starting wave's) — manifest lags one wave
                 self._write_manifest(wave - 1)
             t = _tick("commit", t)
+
+            # --- T7 circuit breaker (extractor.js:416-423 wave analog):
+            # running counter +1 per failed attempt, -1 per success,
+            # floored at 0; crossing factor×quota aborts the run with a
+            # durable checkpoint (the reference process.exit(1)s; a
+            # restart — here resume=True — starts the counter afresh)
+            if s.to_much_fail_exit:
+                self._cum_failure = max(
+                    0, self._cum_failure + fb_counts["fail"] - fb_counts["finish"])
+                threshold = (s.circuit_breaker_factor
+                             * s.schedule_quantity_limitation)
+                if self._cum_failure > threshold:
+                    totals["aborted_wave"] = wave
+                    totals["cumulative_failure"] = self._cum_failure
+                    if self.plugin is not None:
+                        self.plugin.alert(
+                            "too_much_fail_abort",
+                            {"wave": wave, "cum_failure": self._cum_failure})
+                    wave += 1
+                    break
+            if on_wave_end is not None:
+                on_wave_end(wave)
             wave += 1
 
         totals["waves"] = wave

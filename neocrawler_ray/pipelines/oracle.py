@@ -34,7 +34,7 @@ from .scheduler import run_schedule_wave
 
 
 def run_oracle(corpus_dir: str, settings: CrawlSettings,
-               max_waves: int | None = None) -> dict:
+               max_waves: int | None = None, plugin=None) -> dict:
     with open(os.path.join(corpus_dir, "rules.json")) as f:
         rules = json.load(f)
     ruleset = RuleSet(rules)
@@ -76,11 +76,37 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
             url = row["url"]
             rule = extractor._rule(row["urllib"]) or {}
             host = url_host(url) or ""
-            prefixes = robots.get(host) or []
-            path = url.split(host, 1)[-1]
-            blocked = any(path.startswith(p) for p in prefixes)
-            html = None if blocked else pages.get(url)
-            status = 999 if blocked else (200 if html is not None else 404)
+            html = None
+            status = 0
+            blocked = False
+            handled = False
+            if plugin is not None:
+                # downloader.js:294-306 download-replace hook, driven one
+                # row at a time (the oracle is strictly sequential).  A
+                # replaced download bypasses robots gating, exactly like
+                # FetchSim.__call__ (plugin short-circuits first).
+                import pyarrow as pa
+
+                one = pa.Table.from_pylist([{
+                    "seq": row["seq"], "wave": row["wave"], "url": url,
+                    "urllib": row["urllib"], "version": int(row["version"]),
+                    "referer": row.get("referer") or "",
+                    "drill_relation": row.get("drill_relation") or "*",
+                    "retry": int(row.get("retry") or 0),
+                }])
+                res = plugin.download_batch(one)
+                if res is not None:
+                    html = res.column("html")[0].as_py()
+                    status = int(res.column("status")[0].as_py())
+                    blocked = bool(res.column("robots_blocked")[0].as_py()) \
+                        if "robots_blocked" in res.schema.names else False
+                    handled = True
+            if not handled:
+                prefixes = robots.get(host) or []
+                path = url.split(host, 1)[-1]
+                blocked = any(path.startswith(p) for p in prefixes)
+                html = None if blocked else pages.get(url)
+                status = 999 if blocked else (200 if html is not None else 404)
             fmt = rule.get("format", "html")
             is_binary = fmt == "binary"
 
@@ -89,6 +115,7 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
             valid = False
             links = {}
             relation = row["drill_relation"] or "*"
+            act_retry = int(row.get("retry") or 0)
             if not blocked:
                 if status == 200 and html is not None and not is_binary:
                     content = html.decode(rule.get("encoding") or "utf-8", "replace")
@@ -106,6 +133,9 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
                             settings.keep_link_relation, rules,
                         )
                         text = data.get("text_main") or ""
+                elif act_retry < settings.download_retry:
+                    # T6 retryCrawl, mirrored (spider/spider.js:350-372)
+                    final_state = "crawl_retry"
 
             # frontier feedback, buffered exactly like the engine
             buf = []
@@ -117,13 +147,18 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
                          (gidx, lidx, ulib, dst, url, relation, row["version"]))
                     )
                 gidx += 1
-            buf.append((row["seq"], "state", (url, final_state)))
+            if final_state == "crawl_retry":
+                buf.append((row["seq"], "retry",
+                            (url, row["urllib"], act_retry + 1)))
+            else:
+                buf.append((row["seq"], "state", (url, final_state)))
             shard.buffer_results(buf)
             extracted.append(
                 {
                     "seq": row["seq"], "wave": wave, "url": url,
                     "status": status, "valid": valid,
                     "final_state": final_state, "text": text,
+                    "retries": act_retry,
                 }
             )
         shard.commit_wave(version)

@@ -84,6 +84,50 @@ class ContentDedupSink(PipelinePlugin):
         self.alerts.append((event, payload))
 
 
+class ReplayDownloaderPlugin(PipelinePlugin):
+    """Full download-replace plugin (downloader.js:294-306 surface)
+    serving the corpus from an in-memory url→html dict — the injectable
+    downloader used to exercise the T6 retry loop and T7 circuit
+    breaker, since the built-in fetch-sim is deterministic and cannot
+    fail transiently.
+
+    ``fail_url`` returns 503 for its first ``fail_times`` attempts
+    (the ``retry`` column carries the attempt number), then succeeds;
+    ``fail_all=True`` poisons every download."""
+
+    def __init__(self, corpus_dir: str, fail_url: str = "",
+                 fail_times: int = 2, fail_all: bool = False):
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(f"{corpus_dir}/pages").to_table(
+            columns=["url", "html"])
+        self.pages = dict(zip(tbl.column("url").to_pylist(),
+                              tbl.column("html").to_pylist()))
+        self.fail_url = fail_url
+        self.fail_times = fail_times
+        self.fail_all = fail_all
+        self.alerts: list[tuple[str, dict]] = []
+
+    def download_batch(self, batch: pa.Table) -> pa.Table:
+        htmls, statuses = [], []
+        retries = batch.column("retry").to_pylist()
+        for u, r in zip(batch.column("url").to_pylist(), retries):
+            if self.fail_all or (u == self.fail_url and r < self.fail_times):
+                htmls.append(None)
+                statuses.append(503)
+            else:
+                h = self.pages.get(u)
+                htmls.append(h)
+                statuses.append(200 if h is not None else 404)
+        return (batch.append_column("html", pa.array(htmls, pa.binary()))
+                .append_column("status", pa.array(statuses, pa.int32()))
+                .append_column("robots_blocked",
+                               pa.array([False] * batch.num_rows, pa.bool_())))
+
+    def alert(self, event: str, payload: dict) -> None:
+        self.alerts.append((event, payload))
+
+
 class TagExtractPlugin(PipelinePlugin):
     """Example ``extract_batch`` hook: derives an extra column from the
     extracted text (the wiki example's post-processing shape,

@@ -47,6 +47,7 @@ def run_schedule_wave(
     backlog_len: int = 0,
     call=None,
     queue_lens: dict | None = None,
+    retry_lens: dict | None = None,
 ):
     """One scheduler round.  ``shards[i]`` may be a local
     :class:`FrontierShard` or a Ray actor handle — pass ``call`` to invoke
@@ -72,6 +73,31 @@ def run_schedule_wave(
     for shard in shards:
         call(shard, "begin_wave")
 
+    # --- T6 retry drain (spider/spider.js:350-362) --------------------
+    # retryCrawl re-emits a failed urlinfo straight into the spider's
+    # own download queue — it crawls before the next scheduler round's
+    # output and consumes no quota.  Wave analog: drain every rule's
+    # retry queue first, in serve order, FIFO within a rule.
+    for entry in priority_entries:
+        urllib_key = "urllib:" + entry["key"]
+        if retry_lens is not None and not retry_lens.get(urllib_key):
+            continue  # provably-empty retry queue (post-commit length)
+        sid = shard_for_domain(entry["domain"], num_shards)
+        for url, ver, referer, relation, rcount in call(
+                shards[sid], "drain_retries", urllib_key, now):
+            scheduled.append(
+                {
+                    "seq": len(scheduled),
+                    "url": url,
+                    "urllib": urllib_key,
+                    "version": ver,
+                    "referer": referer,
+                    "drill_relation": relation or "*",
+                    "wave": wave,
+                    "retry": rcount,
+                }
+            )
+
     def flush_run(run_sid, run_reqs, run_keys, left_in):
         """One RPC for a run of consecutive same-shard pops (the shard
         chains the leftover-carry internally — exact driver-loop
@@ -89,6 +115,7 @@ def run_schedule_wave(
                         "referer": referer,
                         "drill_relation": drill_relation or "*",
                         "wave": wave,
+                        "retry": 0,
                     }
                 )
         return left_out
@@ -127,6 +154,7 @@ def run_schedule_wave(
                             "referer": "",
                             "drill_relation": "*",
                             "wave": wave,
+                            "retry": 0,
                         }
                     )
             entry["first_schedule"] = version

@@ -66,19 +66,23 @@ _WORKER_EXTRACTORS: dict = {}
 
 
 def extract_batch_task(batch: pa.Table, *, run_token: str, rules_ref,
-                       settings, frontier_shards: list, plugin=None) -> pa.Table:
+                       settings, frontier_shards: list, rules_version: int = 0,
+                       plugin=None) -> pa.Table:
     """Task-mode extract: worker-global singleton per run (see
     ``fetch.fetch_sim_batch`` for why tasks + a module cache beat a
     per-wave actor pool here).  ``rules_ref`` is the broadcast rules
-    dict ``ObjectRef``; resolved once per worker process."""
+    dict ``ObjectRef``; resolved once per worker process, and
+    re-resolved when ``rules_version`` bumps (T5 wave-boundary reload —
+    the driver re-broadcasts and passes a new version)."""
     import ray
 
-    inst = _WORKER_EXTRACTORS.get(run_token)
+    key = (run_token, rules_version)
+    inst = _WORKER_EXTRACTORS.get(key)
     if inst is None:
         rules = ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef) else rules_ref
         inst = ExtractBatch(rules, settings, frontier_shards, plugin=plugin)
-        _WORKER_EXTRACTORS.clear()  # one run at a time per worker
-        _WORKER_EXTRACTORS[run_token] = inst
+        _WORKER_EXTRACTORS.clear()  # one run (and rules version) at a time
+        _WORKER_EXTRACTORS[key] = inst
     return inst(batch)
 
 
@@ -108,6 +112,9 @@ class ExtractBatch:
             for c in ("seq", "wave", "url", "urllib", "version",
                       "drill_relation", "html", "status", "robots_blocked")
         }
+        cols["retry"] = (
+            batch.column("retry").to_pylist()
+            if "retry" in batch.schema.names else [0] * batch.num_rows)
         for i in range(batch.num_rows):
             seq = cols["seq"][i]
             url = cols["url"][i]
@@ -123,7 +130,7 @@ class ExtractBatch:
             is_binary = fmt == "binary"
 
             valid = False
-            retries = 0
+            retries = int(cols["retry"][i] or 0)
             text = ""
             extracted_json = ""
             lacks: list[str] = []
@@ -146,9 +153,13 @@ class ExtractBatch:
                     rule.get("validation_keywords"),
                 )
                 if not valid:
-                    # deterministic sim → immediate retry exhaustion
-                    retries = self.settings.download_retry
-                    final_state = "crawled_failure"
+                    # T6 retryCrawl (spider/spider.js:350-372): below the
+                    # limit the attempt re-enters the next wave with
+                    # retry+1; at the limit the url turns crawled_failure
+                    if retries < self.settings.download_retry:
+                        final_state = "crawl_retry"
+                    else:
+                        final_state = "crawled_failure"
                 else:
                     final_state = "crawled_finish"
                     if is_binary:
@@ -200,8 +211,8 @@ class ExtractBatch:
         return result
 
 
-FEEDBACK_COLUMNS = ["seq", "url", "domain", "final_state",
-                    "drill_relation", "version", "feedback_json"]
+FEEDBACK_COLUMNS = ["seq", "url", "urllib", "domain", "final_state",
+                    "drill_relation", "version", "retries", "feedback_json"]
 
 
 def _route_file_task(path: str, shards: list) -> int:
@@ -213,6 +224,7 @@ def _route_file_task(path: str, shards: list) -> int:
     task completion therefore implies delivery, giving the driver a
     happens-before edge to ``commit_wave`` without any driver-side row
     loop (the former per-wave serial floor)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
 
@@ -221,25 +233,36 @@ def _route_file_task(path: str, shards: list) -> int:
     if buffers:
         ray.get([shards[sid].buffer_results.remote(rows)
                  for sid, rows in buffers.items()])
-    return tbl.num_rows
+    st = tbl.column("final_state")
+    n_fail = int(pc.sum(pc.cast(pc.is_in(
+        st, pa.array(["crawled_failure", "crawl_retry"])), pa.int64())).as_py() or 0)
+    n_ok = int(pc.sum(pc.cast(pc.equal(
+        st, "crawled_finish"), pa.int64())).as_py() or 0)
+    return {"rows": tbl.num_rows, "fail": n_fail, "finish": n_ok}
 
 
 _ROUTE_TASK = None
 
 
-def route_feedback_files(wave_path: str, shards: list) -> int:
-    """Distributed wave-feedback routing: one task per output file."""
+def route_feedback_files(wave_path: str, shards: list) -> dict:
+    """Distributed wave-feedback routing: one task per output file.
+    Returns summed counts {rows, fail, finish} (the fail/finish tallies
+    feed the T7 circuit breaker)."""
     import glob
 
     import ray
 
     global _ROUTE_TASK
     files = sorted(glob.glob(os.path.join(wave_path, "*.parquet")))
+    totals = {"rows": 0, "fail": 0, "finish": 0}
     if not files:
-        return 0
+        return totals
     if _ROUTE_TASK is None:
         _ROUTE_TASK = ray.remote(num_cpus=0.5)(_route_file_task)
-    return sum(ray.get([_ROUTE_TASK.remote(f, shards) for f in files]))
+    for c in ray.get([_ROUTE_TASK.remote(f, shards) for f in files]):
+        for k in totals:
+            totals[k] += c[k]
+    return totals
 
 
 def route_feedback(table: pa.Table, num_shards: int) -> dict[int, list[tuple]]:
@@ -248,11 +271,7 @@ def route_feedback(table: pa.Table, num_shards: int) -> dict[int, list[tuple]]:
     shard.  Driver-callable; at wave scale it runs inside
     :func:`_route_file_task` Ray tasks (one per wave-output file)."""
     shard_buffers: dict[int, list[tuple]] = {}
-    cols = {
-        c: table.column(c).to_pylist()
-        for c in ("seq", "url", "domain", "final_state", "drill_relation",
-                  "version", "feedback_json")
-    }
+    cols = {c: table.column(c).to_pylist() for c in FEEDBACK_COLUMNS}
     # host/domain shard ids are md5-derived — memoize (few distinct hosts
     # per wave, tens of thousands of rows)
     dom_cache: dict[str, int] = {}
@@ -283,7 +302,17 @@ def route_feedback(table: pa.Table, num_shards: int) -> dict[int, list[tuple]]:
                 shard_buffers.setdefault(_lsid(dst), []).append(
                     (seq, "link", (gidx, lidx, ulib, dst, url, relation, version))
                 )
-        shard_buffers.setdefault(_dsid(cols["domain"][i]), []).append(
-            (seq, "state", (url, cols["final_state"][i]))
-        )
+        state = cols["final_state"][i]
+        if state == "crawl_retry":
+            # T6: re-admit on the RULE's shard (its retry queue lives
+            # with its urllib queue, keyed by the rule domain)
+            ulib = cols["urllib"][i]
+            rule_domain = (ulib.split(":") + ["", "", ""])[2]
+            shard_buffers.setdefault(_dsid(rule_domain), []).append(
+                (seq, "retry", (url, ulib, int(cols["retries"][i]) + 1))
+            )
+        else:
+            shard_buffers.setdefault(_dsid(cols["domain"][i]), []).append(
+                (seq, "state", (url, state))
+            )
     return shard_buffers

@@ -46,6 +46,12 @@ class FrontierShard:
         self.settings = settings
         self.url_info: dict[str, dict] = {}
         self.queues: dict[str, deque[str]] = {}
+        # T6 retry loop (spider/spider.js:350-372 retryCrawl): failed
+        # attempts below download_retry re-enter the NEXT wave directly —
+        # (url, retry_count) per rule, bypassing scheduler quota and
+        # checkURL exactly as the reference's re-emit into the spider's
+        # own download queue does
+        self.retry_queues: dict[str, deque[tuple[str, int]]] = {}
         self.seen = CuckooFilter(capacity=seen_capacity, seed=1000 + shard_id)
         # wave link/result buffer: applied in deterministic (seq) order at
         # commit_wave — makes parallel extract order-equivalent to the
@@ -58,6 +64,38 @@ class FrontierShard:
     def begin_wave(self) -> None:
         """Reset wave-local politeness budgets (called at each wave start)."""
         self._host_counts = {}
+
+    def update_rules(self, rules: dict) -> bool:
+        """T5 hot-reload: swap the rule snapshot (wave-boundary only —
+        the shard is quiescent between commit and the next schedule)."""
+        self.rules = rules
+        return True
+
+    # ------------------------------------------------------------------
+    # T6 retry drain — retryCrawl re-emits into the spider's own queue
+    # (spider/spider.js:350-362); the wave analog is "first in next wave"
+    # ------------------------------------------------------------------
+    def drain_retries(self, urllib_key: str, now: int) -> list[tuple]:
+        """Pop ALL pending retries for one rule (FIFO).  Returns
+        ``(url, version, referer, drill_relation, retry)`` rows; marks
+        each picked url ``crawling`` like any scheduled pickup."""
+        q = self.retry_queues.get(urllib_key)
+        out: list[tuple] = []
+        while q:
+            url, retry = q.popleft()
+            info = self.url_info.get(url_md5(url)) or {}
+            out.append(
+                (url,
+                 int(info.get("version") or 0),
+                 info.get("referer", ""),
+                 info.get("drill_relation", "*") or "*",
+                 retry)
+            )
+            self.update_link_state(url, "crawling", False, now)
+        return out
+
+    def all_retry_lens(self) -> dict:
+        return {k: len(q) for k, q in self.retry_queues.items() if q}
 
     # ------------------------------------------------------------------
     # helpers
@@ -250,8 +288,12 @@ class FrontierShard:
         - ``'link'``: payload = (gidx, lidx, urllib_key, dst_url, page_url,
           drill_relation, version)
         - ``'state'``: payload = (page_url, final_state)
-        Applied in (seq, kind-order links-then-state, gidx, lidx) order at
-        commit_wave.
+        - ``'retry'``: payload = (page_url, urllib_key, next_retry) — a
+          sub-limit failed attempt; re-enqueued for the next wave instead
+          of a state write (retryCrawl semantics — a page emits either a
+          state row or a retry row, never both)
+        Applied in (seq, kind-order links-then-state/retry, gidx, lidx)
+        order at commit_wave.
         """
         self._buffer.extend(rows)
         return len(self._buffer)
@@ -259,11 +301,12 @@ class FrontierShard:
     def commit_wave(self, now: int) -> dict:
         """Apply buffered link saves + state transitions in deterministic
         order; clears the buffer.  Returns per-event counts."""
-        kind_rank = {"link": 0, "state": 1}
+        kind_rank = {"link": 0, "state": 1, "retry": 1}
         self._buffer.sort(
             key=lambda r: (r[0], kind_rank[r[1]], r[2][:2] if r[1] == "link" else ())
         )
-        counts = {"links_saved": 0, "links_rejected": 0, "states": 0}
+        counts = {"links_saved": 0, "links_rejected": 0, "states": 0,
+                  "retries_queued": 0}
         for _seq, kind, payload in self._buffer:
             if kind == "link":
                 (_g, _l, urllib_key, dst, page_url, drill_relation, version) = payload
@@ -272,6 +315,11 @@ class FrontierShard:
                     counts["links_saved"] += 1
                 else:
                     counts["links_rejected"] += 1
+            elif kind == "retry":
+                page_url, urllib_key, next_retry = payload
+                self.retry_queues.setdefault(urllib_key, deque()).append(
+                    (page_url, next_retry))
+                counts["retries_queued"] += 1
             else:
                 page_url, final_state = payload
                 self.update_link_state(page_url, final_state, False, now)
@@ -318,7 +366,7 @@ class FrontierShard:
         t = threading.Thread(target=_write, daemon=True)
         t.start()
         self._ckpt_thread = t
-        return counts, self.all_queue_lens()
+        return counts, self.all_queue_lens(), self.all_retry_lens()
 
     def finish_checkpoints(self) -> bool:
         """Join the in-flight checkpoint write (durability barrier)."""
@@ -505,6 +553,8 @@ class FrontierShard:
                 "shard_id": self.shard_id,
                 "url_info": self.url_info,
                 "queues": {k: list(v) for k, v in self.queues.items()},
+                "retry_queues": {k: list(v)
+                                 for k, v in self.retry_queues.items()},
                 "seen": self.seen.to_bytes(),
                 "metrics": self.metrics,
             },
@@ -516,6 +566,9 @@ class FrontierShard:
         self.shard_id = d["shard_id"]
         self.url_info = d["url_info"]
         self.queues = {k: deque(v) for k, v in d["queues"].items()}
+        self.retry_queues = {
+            k: deque(tuple(x) for x in v)
+            for k, v in d.get("retry_queues", {}).items()}
         self.seen = CuckooFilter.from_bytes(d["seen"])
         self.metrics = d["metrics"]
         self._buffer = []

@@ -76,12 +76,14 @@ def test_url_seen_parity(engine_out, oracle_result):
 def test_text_and_state_parity(engine_out, oracle_result):
     out, _ = engine_out
     ext = pads.dataset(f"{out}/extracted").to_table(
-        columns=["url", "text", "final_state", "status"]
+        columns=["url", "retries", "text", "final_state", "status"]
     ).to_pylist()
-    by_url = {e["url"]: e for e in oracle_result["extracted"]}
-    assert len(ext) == len(by_url)
+    # one output row per ATTEMPT (T6 retry loop): key rows by
+    # (url, attempt#) — unique on both sides
+    by_key = {(e["url"], e["retries"]): e for e in oracle_result["extracted"]}
+    assert len(ext) == len(by_key)
     for r in ext:
-        o = by_url[r["url"]]
+        o = by_key[(r["url"], r["retries"])]
         assert r["text"] == o["text"], r["url"]          # byte-identical
         assert r["final_state"] == o["final_state"]
         assert r["status"] == o["status"]
@@ -110,3 +112,141 @@ def test_resume_from_checkpoint(corpus, tmp_path_factory, ray_session,
         pq.read_table(f"{out_full}/url_seen").column("url_md5").to_pylist()
     )
     assert seen_r == seen_f
+
+
+# ------------------------- T6: transient retry ----------------------------
+def _ReplacementDownloader(corpus_dir, **kw):
+    # library plugin (workers must be able to import the class)
+    from neocrawler_ray.pipelines.plugins import ReplayDownloaderPlugin
+
+    return ReplayDownloaderPlugin(corpus_dir, **kw)
+
+
+def test_transient_failure_retries_then_succeeds(corpus, tmp_path_factory,
+                                                 ray_session, oracle_result):
+    """spider/spider.js:350-372: a url failing transiently succeeds on a
+    later attempt with retry count riding along; the sequential oracle
+    reproduces the exact schedule order including the retry waves."""
+    from neocrawler_ray.pipelines.crawl import CrawlJob
+    from neocrawler_ray.pipelines.oracle import run_oracle
+
+    # a url scheduled in wave 0 of the plain run
+    fail_url = oracle_result["schedule_log"][0]["url"]
+    plugin = _ReplacementDownloader(corpus, fail_url=fail_url, fail_times=2)
+    out = str(tmp_path_factory.mktemp("retry_out"))
+    job = CrawlJob(corpus, _settings(), out, plugin=plugin)
+    job.run()
+
+    ext = pads.dataset(f"{out}/extracted").to_table(
+        columns=["url", "retries", "status", "final_state"]).to_pylist()
+    attempts = sorted(
+        ((r["retries"], r["status"], r["final_state"])
+         for r in ext if r["url"] == fail_url))
+    assert attempts == [
+        (0, 503, "crawl_retry"),
+        (1, 503, "crawl_retry"),
+        (2, 200, "crawled_finish"),   # succeeded on retry 2
+    ]
+
+    ora = run_oracle(corpus, _settings(),
+                     plugin=_ReplacementDownloader(corpus, fail_url=fail_url,
+                                                   fail_times=2))
+    eng_log = _schedule_rows(out)
+    ora_log = [(r["wave"], r["seq"], r["url"], r["urllib"])
+               for r in ora["schedule_log"]]
+    assert eng_log == ora_log
+
+
+def test_exhausted_retries_turn_crawled_failure(corpus, tmp_path_factory,
+                                                ray_session, oracle_result):
+    """A url that keeps failing is re-tried download_retry times, then
+    marked crawled_failure with the exhausted counter."""
+    from neocrawler_ray.pipelines.crawl import CrawlJob
+
+    fail_url = oracle_result["schedule_log"][0]["url"]
+    plugin = _ReplacementDownloader(corpus, fail_url=fail_url, fail_times=99)
+    out = str(tmp_path_factory.mktemp("retry_dead_out"))
+    job = CrawlJob(corpus, _settings(download_retry=3), out, plugin=plugin)
+    job.run()
+    ext = pads.dataset(f"{out}/extracted").to_table(
+        columns=["url", "retries", "final_state"]).to_pylist()
+    attempts = sorted((r["retries"], r["final_state"])
+                      for r in ext if r["url"] == fail_url)
+    assert attempts == [(0, "crawl_retry"), (1, "crawl_retry"),
+                        (2, "crawl_retry"), (3, "crawled_failure")]
+
+
+# ------------------------- T7: circuit breaker ----------------------------
+def test_circuit_breaker_aborts_and_resumes(corpus, tmp_path_factory,
+                                            ray_session):
+    """extractor.js:416-423: a poisoned corpus (every download fails)
+    trips the ±failure counter past factor×quota and the run aborts with
+    a durable checkpoint; a resume continues from the aborted wave."""
+    from neocrawler_ray.pipelines.crawl import CrawlJob
+
+    out = str(tmp_path_factory.mktemp("breaker_out"))
+    settings = _settings(to_much_fail_exit=True, circuit_breaker_factor=0.5,
+                         schedule_quantity_limitation=4)
+    plugin = _ReplacementDownloader(corpus, fail_all=True)
+    job = CrawlJob(corpus, settings, out, plugin=plugin)
+    totals = job.run()
+    assert totals["aborted_wave"] == 0
+    assert totals["cumulative_failure"] > 0.5 * 4
+    assert ("too_much_fail_abort", totals["waves"] - 1) == (
+        plugin.alerts[-1][0], plugin.alerts[-1][1]["wave"])
+
+    # resume continues from the aborted wave with fresh counters and
+    # (healthy downloads now) finishes the crawl
+    job2 = CrawlJob(corpus, _settings(schedule_quantity_limitation=4), out,
+                    resume=True,
+                    plugin=_ReplacementDownloader(corpus))
+    assert job2.start_wave == totals["aborted_wave"] + 1
+    totals2 = job2.run(max_waves=job2.start_wave + 3)
+    assert "aborted_wave" not in totals2
+
+
+# ------------------------- T5: rules hot-reload ---------------------------
+def test_rules_reload_mid_run(corpus, tmp_path_factory, ray_session):
+    """scheduler/index.js:63-120: a rule added to rules.json mid-run is
+    picked up at the next wave boundary and its seed enters that wave's
+    schedule log under the new urllib key."""
+    import json
+    import os
+
+    from neocrawler_ray.pipelines.crawl import CrawlJob
+
+    # private corpus copy (the module fixture is shared)
+    import shutil
+
+    my_corpus = str(tmp_path_factory.mktemp("reload_corpus"))
+    shutil.rmtree(my_corpus)
+    shutil.copytree(corpus, my_corpus)
+
+    with open(os.path.join(my_corpus, "rules.json")) as f:
+        rules = json.load(f)
+    d0 = sorted(rules.keys())[0]
+    seed_url = f"http://www.{d0}/cat_0/list_1.html"
+
+    def inject(wave: int) -> None:
+        if wave != 0:
+            return
+        esc = d0.replace(".", r"\.")
+        new_rule = dict(rules[d0]["list"])
+        new_rule.update(
+            alias="injected",
+            url_pattern=rf"^http://www\.{esc}/cat_0/list_1\.html$",
+            seed=[seed_url], drill_rules=[],
+        )
+        rules[d0]["injected"] = new_rule
+        with open(os.path.join(my_corpus, "rules.json"), "w") as f:
+            json.dump(rules, f)
+
+    out = str(tmp_path_factory.mktemp("reload_out"))
+    job = CrawlJob(my_corpus, _settings(), out)
+    job.run(max_waves=3, on_wave_end=inject)
+
+    rows = _schedule_rows(out)
+    injected = [r for r in rows if r[3] == f"urllib:driller:{d0}:injected"]
+    assert injected, "injected rule's seed never scheduled"
+    assert injected[0][0] == 1  # first wave after the reload
+    assert injected[0][2] == seed_url

@@ -77,10 +77,17 @@ def test_download_hook_replaces_fetch(corpus, tmp_path, ray_session):
 
     job = CrawlJob(corpus, _settings(), str(tmp_path / "out3"), plugin=Stub404())
     totals = job.run()
-    # nothing downloads → no links discovered → crawl dies after the seeds
-    assert totals["waves"] <= 2
+    # nothing downloads → no links discovered → the seeds burn their T6
+    # retry budget (one extra wave per retry), then the crawl dies
+    assert totals["waves"] <= 2 + job.settings.download_retry
     import pyarrow.dataset as pads
 
     tbl = pads.dataset(str(tmp_path / "out3" / "extracted")).to_table()
     assert set(tbl.column("status").to_pylist()) == {404}
-    assert set(tbl.column("final_state").to_pylist()) == {"crawled_failure"}
+    assert set(tbl.column("final_state").to_pylist()) == {
+        "crawl_retry", "crawled_failure"}
+    # every url's terminal row exhausted the full retry budget
+    terminal = tbl.filter(
+        pa.compute.equal(tbl.column("final_state"), "crawled_failure"))
+    assert set(terminal.column("retries").to_pylist()) == {
+        job.settings.download_retry}

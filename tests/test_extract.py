@@ -213,3 +213,51 @@ def test_extract_page():
     assert drill_relation == "*->The Title"
     assert data == {"title": "Hello World"}
     assert lacks == []
+
+
+# --- extended cheerio grammar: siblings + structural/set pseudos ----------
+def _texts(nodes):
+    return [n.text() for n in nodes]
+
+
+def test_css_sibling_combinators():
+    # adjacent sibling: the .v immediately after a .k
+    assert _texts(DOM.find("span.k + span.v")) == ["red", "XL"]
+    # general sibling: everything after the h1 inside #main
+    assert _texts(DOM.find("h1.headline ~ a.next")) == ["next"]
+    # + requires immediate adjacency: h1 then ul, not a
+    assert DOM.find("h1.headline + a.next") == []
+    assert _texts(DOM.find("h1.headline + ul.tags li")) == [
+        "alpha", "beta", "gamma"]
+
+
+def test_css_structural_pseudo_classes():
+    assert _texts(DOM.find("ul.tags li:first-child")) == ["alpha"]
+    assert _texts(DOM.find("ul.tags li:last-child")) == ["gamma"]
+    assert _texts(DOM.find("ul.tags li:nth-child(2)")) == ["beta"]
+    assert _texts(DOM.find("ul.tags li:nth-child(odd)")) == ["alpha", "gamma"]
+    assert _texts(DOM.find("ul.tags li:nth-child(even)")) == ["beta"]
+    assert _texts(DOM.find("ul.tags li:nth-child(2n+1)")) == ["alpha", "gamma"]
+    assert _texts(DOM.find("ul.tags li:nth-child(-n+2)")) == ["alpha", "beta"]
+    # :first-child counts ELEMENT siblings per-parent
+    assert _texts(DOM.find("li:first-child")) == ["alpha", "only"]
+
+
+def test_css_set_pseudos_jquery_style():
+    assert _texts(DOM.find("div.spec span:first")) == ["color"]
+    assert _texts(DOM.find("div.spec span:last")) == ["XL"]
+    assert _texts(DOM.find("div.spec span:eq(2)")) == ["size"]
+    assert DOM.find("div.spec span:eq(9)") == []
+    # comma group: pseudo slices only its own group's matches
+    assert _texts(DOM.find("ul.tags li:first, div.spec .v")) == [
+        "alpha", "red", "XL"]
+
+
+def test_css_unsupported_pseudo_raises():
+    import pytest
+
+    from neocrawler_ray.functions.dom import _COMPILE_CACHE
+
+    _COMPILE_CACHE.clear()
+    with pytest.raises(ValueError):
+        DOM.find("li:hover")

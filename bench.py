@@ -12,16 +12,16 @@ config (the parity tests use the reference's conservative defaults;
 the bench raises the per-wave quota the way a real deployment would).
 
 ``--scaling``: runs the headline crawl in FRESH subprocesses at
-num_cpus=N and 4N (default 2 → 8, best of 2 runs each) on the same
+num_cpus=N and 4N (default 4 → 16, best of 2 runs each) on the same
 corpus and reports both throughputs plus scaling efficiency
-``eff = (thr_4N / thr_N) / 4``.  The 2→8 ladder keeps per-core work at
-the design-point ratio (wave count is fixed by crawl-graph depth, so
-per-wave overhead amortizes with work per core — see BASELINE.md) and
-sits below this shared VM's host-CPU-steal regime; measured raw
-efficiency ≥0.84.  The harness additionally measures the machine's own
-parallel-compute ceiling (pure busy-loop pool at both levels) and
-reports ``ceiling_eff`` and ``value_normalized = eff / ceiling_eff`` —
-the number comparable to a dedicated cluster, where the ceiling ≈1.0.
+``eff = (thr_4N / thr_N) / 4``.  Round 2 shrank the per-wave
+driver-serial floor (task-side feedback routing, parallel shard RPC
+batches, chunked route tasks), so the honest mid ladder is the default.
+The harness additionally measures the machine's own parallel-compute
+ceiling (pure busy-loop pool at both levels — this shared VM shows
+bursty host CPU-steal with a 0.58-0.9 ceiling) and reports
+``ceiling_eff`` and ``value_normalized = eff / ceiling_eff`` — the
+number comparable to a dedicated cluster, where the ceiling ≈1.0.
 """
 
 from __future__ import annotations
@@ -161,7 +161,7 @@ def cpu_ceiling(n_lo: int, n_hi: int, per: int = 4_000_000) -> float:
     return (thr_hi / thr_lo) / (n_hi / n_lo)
 
 
-def scaling_main(sf_dir: str, n_lo: int = 2, n_hi: int = 8,
+def scaling_main(sf_dir: str, n_lo: int = 4, n_hi: int = 16,
                  repeats: int = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))) -> None:
     """Same corpus, fresh Ray sessions at N and 4N cpus → efficiency."""
     from neocrawler_ray.sources.pages_gen import corpus_for_sf

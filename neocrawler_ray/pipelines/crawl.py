@@ -168,6 +168,13 @@ class CrawlJob:
 
         return ray.get(getattr(shard, method).remote(*args))
 
+    def _calls(self, requests):
+        """Parallel batch of order-independent shard RPCs: submit all
+        futures, one ray.get — one round trip instead of one per shard."""
+        import ray
+
+        return ray.get([getattr(sh, m).remote(*a) for sh, m, *a in requests])
+
     # --- T5 rules hot-reload (wave-boundary re-expression of the
     #     reference's 120 s poll, scheduler/index.js:63-120) -------------
     def _rules_signature(self) -> tuple:
@@ -279,7 +286,7 @@ class CrawlJob:
             scheduled = run_schedule_wave(
                 wave, self.entries, self.total_rates, self.shards, s,
                 backlog_len=0, call=self._call, queue_lens=self.queue_lens,
-                retry_lens=self.retry_lens,
+                retry_lens=self.retry_lens, calls=self._calls,
             )
             t = _tick("schedule", t)
             if not scheduled:

@@ -48,11 +48,17 @@ def run_schedule_wave(
     call=None,
     queue_lens: dict | None = None,
     retry_lens: dict | None = None,
+    calls=None,
 ):
     """One scheduler round.  ``shards[i]`` may be a local
     :class:`FrontierShard` or a Ray actor handle — pass ``call`` to invoke
     remotely (``call(shard, method, *args) -> result``); defaults to direct
-    method calls.
+    method calls.  ``calls(requests)`` (optional) evaluates a batch of
+    ``(shard, method, *args)`` requests whose results are ORDER-INDEPENDENT
+    (begin_wave resets, per-shard seed pushes, per-shard retry drains) —
+    the engine passes a parallel ``ray.get``-on-futures implementation so
+    these don't pay one round trip per shard; semantics are identical to
+    the sequential default.
 
     Returns ``scheduled``: ordered list of dicts
     ``{seq, url, urllib, version, referer, drill_relation, wave}`` — the
@@ -61,6 +67,9 @@ def run_schedule_wave(
     if call is None:
         def call(shard, method, *args):
             return getattr(shard, method)(*args)
+    if calls is None:
+        def calls(requests):
+            return [call(sh, m, *a) for sh, m, *a in requests]
 
     num_shards = len(shards)
     version = settings.wave_version(wave)
@@ -70,33 +79,47 @@ def run_schedule_wave(
 
     scheduled: list[dict] = []
     left = 0
-    for shard in shards:
-        call(shard, "begin_wave")
+    calls([(shard, "begin_wave") for shard in shards])
 
     # --- T6 retry drain (spider/spider.js:350-362) --------------------
     # retryCrawl re-emits a failed urlinfo straight into the spider's
     # own download queue — it crawls before the next scheduler round's
     # output and consumes no quota.  Wave analog: drain every rule's
-    # retry queue first, in serve order, FIFO within a rule.
-    for entry in priority_entries:
-        urllib_key = "urllib:" + entry["key"]
-        if retry_lens is not None and not retry_lens.get(urllib_key):
-            continue  # provably-empty retry queue (post-commit length)
-        sid = shard_for_domain(entry["domain"], num_shards)
-        for url, ver, referer, relation, rcount in call(
-                shards[sid], "drain_retries", urllib_key, now):
-            scheduled.append(
-                {
-                    "seq": len(scheduled),
-                    "url": url,
-                    "urllib": urllib_key,
-                    "version": ver,
-                    "referer": referer,
-                    "drill_relation": relation or "*",
-                    "wave": wave,
-                    "retry": rcount,
-                }
-            )
+    # retry queue first, in serve order, FIFO within a rule.  RPCs are
+    # batched one-per-shard and run in parallel; rows are emitted in
+    # entry serve order regardless of RPC completion order.
+    drain_entries = [
+        e for e in priority_entries
+        if retry_lens is None or retry_lens.get("urllib:" + e["key"])
+    ]
+    if drain_entries:
+        by_shard_keys: dict[int, list[str]] = {}
+        for e in drain_entries:
+            sid = shard_for_domain(e["domain"], num_shards)
+            by_shard_keys.setdefault(sid, []).append("urllib:" + e["key"])
+        sids = sorted(by_shard_keys)
+        results = calls([(shards[sid], "drain_retries_many",
+                          by_shard_keys[sid], now) for sid in sids])
+        drained = {
+            k: rows
+            for sid, res in zip(sids, results)
+            for k, rows in zip(by_shard_keys[sid], res)
+        }
+        for e in drain_entries:
+            urllib_key = "urllib:" + e["key"]
+            for url, ver, referer, relation, rcount in drained[urllib_key]:
+                scheduled.append(
+                    {
+                        "seq": len(scheduled),
+                        "url": url,
+                        "urllib": urllib_key,
+                        "version": ver,
+                        "referer": referer,
+                        "drill_relation": relation or "*",
+                        "wave": wave,
+                        "retry": rcount,
+                    }
+                )
 
     def flush_run(run_sid, run_reqs, run_keys, left_in):
         """One RPC for a run of consecutive same-shard pops (the shard
@@ -138,9 +161,13 @@ def run_schedule_wave(
             for idx, link in enumerate(links):
                 by_shard.setdefault(shard_for_url(link, num_shards), []).append(idx)
             accepted_flags = [False] * len(links)
-            for sid, idxs in by_shard.items():
-                flags = call(shards[sid], "push_seeds",
-                             [links[i] for i in idxs], version, now)
+            items = sorted(by_shard.items())
+            flag_lists = calls([
+                (shards[sid], "push_seeds", [links[i] for i in idxs],
+                 version, now)
+                for sid, idxs in items
+            ])
+            for (sid, idxs), flags in zip(items, flag_lists):
                 for i, ok in zip(idxs, flags):
                     accepted_flags[i] = ok
             for link, ok in zip(links, accepted_flags):

@@ -215,20 +215,25 @@ FEEDBACK_COLUMNS = ["seq", "url", "urllib", "domain", "final_state",
                     "drill_relation", "version", "retries", "feedback_json"]
 
 
-def _route_file_task(path: str, shards: list) -> int:
-    """One wave-output file → routed + delivered to frontier shards.
+def _route_files_task(paths: list[str], shards: list) -> dict:
+    """One CHUNK of wave-output files → routed + delivered to frontier
+    shards.
 
     Runs as a Ray task: reads ONLY the narrow feedback columns, computes
     per-row owning shards (json parse + md5-tld hash), pushes one
     ``buffer_results`` RPC per touched shard and JOINS those pushes —
     task completion therefore implies delivery, giving the driver a
     happens-before edge to ``commit_wave`` without any driver-side row
-    loop (the former per-wave serial floor)."""
+    loop (the former per-wave serial floor).  Files are chunked so task
+    count tracks the cluster width, not the output file count (a wave
+    writes one file per pipeline block; per-task overhead on ~100-row
+    files was the dominant feedback cost)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
 
-    tbl = pq.read_table(path, columns=FEEDBACK_COLUMNS)
+    tbl = pa.concat_tables(
+        [pq.read_table(p, columns=FEEDBACK_COLUMNS) for p in paths])
     buffers = route_feedback(tbl, len(shards))
     if buffers:
         ray.get([shards[sid].buffer_results.remote(rows)
@@ -244,10 +249,11 @@ def _route_file_task(path: str, shards: list) -> int:
 _ROUTE_TASK = None
 
 
-def route_feedback_files(wave_path: str, shards: list) -> dict:
-    """Distributed wave-feedback routing: one task per output file.
-    Returns summed counts {rows, fail, finish} (the fail/finish tallies
-    feed the T7 circuit breaker)."""
+def route_feedback_files(wave_path: str, shards: list,
+                         max_tasks: int = 16) -> dict:
+    """Distributed wave-feedback routing: files chunked over ≤max_tasks
+    Ray tasks.  Returns summed counts {rows, fail, finish} (the
+    fail/finish tallies feed the T7 circuit breaker)."""
     import glob
 
     import ray
@@ -258,8 +264,10 @@ def route_feedback_files(wave_path: str, shards: list) -> dict:
     if not files:
         return totals
     if _ROUTE_TASK is None:
-        _ROUTE_TASK = ray.remote(num_cpus=0.5)(_route_file_task)
-    for c in ray.get([_ROUTE_TASK.remote(f, shards) for f in files]):
+        _ROUTE_TASK = ray.remote(num_cpus=0.5)(_route_files_task)
+    n_tasks = min(max_tasks, len(files))
+    chunks = [files[i::n_tasks] for i in range(n_tasks)]
+    for c in ray.get([_ROUTE_TASK.remote(ch, shards) for ch in chunks]):
         for k in totals:
             totals[k] += c[k]
     return totals

@@ -94,6 +94,11 @@ class FrontierShard:
             self.update_link_state(url, "crawling", False, now)
         return out
 
+    def drain_retries_many(self, urllib_keys: list[str],
+                           now: int) -> list[list[tuple]]:
+        """Batched ``drain_retries`` — one RPC per shard per wave."""
+        return [self.drain_retries(k, now) for k in urllib_keys]
+
     def all_retry_lens(self) -> dict:
         return {k: len(q) for k, q in self.retry_queues.items() if q}
 

@@ -119,17 +119,11 @@ def _q_crawl_report(sf_dir: str):
         g = df.groupby(["domain", "final_state"], as_index=False).size()
         return g.rename(columns={"size": "p_n"}).astype({"p_n": "int64"})
 
-    g = ds.map_batches(partial, batch_format="pandas") \
-        .groupby(["domain", "final_state"]).sum("p_n")
+    from neocrawler_ray.pipelines.analytics import _finish_small
 
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"domain": df["domain"].to_numpy(dtype=object),
-             "final_state": df["final_state"].to_numpy(dtype=object),
-             "n": df["sum(p_n)"].astype("int64").to_numpy()}
-        )
-
-    return g.map_batches(rename, batch_format="pandas").sort("domain")
+    out = _finish_small(ds.map_batches(partial, batch_format="pandas"),
+                        ["domain", "final_state"], {"p_n": "n"})
+    return out.sort_values(["domain", "final_state"]).reset_index(drop=True)
 
 
 def _q_crawl_failures(sf_dir: str):
@@ -160,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_stats": co.doc_text_stats,
         "doc_lang_id": co.doc_lang_id,
         "doc_fingerprint": co.doc_fingerprint,
+        # composed training-data cleaning (quality gate → exact dedup)
+        "corpus_clean": co.corpus_clean,
         # dedup families
         "dedup_exact": co.dedup_exact,
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -203,6 +199,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, min(doc_id) AS doc_id "
             "FROM documents GROUP BY md5(text)"
+        ),
+        "corpus_clean": (
+            "WITH stats AS (" + ts.text_stats_sql() + "), "
+            "survivors AS (SELECT d.doc_id, md5(d.text) AS fp, s.n_tokens "
+            " FROM documents d JOIN stats s USING (doc_id) "
+            " WHERE s.quality_ok), "
+            "keep AS (SELECT min(doc_id) AS doc_id FROM survivors "
+            " GROUP BY fp) "
+            "SELECT k.doc_id, s.n_tokens FROM keep k "
+            "JOIN survivors s USING (doc_id)"
         ),
         "embedding_pairs_brute": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "

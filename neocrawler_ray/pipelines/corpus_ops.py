@@ -159,6 +159,37 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def corpus_clean(sf_dir: str):
+    """End-to-end training-data cleaning: quality gate → exact dedup.
+
+    The composed flagship shape of the LLM-data layer — one streaming
+    pipeline: read (id, text) → vectorized quality stats + content
+    digest per batch → drop low-quality rows → hash-partitioned
+    keep-one (min doc_id per digest).  The shuffle carries only
+    (digest, id, n_tokens); text never leaves the scan stage.  Returns
+    surviving (doc_id, n_tokens) — exact ints, SQL-mirrorable."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        stats = ts.text_stats_frame(df["text"])
+        out = pd.DataFrame(
+            {"text_md5": dd.md5_hex_series(df["text"]).astype(object),
+             "doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "n_tokens": stats["n_tokens"].to_numpy()}
+        )
+        return out[stats["quality_ok"].to_numpy()].reset_index(drop=True)
+
+    ds = ds.map_batches(gate, batch_format="pandas")
+
+    def keep_one(df: pd.DataFrame) -> pd.DataFrame:
+        first = (df.sort_values(["text_md5", "doc_id"])
+                 .groupby("text_md5", as_index=False).first())
+        return first[["doc_id", "n_tokens"]].astype(
+            {"doc_id": "int64", "n_tokens": "int64"})
+
+    return _hash_grouped(ds, ["text_md5"], keep_one)
+
+
 # --- dedup ------------------------------------------------------------
 
 

@@ -355,3 +355,16 @@ SELECT qid, vec_id, CAST(r AS BIGINT) rank FROM
     bs2 = set(map(tuple, b2[["qid", "vec_id"]].values))
     is2 = set(map(tuple, i2[["qid", "vec_id"]].values))
     assert len(bs2 & is2) / len(bs2) >= 0.9
+
+
+def test_corpus_clean_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(
+        co.corpus_clean(SF), con,
+        "WITH stats AS (" + ts.text_stats_sql() + "), "
+        "survivors AS (SELECT d.doc_id, md5(d.text) AS fp, s.n_tokens "
+        " FROM documents d JOIN stats s USING (doc_id) WHERE s.quality_ok), "
+        "keep AS (SELECT min(doc_id) AS doc_id FROM survivors GROUP BY fp) "
+        "SELECT k.doc_id, s.n_tokens FROM keep k JOIN survivors s USING (doc_id)",
+    )

@@ -51,9 +51,11 @@ def bench_settings(num_cpus: int):
         # shard count follows frontier size, not CPU count: shards are
         # state partitions; RPC fan-out per wave barrier is O(shards)
         num_frontier_shards=8,
-        # small blocks: a heavy-page block is ~1s of extract; the last
-        # block per wave is pure tail latency, so pack tighter
-        extract_batch_size=96,
+        # small blocks: a heavy-page block is ~0.5s of extract; the last
+        # blocks per wave are pure straggler tail, so pack tighter (swept
+        # 96/48/32 at 16 cpus: 43.5/39.2/43.6s — 48 wins; per-task
+        # dispatch is cheap since the range+slice rewrite)
+        extract_batch_size=48,
         max_waves=100,
     )
 

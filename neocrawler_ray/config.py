@@ -48,6 +48,13 @@ class CrawlSettings:
     max_waves: int = 50
     logical_epoch_ms: int = 1_735_689_600_000    # 2025-01-01T00:00:00Z, logical clock base
 
+    # checkpoint cadence: snapshot every Nth wave (1 = every wave, the
+    # parity/default setting).  Resume restores the last checkpointed
+    # wave and deterministically replays the ≤N-1 waves after it, so
+    # recovery work is bounded by the knob; throughput runs can trade
+    # snapshot pickling/IO per wave for a slightly longer replay
+    checkpoint_every: int = 1
+
     # --- frontier memory bound (0 = disabled; parity runs keep full state)
     # evict terminal per-URL state older than this many logical ms after
     # each wave commit; cuckoo membership is permanent (see

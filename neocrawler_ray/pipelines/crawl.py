@@ -64,6 +64,21 @@ def fused_fetch_extract(batch, *, run_token, corpus_dir, robots_map,
         plugin=plugin,
     )
 
+
+def fused_fetch_extract_indexed(batch, *, table_ref, bounds, **kw):
+    """Block-index dispatch: the wave's scheduled table is broadcast ONCE
+    (one ``ray.put``) and each task slices its row range zero-copy —
+    replaces ``from_arrow(blocks)``, whose one-put-per-block driver loop
+    measured ~4 ms × blocks × waves of serial wall time."""
+    import ray
+
+    tbl = ray.get(table_ref) if isinstance(table_ref, ray.ObjectRef) else table_ref
+    out = []
+    for bid in batch["id"].tolist():
+        lo, hi = bounds[bid]
+        out.append(fused_fetch_extract(tbl.slice(lo, hi - lo), **kw))
+    return pa.concat_tables(out) if len(out) != 1 else out[0]
+
 SCHED_SCHEMA = pa.schema(
     [
         ("seq", pa.int64()),
@@ -157,6 +172,9 @@ class CrawlJob:
                 self.retry_lens[k] = self.retry_lens.get(k, 0) + v
         # T7 running ±failure counter (extractor.js:416-423 wave analog)
         self._cum_failure = 0
+        # newest wave whose checkpoint write has STARTED (manifest lags
+        # one checkpoint behind; None until the first snapshot)
+        self._last_ckpt_started: int | None = None
         # T5 hot-reload signature of rules.json
         self._rules_path = os.path.join(corpus_dir, "rules.json")
         self._rules_sig = self._rules_signature()
@@ -331,27 +349,35 @@ class CrawlJob:
             # prefers a shard boundary once the block is half full, so a
             # task reads 1-2 pages partitions and blocks stay big enough
             # to amortize the frontier-push barrier per block
-            blocks = []
+            sorted_tbl = sched_tbl.take(order)
+            shard_sorted = shard_of[order]
+            bounds: list[tuple[int, int]] = []
             i = 0
-            while i < len(order):
+            while i < n:
                 j = i
-                while j < len(order) and j - i < s.extract_batch_size:
-                    if (j > i and shard_of[order[j]] != shard_of[order[j - 1]]
+                while j < n and j - i < s.extract_batch_size:
+                    if (j > i and shard_sorted[j] != shard_sorted[j - 1]
                             and j - i >= s.extract_batch_size // 2):
                         break
                     j += 1
-                blocks.append(sched_tbl.take(order[i:j]))
+                bounds.append((i, j))
                 i = j
             t = _tick("blocks", t)
-            ds = ray.data.from_arrow(blocks)
-            # ONE fused task-mode stage (fetch-sim + extract) with
-            # worker-global singletons: worker processes (and their
-            # pages-partition / compiled-rules caches) persist across
-            # waves, and fusing halves per-block task overhead — the html
-            # bytes never cross the object store between the stages
+            # block-INDEX dataset (ray.data.range generates on workers —
+            # no driver put per block) + one broadcast of the wave table;
+            # each task slices its row range zero-copy.  ONE fused
+            # task-mode stage (fetch-sim + extract) with worker-global
+            # singletons: worker processes (and their pages-partition /
+            # compiled-rules caches) persist across waves, and fusing
+            # halves per-block task overhead — the html bytes never
+            # cross the object store between the stages
+            table_ref = ray.put(sorted_tbl)
+            ds = ray.data.range(len(bounds), override_num_blocks=len(bounds))
             ds = ds.map_batches(
-                fused_fetch_extract,
+                fused_fetch_extract_indexed,
                 fn_kwargs=dict(
+                    table_ref=table_ref,
+                    bounds=bounds,
                     run_token=self.run_token,
                     corpus_dir=self.corpus_dir,
                     robots_map=self.robots_ref,
@@ -363,8 +389,8 @@ class CrawlJob:
                     partition_refs=self.partition_refs,
                     plugin=self.plugin,
                 ),
-                batch_format="pyarrow",
-                batch_size=s.extract_batch_size,
+                batch_format="numpy",
+                batch_size=None,
             )
             wave_path = os.path.join(self.out_dir, "extracted", f"wave={wave}")
             # a crash-resume (or rerun into the same out_dir) re-executes
@@ -400,9 +426,10 @@ class CrawlJob:
             # each shard writes its own checkpoint file (atomic) — the
             # per-partition snapshot bytes never ship through the driver;
             # the driver only appends the manifest once all shards land
+            do_ckpt = (wave + 1) % s.checkpoint_every == 0
             results = ray.get(
                 [shard.commit_wave_and_checkpoint.remote(
-                    version, self.ckpt_dir, wave)
+                    version, self.ckpt_dir, wave, do_ckpt)
                  for shard in self.shards]
             )
             self.queue_lens = {}
@@ -425,14 +452,19 @@ class CrawlJob:
                 totals["state_spilled"] = (
                     totals.get("state_spilled", 0) + sum(spilled))
             # clocks as of the end of THIS wave (consumed by the lagged
-            # manifest one wave later; keep only a short history)
+            # manifest when this wave's checkpoint becomes durable)
             self._fs_snapshots[wave] = {
                 e["key"]: e["first_schedule"] for e in self.entries}
-            self._fs_snapshots.pop(wave - 2, None)
-            if wave > self.start_wave:
-                # wave-1 files are durable (the commit RPC joined their
-                # writers before starting wave's) — manifest lags one wave
-                self._write_manifest(wave - 1)
+            if do_ckpt:
+                # the PREVIOUS checkpoint's files are durable now (each
+                # shard joined its writer before starting this one) —
+                # the manifest lags one checkpoint
+                if self._last_ckpt_started is not None:
+                    self._write_manifest(self._last_ckpt_started)
+                    for w in list(self._fs_snapshots):
+                        if w <= self._last_ckpt_started:
+                            self._fs_snapshots.pop(w, None)
+                self._last_ckpt_started = wave
             t = _tick("commit", t)
 
             # --- T7 circuit breaker (extractor.js:416-423 wave analog):
@@ -459,9 +491,9 @@ class CrawlJob:
             wave += 1
 
         totals["waves"] = wave
-        if wave > self.start_wave:
+        if self._last_ckpt_started is not None:
             ray.get([s_.finish_checkpoints.remote() for s_ in self.shards])
-            self._write_manifest(wave - 1)
+            self._write_manifest(self._last_ckpt_started)
         if prof is not None:
             print("NC_PROFILE", {k: round(v, 2) for k, v in prof.items()},
                   flush=True)

@@ -343,7 +343,8 @@ class FrontierShard:
         return counts, self.snapshot(), self.all_queue_lens()
 
     def commit_wave_and_checkpoint(self, now: int, ckpt_dir: str,
-                                   wave: int) -> tuple[dict, dict]:
+                                   wave: int,
+                                   do_ckpt: bool = True) -> tuple[dict, dict, dict]:
         """Wave barrier with the north_rule's per-partition checkpoint
         written BY THE SHARD (atomic rename) — snapshot bytes never ship
         through the driver.  The snapshot is taken synchronously (state
@@ -357,8 +358,13 @@ class FrontierShard:
         import threading
 
         counts = self.commit_wave(now)
+        if not do_ckpt:
+            # checkpoint-cadence skip (deployment knob): state still
+            # commits; resume replays the uncheckpointed waves
+            # deterministically from the last snapshot
+            return counts, self.all_queue_lens(), self.all_retry_lens()
         blob = self.snapshot()
-        self.finish_checkpoints()  # wave k-1 durable before k starts writing
+        self.finish_checkpoints()  # prior wave durable before this writes
 
         def _write() -> None:
             d = os.path.join(ckpt_dir, f"shard={self.shard_id}")

@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": co.doc_fingerprint,
         # composed training-data cleaning (quality gate → exact dedup)
         "corpus_clean": co.corpus_clean,
+        # overlapping training-window chunking (window 128 / stride 96)
+        "doc_chunks": co.doc_chunks,
         # dedup families
         "dedup_exact": co.dedup_exact,
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -184,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from neocrawler_ray.functions import text_stats as ts
+    from neocrawler_ray.pipelines import corpus_ops as co
     from neocrawler_ray.pipelines import doc_extract as de
     from neocrawler_ray.stages import multimodal as mm
 
@@ -200,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_md5, min(doc_id) AS doc_id "
             "FROM documents GROUP BY md5(text)"
         ),
+        "doc_chunks": co.doc_chunks_sql(),
         "corpus_clean": (
             "WITH stats AS (" + ts.text_stats_sql() + "), "
             "survivors AS (SELECT d.doc_id, md5(d.text) AS fp, s.n_tokens "

@@ -159,6 +159,69 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+CHUNK_WINDOW = 128   # tokens per training window
+CHUNK_STRIDE = 96    # window - overlap (32-token overlap)
+
+
+def doc_chunks(sf_dir: str):
+    """Split documents into overlapping training windows (token-count
+    based): window=128 tokens, stride=96.  Emits one row per chunk —
+    (doc_id, chunk_idx, chunk_tokens) — fully vectorized per batch
+    (token counts via the shared C-regex, chunk expansion via
+    np.repeat/arange), and exactly mirrored by a DuckDB
+    generate_series oracle.  At 100 TB this is a pure map stage: no
+    shuffle, output ∝ corpus × (1/stride)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].astype("string").fillna("")
+             .str.count(ts.TOKEN_PATTERN).to_numpy("int64"))
+        ids = df["doc_id"].to_numpy("int64")
+        n_chunks = np.where(
+            n <= CHUNK_WINDOW, 1,
+            1 + np.ceil((n - CHUNK_WINDOW) / CHUNK_STRIDE).astype("int64"))
+        total = int(n_chunks.sum())
+        rep_ids = np.repeat(ids, n_chunks)
+        rep_n = np.repeat(n, n_chunks)
+        # per-doc 0..n_chunks-1 via global arange minus repeated offsets
+        offsets = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        chunk_idx = np.arange(total, dtype="int64") - offsets
+        chunk_tokens = np.minimum(
+            CHUNK_WINDOW, rep_n - chunk_idx * CHUNK_STRIDE)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(rep_ids, dtype="int64"),
+             "chunk_idx": pd.Series(chunk_idx, dtype="int64"),
+             "chunk_tokens": pd.Series(chunk_tokens, dtype="int64")})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+DOC_CHUNKS_SQL = """
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{tok}')) AS BIGINT) AS n
+  FROM documents),
+expanded AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0,
+             CASE WHEN n <= {win} THEN 0
+                  ELSE CAST(ceil((n - {win}) / {stride}.0) AS BIGINT) END
+         )) AS g
+  FROM stats)
+SELECT doc_id,
+       CAST(g AS BIGINT) AS chunk_idx,
+       CAST(LEAST({win}, n - g * {stride}) AS BIGINT) AS chunk_tokens
+FROM expanded
+""".strip()
+
+
+def doc_chunks_sql() -> str:
+    return DOC_CHUNKS_SQL.format(
+        tok=ts.TOKEN_PATTERN, win=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+
+
 def corpus_clean(sf_dir: str):
     """End-to-end training-data cleaning: quality gate → exact dedup.
 

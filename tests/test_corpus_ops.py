@@ -368,3 +368,18 @@ def test_corpus_clean_matches_sql(ray_session, con):
         "keep AS (SELECT min(doc_id) AS doc_id FROM survivors GROUP BY fp) "
         "SELECT k.doc_id, s.n_tokens FROM keep k JOIN survivors s USING (doc_id)",
     )
+
+
+def test_doc_chunks_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_chunks(SF), con, co.doc_chunks_sql())
+    # spot invariants: every doc appears; the last chunk is 1..window
+    # tokens; non-last chunks are exactly window tokens
+    df = co.doc_chunks(SF).to_pandas()
+    last = df.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id").tail(1)
+    assert (last["chunk_tokens"] <= co.CHUNK_WINDOW).all()
+    nonlast = df.merge(last[["doc_id", "chunk_idx"]], on="doc_id",
+                       suffixes=("", "_last"))
+    nonlast = nonlast[nonlast["chunk_idx"] < nonlast["chunk_idx_last"]]
+    assert (nonlast["chunk_tokens"] == co.CHUNK_WINDOW).all()

@@ -261,3 +261,57 @@ def test_css_unsupported_pseudo_raises():
     _COMPILE_CACHE.clear()
     with pytest.raises(ValueError):
         DOM.find("li:hover")
+
+
+# --- fast tokenizer parser ≡ html.parser builder --------------------------
+def _tree_eq(a, b, path="root"):
+    if isinstance(a, str) or isinstance(b, str):
+        assert a == b, (path, repr(a)[:60], repr(b)[:60])
+        return
+    assert a.name == b.name, path
+    assert a.attrs == b.attrs, (path, a.attrs, b.attrs)
+    assert len(a.children) == len(b.children), (path, a.name)
+    for i, (ca, cb) in enumerate(zip(a.children, b.children)):
+        _tree_eq(ca, cb, f"{path}/{a.name}[{i}]")
+
+
+def test_fast_parser_equivalent_to_stdlib():
+    from neocrawler_ray.functions.dom import parse_html, parse_html_stdlib
+
+    cases = [
+        HTML,
+        '<div class="a" id=x data-k>text &amp; more<br><img src="u"/></div>',
+        '<ul><li>a<li>b</ul><p>after</p>',
+        '<script>if (a < b && x) { "</div>" }</script><p>t</p>',
+        '<style>a > b { color: red }</style>ok',
+        '<!-- comment --><!DOCTYPE html><?pi ?><b>x</b>',
+        'plain < not a tag > text',
+        '<a href="y&lt;z">&#65;B</a>',
+        '<title>T &amp; U</title>',
+        '<div><span>unclosed</div>',
+        '',
+        '<p>trailing text',
+        '<A HREF="X">Caps</A>',
+        "<div data-x='single \" quote'>q</div>",
+        '<textarea>&lt;raw&gt;</textarea>',
+        '<div>漢字 &copy; ünïcode</div>',
+    ]
+    for c in cases:
+        _tree_eq(parse_html(c), parse_html_stdlib(c))
+
+
+def test_fast_parser_equivalent_on_generated_corpus(tmp_path):
+    from neocrawler_ray.functions.dom import parse_html, parse_html_stdlib
+    from neocrawler_ray.sources.pages_gen import generate_corpus
+    import pyarrow.dataset as pads
+
+    out = str(tmp_path / "eqc")
+    generate_corpus(out, n_pages=120, n_domains=3, seed=9)
+    tbl = pads.dataset(out + "/pages").to_table(columns=["html"])
+    n = 0
+    for h in tbl.column("html").to_pylist():
+        if h:
+            s = h.decode("utf-8", "replace")
+            _tree_eq(parse_html(s), parse_html_stdlib(s))
+            n += 1
+    assert n > 80

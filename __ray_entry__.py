@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": co.dedup_exact,
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
         "dedup_clusters": lambda sf: co.dedup_clusters(sf),
+        "dedup_clusters_dist": lambda sf: co.dedup_clusters_distributed(sf),
         "dedup_simhash_pairs": lambda sf: co.dedup_simhash_pairs(sf, 7),
         # threshold matched to the testdata's cosine distribution (near-
         # random vectors, max ~0.51) so the row is non-empty evidence;

@@ -383,3 +383,58 @@ def test_doc_chunks_matches_sql(ray_session, con):
                        suffixes=("", "_last"))
     nonlast = nonlast[nonlast["chunk_idx"] < nonlast["chunk_idx_last"]]
     assert (nonlast["chunk_tokens"] == co.CHUNK_WINDOW).all()
+
+
+def test_connected_components_ds_matches_union_find(ray_session):
+    """Distributed CC (min-label + pointer jumping) ≡ driver union-find,
+    including a long path graph that defeats pure neighbor relaxation."""
+    import pyarrow as pa
+    import ray
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    # chain 0-1-...-39 (diameter 39) + a triangle + an isolated pair
+    pairs = [(i, i + 1) for i in range(39)]
+    pairs += [(100, 101), (101, 102), (100, 102), (200, 201)]
+    truth = dd.connected_components(pairs)
+
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+         "doc_b": pa.array([b for _, b in pairs], pa.int64())}))
+    out = co.connected_components_ds(ds, num_parts=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert got == truth
+
+    # empty input → empty, schema-stable
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64())}))
+    assert co.connected_components_ds(empty, num_parts=4).count() == 0
+
+
+def test_dedup_clusters_distributed_matches_driver(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(400)]
+    texts, ids = [], []
+    for d in range(30):
+        texts.append(" ".join(vocab[rng.randint(0, 400)] for _ in range(100)))
+        ids.append(d)
+    for j in range(3):  # dups of docs 0..2
+        w = texts[j].split()
+        w[5] = "EDIT"
+        texts.append(" ".join(w))
+        ids.append(100 + j)
+    d = tmp_path / "ccd"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet")
+    a = co.dedup_clusters(str(d))
+    b = co.dedup_clusters_distributed(str(d), num_parts=4)
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

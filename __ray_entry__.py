@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_meta": mm.multimodal_decode_meta,
         "video_frame_sample": mm.video_frame_sample,
+        "audio_segments": mm.audio_segments,
+        "image_resize_meta": mm.image_resize_meta,
         # aggregates / joins (reference §2.5 shapes over TPC-H-ish tables)
         "events_daily_counts": an.events_daily_counts,
         "events_value_by_type": an.events_value_by_type,
@@ -235,6 +237,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
 """.strip(),
         "multimodal_meta": mm.MULTIMODAL_META_SQL,
         "video_frame_sample": mm.FRAME_SAMPLE_SQL,
+        "audio_segments": mm.AUDIO_SEGMENTS_SQL,
+        "image_resize_meta": mm.IMAGE_RESIZE_SQL,
         "events_daily_counts": (
             "SELECT strftime(ts, '%Y-%m-%d') AS date, event_type, "
             "count(*) AS n FROM events GROUP BY 1, 2"

@@ -150,6 +150,96 @@ def video_frame_sample(sf_dir: str, step: int = 5):
     return ds.map_batches(frames, batch_format="pandas")
 
 
+AUDIO_MS_PER_BYTE = 10     # deterministic fake duration model
+AUDIO_SEGMENT_MS = 30_000  # 30-second training segments
+
+
+def audio_segments(sf_dir: str):
+    """Segment 'audio' payloads into fixed 30 s training windows.
+
+    Duration is a deterministic function of payload size
+    (``n_bytes × 10 ms``; a real decoder would read the container
+    header in the actor), flat-mapped to one row per segment —
+    (media_id, segment_idx, seg_ms), vectorized with np.repeat/arange
+    like :func:`~neocrawler_ray.pipelines.corpus_ops.doc_chunks`."""
+    ds = multimodal_decode_meta(sf_dir)
+
+    def segs(df: pd.DataFrame) -> pd.DataFrame:
+        aud = df[df["kind"] == "audio"]
+        dur = aud["n_bytes"].to_numpy("int64") * AUDIO_MS_PER_BYTE
+        ids = aud["media_id"].to_numpy("int64")
+        n_segs = np.maximum(1, -(-dur // AUDIO_SEGMENT_MS))
+        total = int(n_segs.sum())
+        rep_ids = np.repeat(ids, n_segs)
+        rep_dur = np.repeat(dur, n_segs)
+        offsets = np.repeat(np.cumsum(n_segs) - n_segs, n_segs)
+        idx = np.arange(total, dtype="int64") - offsets
+        seg_ms = np.minimum(AUDIO_SEGMENT_MS, rep_dur - idx * AUDIO_SEGMENT_MS)
+        return pd.DataFrame(
+            {"media_id": pd.Series(rep_ids, dtype="int64"),
+             "segment_idx": pd.Series(idx, dtype="int64"),
+             "seg_ms": pd.Series(seg_ms, dtype="int64")})
+
+    return ds.map_batches(segs, batch_format="pandas")
+
+
+RESIZE_MAX = 256
+
+
+def image_resize_meta(sf_dir: str):
+    """Resize planning for 'image' payloads: integer fit-within-256
+    target dimensions preserving aspect ratio (the geometry step a real
+    resize stage computes before touching pixels — exactly mirrored in
+    SQL so the plumbing is oracle-checked)."""
+    ds = multimodal_decode_meta(sf_dir)
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        img = df[df["kind"] == "image"]
+        w = img["width"].to_numpy("int64")
+        h = img["height"].to_numpy("int64")
+        out_w = np.where(w >= h, RESIZE_MAX, (w * RESIZE_MAX) // h)
+        out_h = np.where(w >= h, (h * RESIZE_MAX) // w, RESIZE_MAX)
+        return pd.DataFrame(
+            {"media_id": img["media_id"].to_numpy("int64"),
+             "width": w, "height": h,
+             "out_w": pd.Series(out_w, dtype="int64"),
+             "out_h": pd.Series(out_h, dtype="int64")})
+
+    return ds.map_batches(plan, batch_format="pandas")
+
+
+AUDIO_SEGMENTS_SQL = """
+SELECT media_id,
+       CAST(g AS BIGINT) AS segment_idx,
+       CAST(LEAST(30000, dur - g * 30000) AS BIGINT) AS seg_ms
+FROM (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) * 10 AS BIGINT) AS dur,
+         unnest(generate_series(0,
+             CAST(GREATEST(1, CEIL(octet_length(encode(text)) * 10 / 30000.0))
+                  AS BIGINT) - 1)) AS g
+  FROM documents WHERE doc_id % 3 = 1
+)
+""".strip()
+
+IMAGE_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+  CAST(64 + octet_length(encode(text)) % 431 AS BIGINT) AS height,
+  CAST(CASE WHEN (64 + octet_length(encode(text)) % 577)
+                 >= (64 + octet_length(encode(text)) % 431)
+       THEN 256
+       ELSE ((64 + octet_length(encode(text)) % 577) * 256)
+            // (64 + octet_length(encode(text)) % 431) END AS BIGINT) AS out_w,
+  CAST(CASE WHEN (64 + octet_length(encode(text)) % 577)
+                 >= (64 + octet_length(encode(text)) % 431)
+       THEN ((64 + octet_length(encode(text)) % 431) * 256)
+            // (64 + octet_length(encode(text)) % 577)
+       ELSE 256 END AS BIGINT) AS out_h
+FROM documents WHERE doc_id % 3 = 0
+""".strip()
+
+
 MULTIMODAL_META_SQL = """
 SELECT doc_id AS media_id,
   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -438,3 +438,14 @@ def test_dedup_clusters_distributed_matches_driver(ray_session, tmp_path):
     a = co.dedup_clusters(str(d))
     b = co.dedup_clusters_distributed(str(d), num_parts=4)
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_audio_segments_and_image_resize_match_sql(ray_session, con):
+    from neocrawler_ray.stages import multimodal as mm
+
+    assert_matches_sql(mm.audio_segments(SF), con, mm.AUDIO_SEGMENTS_SQL)
+    assert_matches_sql(mm.image_resize_meta(SF), con, mm.IMAGE_RESIZE_SQL)
+    # geometry invariant: resized dims fit the 256 box, aspect preserved
+    df = mm.image_resize_meta(SF).to_pandas()
+    assert ((df["out_w"] <= 256) & (df["out_h"] <= 256)).all()
+    assert ((df["out_w"] == 256) | (df["out_h"] == 256)).all()

@@ -102,3 +102,48 @@ def test_transform_link_idempotent(host):
     once = transform_link(url, rule)
     assert transform_link(once, rule) == once  # canonicalization idempotent
     assert "id=9" in once and "a=1" not in once
+
+
+@given(st.integers(0, 5000))
+@settings(max_examples=60, deadline=None)
+def test_doc_chunk_math_covers_tokens_exactly(n_tokens):
+    """Chunk windows tile [0, n): the last chunk ends exactly at
+    n_tokens, non-last chunks are full windows, strides overlap by
+    window-stride."""
+    from neocrawler_ray.pipelines.corpus_ops import (CHUNK_STRIDE,
+                                                     CHUNK_WINDOW)
+    import math
+
+    n_chunks = (1 if n_tokens <= CHUNK_WINDOW
+                else 1 + math.ceil((n_tokens - CHUNK_WINDOW) / CHUNK_STRIDE))
+    sizes = [min(CHUNK_WINDOW, n_tokens - i * CHUNK_STRIDE)
+             for i in range(n_chunks)]
+    assert all(s > 0 for s in sizes[1:])
+    if n_tokens > 0:
+        # last chunk ends exactly at n_tokens
+        assert (n_chunks - 1) * CHUNK_STRIDE + sizes[-1] == n_tokens \
+            or n_tokens <= CHUNK_WINDOW
+    assert all(s == CHUNK_WINDOW for s in sizes[:-1])
+
+
+@given(st.integers(-3, 6), st.integers(-8, 8), st.integers(1, 40))
+@settings(max_examples=120, deadline=None)
+def test_nth_child_an_b_matches_bruteforce(a, b, idx):
+    from neocrawler_ray.functions.dom import _nth_matches
+
+    brute = any(a * n + b == idx for n in range(0, 200))
+    if a == 0:
+        brute = (b == idx)
+    assert _nth_matches(a, b, idx) == brute
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=0, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_union_find_reps_are_component_minima(pairs):
+    from neocrawler_ray.functions.dedup import connected_components
+
+    comp = connected_components(pairs)
+    for x, rep in comp.items():
+        assert rep <= x
+        assert comp[rep] == rep  # representative is a fixpoint

@@ -110,18 +110,22 @@ class ExtractBatch:
         cols = {
             c: batch.column(c).to_pylist()
             for c in ("seq", "wave", "url", "urllib", "version",
-                      "drill_relation", "html", "status", "robots_blocked")
+                      "drill_relation", "status", "robots_blocked")
         }
         cols["retry"] = (
             batch.column("retry").to_pylist()
             if "retry" in batch.schema.names else [0] * batch.num_rows)
+        # html stays an Arrow array: per-row as_py() materializes one
+        # page's bytes at a time instead of copying the whole batch's
+        # payloads out of the object store up front
+        html_col = batch.column("html")
         for i in range(batch.num_rows):
             seq = cols["seq"][i]
             url = cols["url"][i]
             urllib_key = cols["urllib"][i]
             version = cols["version"][i]
             origin_relation = cols["drill_relation"][i]
-            html = cols["html"][i]
+            html = html_col[i].as_py()
             status = cols["status"][i]
             blocked = cols["robots_blocked"][i]
             rule = self._rule(urllib_key) or {}

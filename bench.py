@@ -164,7 +164,7 @@ def cpu_ceiling(n_lo: int, n_hi: int, per: int = 4_000_000) -> float:
 
 
 def scaling_main(sf_dir: str, n_lo: int = 4, n_hi: int = 16,
-                 repeats: int = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))) -> None:
+                 repeats: int = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))) -> None:
     """Same corpus, fresh Ray sessions at N and 4N cpus → efficiency."""
     from neocrawler_ray.sources.pages_gen import corpus_for_sf
 

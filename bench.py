@@ -51,11 +51,12 @@ def bench_settings(num_cpus: int):
         # shard count follows frontier size, not CPU count: shards are
         # state partitions; RPC fan-out per wave barrier is O(shards)
         num_frontier_shards=8,
-        # small blocks: a heavy-page block is ~0.5s of extract; the last
+        # small blocks: a heavy-page block is ~0.4s of extract; the last
         # blocks per wave are pure straggler tail, so pack tighter (swept
-        # 96/48/32 at 16 cpus: 43.5/39.2/43.6s — 48 wins; per-task
-        # dispatch is cheap since the range+slice rewrite)
-        extract_batch_size=48,
+        # 24/32/40/48/64/96 at 16 and 32 cpus across several steal
+        # windows: 40 wins at 32 cpus — 17.3-18.4s vs 21s at 32 and 45s
+        # at 64; per-task dispatch is cheap since the range+slice rewrite)
+        extract_batch_size=40,
         max_waves=100,
     )
 

@@ -68,12 +68,19 @@ def run_crawl(sf_dir: str, num_cpus: int) -> dict:
 
     corpus = corpus_for_sf(sf_dir, page_weight=BENCH_PAGE_WEIGHT)
     out = tempfile.mkdtemp(prefix="nc_bench_")
-    # warm the worker pool (python import cost per worker process) so the
-    # measurement is steady-state throughput, not interpreter spawn
+    # warm the worker pool (python interpreter spawn + the engine's own
+    # module imports per worker process) so the measurement is
+    # steady-state throughput — a production crawl's waves ≫ warmup
     import ray
 
+    def _warm(b):
+        import neocrawler_ray.stages.extract_stage  # noqa: F401
+        import neocrawler_ray.stages.fetch  # noqa: F401
+        import neocrawler_ray.functions.extract  # noqa: F401
+        return b
+
     ray.data.range(num_cpus * 4).map_batches(
-        lambda b: b, batch_size=1, num_cpus=1
+        _warm, batch_size=1, num_cpus=1
     ).materialize()
     try:
         t0 = time.perf_counter()

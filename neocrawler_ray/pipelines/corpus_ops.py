@@ -78,6 +78,20 @@ def _hash_grouped(ds, key_cols: list[str], agg_fn, num_parts: int = 64):
     )
 
 
+
+def _parts_for(sf_dir: str, table: str, rows_per_part: int = 2000,
+               lo: int = 8, hi: int = 64) -> int:
+    """Shuffle partition count sized to the table: ~1 partition per
+    ``rows_per_part`` rows, clamped to [lo, hi].  64 partitions over a
+    40k-row exchange is pure sort-task overhead (measured as the
+    variance driver of the dedup ops on this VM); at corpus scale the
+    cap rises with cluster width."""
+    import pyarrow.parquet as pq
+
+    rows = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    return max(lo, min(hi, rows // rows_per_part))
+
+
 def _bucketed_pairs(ds, bucket_col: str, bucket_pairs, num_parts: int = 64):
     """Coarse-partitioned LSH-bucket pair generation.
 
@@ -250,7 +264,8 @@ def corpus_clean(sf_dir: str):
         return first[["doc_id", "n_tokens"]].astype(
             {"doc_id": "int64", "n_tokens": "int64"})
 
-    return _hash_grouped(ds, ["text_md5"], keep_one)
+    return _hash_grouped(ds, ["text_md5"], keep_one,
+                         num_parts=_parts_for(sf_dir, "documents"))
 
 
 # --- dedup ------------------------------------------------------------
@@ -269,6 +284,7 @@ def dedup_exact(sf_dir: str):
         ds, ["text_md5"],
         lambda df: df.groupby("text_md5", as_index=False, sort=True)["doc_id"]
         .min().astype({"doc_id": "int64"}),
+        num_parts=_parts_for(sf_dir, "documents"),
     )
 
 
@@ -294,12 +310,14 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
              "est_jaccard": pd.Series([p[2] for p in pairs], dtype="float64")}
         )
 
-    pairs = _bucketed_pairs(ds, "band_key", bucket_pairs)
+    parts = _parts_for(sf_dir, "documents")
+    pairs = _bucketed_pairs(ds, "band_key", bucket_pairs, num_parts=parts)
     # same pair surfaces once per agreeing band → collapse
     return _hash_grouped(
         pairs, ["doc_a", "doc_b"],
         lambda df: df.groupby(["doc_a", "doc_b"], as_index=False, sort=True)
         ["est_jaccard"].max(),
+        num_parts=parts,
     )
 
 
@@ -377,7 +395,9 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
              "payload": [sh[i] for i in pr["doc_id"]]},
             schema=attach_schema)
 
-    co_located = _hash_grouped(unioned, ["doc_id"], attach_shingles)
+    parts = _parts_for(sf_dir, "documents")
+    co_located = _hash_grouped(unioned, ["doc_id"], attach_shingles,
+                               num_parts=parts)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
@@ -400,7 +420,8 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
              "doc_b": pd.Series(out_b, dtype="int64"),
              "jaccard": pd.Series(out_j, dtype="float64")})
 
-    out = _hash_grouped(co_located, ["pair_key"], verify).to_pandas()
+    out = _hash_grouped(co_located, ["pair_key"], verify,
+                        num_parts=parts).to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),
@@ -620,11 +641,13 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
              "hamming": pd.Series(out_d, dtype="int64")}
         )
 
-    pairs = _bucketed_pairs(ds, "band_key", bucket_pairs)
+    parts = _parts_for(sf_dir, "documents")
+    pairs = _bucketed_pairs(ds, "band_key", bucket_pairs, num_parts=parts)
     return _hash_grouped(
         pairs, ["doc_a", "doc_b"],
         lambda df: df.groupby(["doc_a", "doc_b"], as_index=False, sort=True)
         ["hamming"].min().astype({"hamming": "int64"}),
+        num_parts=parts,
     )
 
 
@@ -683,12 +706,14 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97,
              "cosine": pd.Series(s[ii, jj], dtype="float64")}
         )
 
-    pairs = _bucketed_pairs(ds, "bucket", bucket_pairs)
+    parts = _parts_for(sf_dir, "embeddings")
+    pairs = _bucketed_pairs(ds, "bucket", bucket_pairs, num_parts=parts)
     # a pair surfaces once per agreeing band → collapse on the pair key
     pairs = _hash_grouped(
         pairs, ["vec_a", "vec_b"],
         lambda df: df.groupby(["vec_a", "vec_b"], as_index=False, sort=True)
         ["cosine"].max(),
+        num_parts=parts,
     )
     df = pairs.to_pandas()
     if df.empty:  # stable schema even when the corpus has no near-dups

@@ -181,6 +181,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregates / joins (reference §2.5 shapes over TPC-H-ish tables)
         "events_daily_counts": an.events_daily_counts,
         "events_value_by_type": an.events_value_by_type,
+        # custom operators Ray Data lacks (windows / as-of / range join /
+        # exact grouped quantiles / grouped top-k)
+        "events_sessions": an.events_sessions,
+        "events_asof_join": an.events_asof_join,
+        "events_value_bands": an.events_value_bands,
+        "events_value_quantiles": an.events_value_quantiles,
+        "top_orders_per_priority": an.top_orders_per_priority,
         "q1_lineitem": an.q1_lineitem,
         "revenue_by_nation": an.revenue_by_nation,
         "top_customers": an.top_customers,
@@ -189,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from neocrawler_ray.functions import text_stats as ts
+    from neocrawler_ray.pipelines import analytics as an
     from neocrawler_ray.pipelines import corpus_ops as co
     from neocrawler_ray.pipelines import doc_extract as de
     from neocrawler_ray.stages import multimodal as mm
@@ -243,6 +251,11 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
             "SELECT strftime(ts, '%Y-%m-%d') AS date, event_type, "
             "count(*) AS n FROM events GROUP BY 1, 2"
         ),
+        "events_sessions": an.EVENTS_SESSIONS_SQL,
+        "events_asof_join": an.EVENTS_ASOF_SQL,
+        "events_value_bands": an.events_value_bands_sql(),
+        "events_value_quantiles": an.EVENTS_QUANTILES_SQL,
+        "top_orders_per_priority": an.top_orders_per_priority_sql(),
         "events_value_by_type": (
             "SELECT event_type, "
             "CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT) "

@@ -197,3 +197,272 @@ def revenue_by_nation(sf_dir: str):
     ds = orders.map_batches(partial, batch_format="pandas")
     return _finish_small(ds, ["n_name"],
                          {"p_rev": "revenue_e4", "p_n": "n_orders"})
+
+
+# --- custom operators Ray Data lacks ---------------------------------
+#
+# Windowed/session aggregates, as-of joins, interval (range) joins and
+# exact grouped quantiles have no single Dataset verb; each is composed
+# from the primitives the engine already trusts: hash-partition by the
+# window key (`_hash_grouped` — same key → same partition, so per-
+# partition pandas window kernels are globally exact), broadcast tiny
+# interval tables, and histogram exchanges whose volume is bounded by
+# the *value domain*, not the row count.
+
+SESSION_GAP_US = 1_800_000_000  # 30 min, classic sessionization cutoff
+
+
+def _ts_us(ts: pd.Series) -> np.ndarray:
+    """timestamp column → int64 epoch microseconds (exact, hash-stable)."""
+    return ts.to_numpy(dtype="datetime64[us]").astype("int64")
+
+
+def events_sessions(sf_dir: str):
+    """Sessionize the event stream: per user, a new session starts when
+    the gap to the previous event exceeds 30 min.  The canonical
+    streaming-window aggregate, expressed as hash-partition-by-user →
+    vectorized per-partition window kernel (diff/cumsum — no Python row
+    loop).  Partitioning assumption: one user's events fit one partition
+    (true at any scale where one user ≪ one worker's heap; salt the
+    user key if a single entity ever outgrows that)."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_id": df["event_id"].astype("int64"),
+             "ts_us": _ts_us(df["ts"])})
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        u = df["user_id"].to_numpy()
+        t = df["ts_us"].to_numpy()
+        brk = np.empty(len(df), dtype="int64")
+        brk[0] = 1
+        if len(df) > 1:
+            brk[1:] = ((u[1:] != u[:-1]) |
+                       (t[1:] - t[:-1] > SESSION_GAP_US)).astype("int64")
+        df["session_no"] = (pd.Series(brk).groupby(df["user_id"])
+                            .cumsum().astype("int64"))
+        g = df.groupby(["user_id", "session_no"], as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_us=("ts_us", "min"), end_us=("ts_us", "max"))
+        return g.astype({"n_events": "int64", "start_us": "int64",
+                         "end_us": "int64"})
+
+    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                         ["user_id"], sessionize, num_parts=32)
+
+
+EVENTS_SESSIONS_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM s GROUP BY 1, 2
+""".strip()
+
+
+def events_asof_join(sf_dir: str):
+    """As-of join: each `purchase` event matched to the latest strictly-
+    earlier `click` of the same user (-1 when none).  Hash-partition by
+    user co-locates both sides; inside a partition `pd.merge_asof`
+    (sorted backward search) is the vectorized kernel.  Only the two
+    event classes' (user, ts) columns move — never payloads."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin(["purchase", "click"])
+        df = df[m]
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_id": df["event_id"].astype("int64"),
+             "ts_us": _ts_us(df["ts"]),
+             "kind": df["event_type"].astype(str)})
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        left = (df[df["kind"] == "purchase"]
+                .sort_values("ts_us", kind="mergesort"))
+        right = (df[df["kind"] == "click"]
+                 .sort_values("ts_us", kind="mergesort")
+                 [["user_id", "ts_us"]]
+                 .rename(columns={"ts_us": "prior_click_ts_us"}))
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "prior_click_ts_us": pd.Series(dtype="int64")})
+        m = pd.merge_asof(
+            left, right, left_on="ts_us", right_on="prior_click_ts_us",
+            by="user_id", direction="backward", allow_exact_matches=False)
+        return pd.DataFrame(
+            {"event_id": m["event_id"].astype("int64"),
+             "prior_click_ts_us":
+                 m["prior_click_ts_us"].fillna(-1).astype("int64")})
+
+    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                         ["user_id"], asof, num_parts=32)
+
+
+EVENTS_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) ts_us FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) ts_us FROM events
+      WHERE event_type = 'click')
+SELECT p.event_id, COALESCE(max(c.ts_us), -1) AS prior_click_ts_us
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts_us < p.ts_us
+GROUP BY p.event_id
+""".strip()
+
+
+def events_value_bands(sf_dir: str, n_bands: int = 10):
+    """Interval (range) join against a broadcast band table: events
+    land in equal-width fixed-point value bands derived from the global
+    [min, max].  Two passes, both streaming: (1) a per-batch min/max
+    partial → one tiny driver reduce; (2) `np.searchsorted` of each
+    batch against the broadcast band edges (the general pattern for any
+    small interval table — tax brackets, SLA tiers, time windows) →
+    per-batch partial counts → answer-sized reduce.  No shuffle at all."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        v = _e4(df["value"])
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()]}) if len(v) \
+            else pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                               "hi": pd.Series(dtype="int64")})
+
+    mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    vmin, vmax = int(mm["lo"].min()), int(mm["hi"].max())
+    span = vmax - vmin + 1
+    # band i covers [vmin + span*i//n, vmin + span*(i+1)//n - 1] — exact
+    # integer edges, identical on the SQL side
+    los = np.array([vmin + (span * i) // n_bands for i in range(n_bands)],
+                   dtype="int64")
+
+    def bandify(df: pd.DataFrame) -> pd.DataFrame:
+        v = _e4(df["value"])
+        band = np.searchsorted(los, v, side="right") - 1
+        tmp = pd.DataFrame({"band": band.astype("int64"), "v": v})
+        g = tmp.groupby("band", as_index=False).agg(
+            p_sum=("v", "sum"), p_n=("v", "size"))
+        return g.astype({"p_sum": "int64", "p_n": "int64"})
+
+    return _finish_small(ds.map_batches(bandify, batch_format="pandas"),
+                         ["band"], {"p_sum": "sum_value_e4", "p_n": "n"})
+
+
+def events_value_bands_sql(n_bands: int = 10) -> str:
+    return f"""
+WITH v AS (SELECT CAST(floor(value*10000) AS BIGINT) v FROM events),
+m AS (SELECT min(v) vmin, max(v) - min(v) + 1 span FROM v),
+bands AS (SELECT CAST(t.range AS BIGINT) band,
+                 vmin + (span * t.range) // {n_bands} lo,
+                 vmin + (span * (t.range + 1)) // {n_bands} - 1 hi
+          FROM range({n_bands}) t, m)
+SELECT b.band, CAST(sum(v.v) AS BIGINT) AS sum_value_e4, count(*) AS n
+FROM v JOIN bands b ON v.v BETWEEN b.lo AND b.hi
+GROUP BY 1
+""".strip()
+
+
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact per-group quantiles via a value-domain histogram: per-batch
+    (event_type, value_e4) counts → a reduce whose exchange is bounded
+    by |distinct fixed-point values| × |groups|, never row count (the
+    scale path for exact quantiles over bounded-domain numerics; an
+    unbounded domain would swap in a t-digest sketch at the same seam).
+    Quantile q picks the 0-based index ((n-1)*q_pct)//100 of the sorted
+    multiset — the same integer convention as the SQL row_number form."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame({"event_type": df["event_type"].astype(str),
+                            "v": _e4(df["value"])})
+        g = tmp.groupby(["event_type", "v"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    hist = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+            .groupby(["event_type", "v"], as_index=False)["cnt"].sum())
+    out_t, out_q, out_v = [], [], []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("v")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["v"].to_numpy()
+        for q_pct in QUANTILE_PCTS:
+            idx = ((n - 1) * q_pct) // 100
+            out_t.append(etype)
+            out_q.append(q_pct)
+            out_v.append(int(vals[np.searchsorted(cum, idx, side="right")]))
+    return pd.DataFrame({"event_type": out_t,
+                         "q_pct": pd.Series(out_q, dtype="int64"),
+                         "value_e4": pd.Series(out_v, dtype="int64")})
+
+
+EVENTS_QUANTILES_SQL = f"""
+WITH v AS (SELECT event_type, CAST(floor(value*10000) AS BIGINT) v
+           FROM events),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) rn,
+             count(*) OVER (PARTITION BY event_type) n
+      FROM v)
+SELECT event_type, CAST(q.q_pct AS BIGINT) AS q_pct, v AS value_e4
+FROM r JOIN (VALUES {', '.join(f'({p})' for p in QUANTILE_PCTS)}) q(q_pct)
+  ON rn = ((n - 1) * q.q_pct) // 100 + 1
+""".strip()
+
+
+def top_orders_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k (top orders by price inside each priority class):
+    per-batch local top-k (a block can only contribute its own best k)
+    → an answer-sized driver reduce over ≤ k × blocks candidate rows."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"].astype(str),
+             "o_orderkey": df["o_orderkey"].astype("int64"),
+             "price_e4": _e4(df["o_totalprice"])})
+        tmp = tmp.sort_values(["price_e4", "o_orderkey"],
+                              ascending=[False, True], kind="mergesort")
+        return tmp.groupby("o_orderpriority", as_index=False).head(k)
+
+    cands = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cands = cands.sort_values(["price_e4", "o_orderkey"],
+                              ascending=[False, True], kind="mergesort")
+    top = cands.groupby("o_orderpriority", as_index=False).head(k).copy()
+    top["rank"] = (top.groupby("o_orderpriority").cumcount() + 1
+                   ).astype("int64")
+    cols = ["o_orderpriority", "rank", "o_orderkey", "price_e4"]
+    return (top[cols].sort_values(["o_orderpriority", "rank"])
+            .reset_index(drop=True))
+
+
+def top_orders_per_priority_sql(k: int = 3) -> str:
+    return f"""
+SELECT o_orderpriority, CAST(r AS BIGINT) AS rank, o_orderkey, price_e4
+FROM (SELECT o_orderpriority, o_orderkey,
+             CAST(floor(o_totalprice*10000) AS BIGINT) price_e4,
+             row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY floor(o_totalprice*10000) DESC, o_orderkey) r
+      FROM orders)
+WHERE r <= {k}
+""".strip()

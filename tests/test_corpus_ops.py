@@ -192,6 +192,56 @@ def test_analytics_match_sql(ray_session, con):
     )
 
 
+def test_custom_window_ops_match_sql(ray_session, con):
+    """Sessionization, as-of join, interval-band join, exact grouped
+    quantiles and grouped top-k vs their window-function SQL oracles."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_sessions(SF), con, an.EVENTS_SESSIONS_SQL)
+    assert_matches_sql(an.events_asof_join(SF), con, an.EVENTS_ASOF_SQL)
+    assert_matches_sql(an.events_value_bands(SF), con,
+                       an.events_value_bands_sql())
+    assert_matches_sql(an.events_value_quantiles(SF), con,
+                       an.EVENTS_QUANTILES_SQL)
+    assert_matches_sql(an.top_orders_per_priority(SF), con,
+                       an.top_orders_per_priority_sql())
+
+
+def test_session_gap_boundary(ray_session, tmp_path):
+    """A gap of exactly 30 min stays in-session; 30 min + 1 µs splits.
+    Also: an as-of purchase with no earlier click maps to -1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    base = 1_700_000_000_000_000  # epoch µs
+    rows = {
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 7, 9],
+        "ts": pa.array(
+            [base, base + an.SESSION_GAP_US,               # same session
+             base + 2 * an.SESSION_GAP_US + 1,             # splits
+             base + 3 * an.SESSION_GAP_US + 2, base],      # splits again
+            type=pa.timestamp("us")),
+        "event_type": ["click", "purchase", "purchase", "click", "purchase"],
+        "value": [1.0] * 5,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+
+    sess = an.events_sessions(str(tmp_path)).to_pandas()
+    sess = sess.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    assert list(sess["n_events"]) == [2, 1, 1, 1]
+    assert list(sess["session_no"]) == [1, 2, 3, 1]
+
+    asof = an.events_asof_join(str(tmp_path)).to_pandas()
+    asof = asof.sort_values("event_id").reset_index(drop=True)
+    # purchase 2: prior click at base; purchase 3: same (click 4 is later);
+    # purchase 5 (user 9): no click at all → -1
+    assert list(asof["event_id"]) == [2, 3, 5]
+    assert list(asof["prior_click_ts_us"]) == [base, base, -1]
+
+
 def test_minhash_pipeline_finds_planted_dups(ray_session, tmp_path):
     """Plant near-duplicates in a parquet table; LSH must find exactly
     the planted pairs and no cross-pairs."""

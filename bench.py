@@ -113,6 +113,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "ann_brute_topk": lambda: co.ann_brute_topk(sf_dir),
         "q1_lineitem": lambda: consume(an.q1_lineitem(sf_dir)),
         "events_daily_counts": lambda: consume(an.events_daily_counts(sf_dir)),
+        "events_sessions": lambda: consume(an.events_sessions(sf_dir)),
+        "events_quantiles": lambda: consume(an.events_value_quantiles(sf_dir)),
     }
     out = {}
     for name, fn in timed.items():

@@ -80,7 +80,7 @@ def _hash_grouped(ds, key_cols: list[str], agg_fn, num_parts: int = 64):
 
 
 def _parts_for(sf_dir: str, table: str, rows_per_part: int = 2000,
-               lo: int = 8, hi: int = 64) -> int:
+               lo: int = 16, hi: int = 64) -> int:
     """Shuffle partition count sized to the table: ~1 partition per
     ``rows_per_part`` rows, clamped to [lo, hi].  64 partitions over a
     40k-row exchange is pure sort-task overhead (measured as the

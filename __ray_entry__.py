@@ -20,7 +20,7 @@ from typing import Any
 
 # bump when crawl output semantics/schema change so a stale /tmp cache
 # from an older code version is never served to the driver's gate
-_RUN_SCHEMA_VERSION = 4  # v4: T6 retry attempts appear as crawl_retry rows
+_RUN_SCHEMA_VERSION = 5  # v5: corpus gen v2 (gzip transfer-encoded domain)
 _RUN_CACHE_ROOT = f"/tmp/neocrawler_ray_runs/v{_RUN_SCHEMA_VERSION}"
 
 
@@ -135,6 +135,18 @@ def _q_crawl_failures(sf_dir: str):
     return failure_report(os.path.join(out, "ckpt"))
 
 
+def _q_doc_stats_resumable(sf_dir: str):
+    """text_stats via the resumable partitioned-export path: chunked
+    part files under /tmp (a rerun skips finished chunks), read back as
+    a Dataset — same rows as doc_text_stats, so it shares its oracle."""
+    from neocrawler_ray.pipelines import export as ex
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/neocrawler_ray_export/v1/{tag}/text_stats"
+    ex.resumable_export(sf_dir, out, "text_stats")
+    return ex.read_export(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.pipelines import analytics as an
     from neocrawler_ray.pipelines import corpus_ops as co
@@ -156,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": co.doc_fingerprint,
         # composed training-data cleaning (quality gate → exact dedup)
         "corpus_clean": co.corpus_clean,
+        # resumable partitioned export (crash-restart skips finished
+        # chunks; same stats kernel, read back from the part files)
+        "doc_stats_resumable": _q_doc_stats_resumable,
         # overlapping training-window chunking (window 128 / stride 96)
         "doc_chunks": co.doc_chunks,
         # dedup families
@@ -215,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text)"
         ),
         "doc_chunks": co.doc_chunks_sql(),
+        "doc_stats_resumable": ts.text_stats_sql(),
         "corpus_clean": (
             "WITH stats AS (" + ts.text_stats_sql() + "), "
             "survivors AS (SELECT d.doc_id, md5(d.text) AS fp, s.n_tokens "

@@ -197,6 +197,26 @@ def get_drill_relation(dom: Node, url: str, content: str, origin_relation, rule)
     return f"{origin_relation}->{new_relation}"
 
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def decode_body(html: bytes, rule: dict) -> str:
+    """Transfer-decode then charset-decode a fetched body (reference
+    spider/downloader.js:250-307: gunzip on `content-encoding: gzip`,
+    then charset conversion per the rule's `encoding`).  Fetch-sim has
+    no response headers, so gzip is detected by the member magic bytes —
+    safe on the non-binary path, where a gzip member can only mean
+    transfer encoding (binary-format rules never reach this decode)."""
+    if html[:2] == GZIP_MAGIC:
+        import gzip
+
+        try:
+            html = gzip.decompress(html)
+        except OSError:
+            pass  # corrupt member → charset-decode the raw bytes
+    return html.decode(rule.get("encoding") or "utf-8", "replace")
+
+
 def validate_content(content_len: int, status_code: int, is_binary: bool,
                      content: str | bytes, validation_keywords) -> bool:
     """validateContent (extractor.js:392-425).

@@ -28,7 +28,7 @@ from ..config import CrawlSettings, RuleSet
 from ..stages.extract_stage import ExtractBatch
 from ..stages.fetch import parse_robots
 from ..state.frontier import FrontierShard
-from ..functions.extract import extract_page, validate_content
+from ..functions.extract import decode_body, extract_page, validate_content
 from ..functions.urls import url_host, url_tld
 from .scheduler import run_schedule_wave
 
@@ -118,7 +118,7 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
             act_retry = int(row.get("retry") or 0)
             if not blocked:
                 if status == 200 and html is not None and not is_binary:
-                    content = html.decode(rule.get("encoding") or "utf-8", "replace")
+                    content = decode_body(html, rule)
                 else:
                     content = html if html is not None else b""
                 valid = validate_content(

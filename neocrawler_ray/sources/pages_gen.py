@@ -35,6 +35,7 @@ partitions without re-reading the corpus (SURVEY.md §2.4 J4).
 
 from __future__ import annotations
 
+import gzip
 import hashlib
 import json
 import os
@@ -43,6 +44,10 @@ from datetime import datetime, timedelta
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+# bump whenever generated corpus bytes change, so /tmp corpus caches
+# regenerate (v2: domain 1 gzip transfer-encoded)
+GEN_VERSION = 2
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -154,13 +159,23 @@ def generate_corpus(
         n_lists = max(1, (n_d - 1 - n_cats) // ((items_per_list + 1) * n_cats))
         lang = "zh" if zh else "en"
         encoding = "gbk" if zh else "utf-8"
+        # domain 1 serves gzip transfer-encoded responses (reference
+        # downloader.js:250-307 gunzip path); mtime=0 keeps bytes
+        # deterministic across generations
+        gzipped = n_domains >= 2 and d == 1
 
         def page(url, html_str, text, binary: bytes | None = None):
+            if binary is not None:
+                body = binary
+            else:
+                body = html_str.encode(encoding)
+                if gzipped:
+                    body = gzip.compress(body, mtime=0)
             rows.append(
                 {
                     "url": url,
                     "warc_ts": _BASE_TS + timedelta(seconds=len(rows)),
-                    "html": binary if binary is not None else html_str.encode(encoding),
+                    "html": body,
                     "text": text,
                     "lang": lang if binary is None else "",
                 }
@@ -370,6 +385,7 @@ def generate_corpus(
         "seed": seed,
         "pages_shards": pages_shards,
         "page_weight": page_weight,
+        "gen_version": GEN_VERSION,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -445,7 +461,8 @@ def corpus_for_sf(sf_dir: str, cache_root: str = "/tmp/neocrawler_ray_corpus",
             meta = json.load(f)
         if (meta.get("n_pages") and meta.get("seed") == 42
                 and meta.get("page_weight", 1) == page_weight
-                and meta.get("pages_shards", 16) == shards):
+                and meta.get("pages_shards", 16) == shards
+                and meta.get("gen_version") == GEN_VERSION):
             return out
     generate_corpus(out, seed=42, page_weight=page_weight,
                     pages_shards=shards, **params)

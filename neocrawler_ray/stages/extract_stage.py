@@ -35,7 +35,7 @@ import os
 
 import pyarrow as pa
 
-from ..functions.extract import extract_page, validate_content
+from ..functions.extract import decode_body, extract_page, validate_content
 from ..functions.urls import url_tld
 from ..pipelines.scheduler import shard_for_domain
 
@@ -147,7 +147,7 @@ class ExtractBatch:
                 final_state = "crawled_failure"
             else:
                 if status == 200 and html is not None and not is_binary:
-                    content = html.decode(rule.get("encoding") or "utf-8", "replace")
+                    content = decode_body(html, rule)
                     content_len = len(content)
                 else:
                     content = html if html is not None else b""

@@ -308,10 +308,27 @@ def test_fast_parser_equivalent_on_generated_corpus(tmp_path):
     out = str(tmp_path / "eqc")
     generate_corpus(out, n_pages=120, n_domains=3, seed=9)
     tbl = pads.dataset(out + "/pages").to_table(columns=["html"])
+    from neocrawler_ray.functions.extract import decode_body
+
     n = 0
     for h in tbl.column("html").to_pylist():
         if h:
-            s = h.decode("utf-8", "replace")
+            s = decode_body(h, {})  # gunzip transfer-encoded domain 1
             _tree_eq(parse_html(s), parse_html_stdlib(s))
             n += 1
     assert n > 80
+
+
+def test_decode_body():
+    import gzip
+
+    from neocrawler_ray.functions.extract import decode_body
+
+    assert decode_body("plain café".encode(), {}) == "plain café"
+    assert decode_body(gzip.compress("zipped café".encode(), mtime=0),
+                       {}) == "zipped café"
+    assert decode_body(gzip.compress("中文页".encode("gbk"), mtime=0),
+                       {"encoding": "gbk"}) == "中文页"
+    # corrupt member after the magic bytes → raw charset decode, no raise
+    corrupt = b"\x1f\x8bnot really gzip"
+    assert decode_body(corrupt, {}) == corrupt.decode("utf-8", "replace")

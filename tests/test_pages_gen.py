@@ -5,7 +5,7 @@ import re
 
 import pyarrow.dataset as pads
 
-from neocrawler_ray.functions.extract import extract_page
+from neocrawler_ray.functions.extract import decode_body, extract_page
 from neocrawler_ray.sources.pages_gen import PAGES_SCHEMA, generate_corpus
 
 
@@ -57,7 +57,7 @@ def test_text_parity_invariant(tmp_path):
             continue
         dom = ".".join(url.split("/")[2].split(".")[1:])
         rule = rules[dom]["detail"]
-        content = r["html"].decode(rule["encoding"])
+        content = decode_body(r["html"], rule)
         if len(content) < 500:
             continue
         _, _, data, lacks = extract_page(url, content, rule, "*", True, rules)
@@ -65,3 +65,23 @@ def test_text_parity_invariant(tmp_path):
         assert lacks == []
         checked += 1
     assert checked > 100
+
+
+def test_gzip_transfer_domain(tmp_path):
+    """Domain 1 stores gzip transfer-encoded bodies (M13 gunzip path);
+    robots/binary pages stay raw."""
+    out, _ = _gen(tmp_path, "gz")
+    tbl = pads.dataset(f"{out}/pages").to_table(columns=["url", "html"])
+    gz = plain = 0
+    for u, h in zip(tbl.column("url").to_pylist(),
+                    tbl.column("html").to_pylist()):
+        if "site1.example" not in u:
+            continue
+        if u.endswith("robots.txt"):
+            assert not h.startswith(b"\x1f\x8b")
+        elif u.endswith(".html") or u.rstrip("/").endswith("site1.example"):
+            assert h.startswith(b"\x1f\x8b"), u
+            gz += 1
+        else:
+            plain += 1
+    assert gz >= 5

@@ -142,7 +142,8 @@ def _q_doc_stats_resumable(sf_dir: str):
     from neocrawler_ray.pipelines import export as ex
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/neocrawler_ray_export/v1/{tag}/text_stats"
+    # v2: part files named part-{file}-{chunk} (directory-table support)
+    out = f"/tmp/neocrawler_ray_export/v2/{tag}/text_stats"
     ex.resumable_export(sf_dir, out, "text_stats")
     return ex.read_export(out)
 

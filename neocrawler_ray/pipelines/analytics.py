@@ -31,15 +31,12 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     tables that floods downstream groupbys with per-block overhead.  One
     block per ~50k rows (min 1) keeps map parallelism where the data is
     and makes shuffles on small tables near-free; huge inputs still fan
-    out wide (the count comes from parquet metadata, not a scan)."""
-    import pyarrow.parquet as pq
-    import ray
+    out wide (the count comes from parquet metadata, not a scan).
+    Tables resolve through :mod:`..sources.tables`, so a ``{table}/``
+    directory of part files works the same as one file."""
+    from ..sources.tables import read_table
 
-    path = f"{sf_dir}/{table}.parquet"
-    rows = pq.read_metadata(path).num_rows
-    blocks = max(1, rows // 50_000)
-    return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=blocks)
+    return read_table(sf_dir, table, columns)
 
 
 def _e4(series: pd.Series) -> np.ndarray:

@@ -35,15 +35,12 @@ def _read(sf_dir: str, table: str, columns: list[str],
     the data is and makes shuffles on small tables near-free; huge inputs
     still fan out wide (the count comes from parquet metadata, not a
     scan).  CPU-heavy per-row stages (minhash, sketching, DOM parsing)
-    pass a small ``rows_per_block`` so they still use every core."""
-    import pyarrow.parquet as pq
-    import ray
+    pass a small ``rows_per_block`` so they still use every core.
+    Tables resolve through :mod:`..sources.tables`, so a ``{table}/``
+    directory of part files works the same as one file."""
+    from ..sources.tables import read_table
 
-    path = f"{sf_dir}/{table}.parquet"
-    rows = pq.read_metadata(path).num_rows
-    blocks = max(1, rows // max(1, rows_per_block))
-    return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=blocks)
+    return read_table(sf_dir, table, columns, rows_per_block)
 
 
 def _hash_grouped(ds, key_cols: list[str], agg_fn, num_parts: int = 64):
@@ -86,10 +83,9 @@ def _parts_for(sf_dir: str, table: str, rows_per_part: int = 2000,
     40k-row exchange is pure sort-task overhead (measured as the
     variance driver of the dedup ops on this VM); at corpus scale the
     cap rises with cluster width."""
-    import pyarrow.parquet as pq
+    from ..sources.tables import table_rows
 
-    rows = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
-    return max(lo, min(hi, rows // rows_per_part))
+    return max(lo, min(hi, table_rows(sf_dir, table) // rows_per_part))
 
 
 def _bucketed_pairs(ds, bucket_col: str, bucket_pairs, num_parts: int = 64):
@@ -806,9 +802,9 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     # k-means sample: deterministic id-hash filter, NOT limit(2048) —
     # limit takes the first file region and biases the codebook toward
     # whatever cluster structure that region happens to hold
-    import pyarrow.parquet as _pq
+    from ..sources.tables import table_rows
 
-    total = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    total = table_rows(sf_dir, "embeddings")
     cap = min(1.0, 4096.0 / max(1, total))
     thresh = int(cap * (1 << 32))
 

@@ -74,11 +74,11 @@ class DocExtract:
 def doc_extract(sf_dir: str):
     """documents → html envelope → rule engine → (doc_id, title, text,
     source_re); the oracle rebuilds title/source with SQL string fns."""
-    import ray
+    from ..sources.tables import read_table
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+    # CPU-heavy per-row DOM stage: small blocks keep every core busy
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"],
+                    rows_per_block=100)
     return ds.map_batches(DocExtract, batch_format="pandas", concurrency=2,
                           num_cpus=0.5)
 

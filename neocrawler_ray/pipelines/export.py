@@ -110,15 +110,21 @@ def resumable_export(sf_dir: str, out_dir: str, transform: str = "text_stats",
     if transform not in _TRANSFORMS:
         raise ValueError(f"unknown transform {transform!r}; "
                          f"have {sorted(_TRANSFORMS)}")
+    from ..sources.tables import table_files
+
     columns = columns or ["doc_id", "text"]
-    path = f"{sf_dir}/{table}.parquet"
     os.makedirs(out_dir, exist_ok=True)
-    chunks = plan_chunks(path, target_rows)
+    # chunk ids are (sorted-file index, in-file chunk index) — stable
+    # across runs, so a directory-of-parts table resumes just like a
+    # single file
+    chunks = [(path, f_idx, i, lo, hi)
+              for f_idx, path in enumerate(table_files(sf_dir, table))
+              for i, (lo, hi) in enumerate(plan_chunks(path, target_rows))]
 
     task = ray.remote(num_cpus=1)(_run_chunk)
     futs, skipped = [], 0
-    for i, (lo, hi) in enumerate(chunks):
-        out_file = os.path.join(out_dir, f"part-{i:05d}.parquet")
+    for path, f_idx, i, lo, hi in chunks:
+        out_file = os.path.join(out_dir, f"part-{f_idx:03d}-{i:05d}.parquet")
         if os.path.exists(out_file):
             skipped += 1
             continue

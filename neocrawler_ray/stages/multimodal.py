@@ -36,11 +36,10 @@ KINDS = ("image", "audio", "video")
 
 def media_from_documents(sf_dir: str):
     """documents → synthetic media table (deterministic payloads)."""
-    import ray
+    from ..sources.tables import read_table
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"],
+                    rows_per_block=100)
 
     def synth(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")

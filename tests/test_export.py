@@ -49,7 +49,7 @@ def test_export_runs_and_resumes(ray_session, multi_rg_dir, tmp_path):
         expected[key].sort_values("doc_id").reset_index(drop=True))
 
     # kill one part; rerun recomputes ONLY that chunk
-    victim = os.path.join(out, "part-00002.parquet")
+    victim = os.path.join(out, "part-000-00002.parquet")
     os.remove(victim)
     mtimes = {f: os.path.getmtime(os.path.join(out, f))
               for f in sorted(os.listdir(out))}

@@ -784,7 +784,7 @@ def ann_brute_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame
         sim.BruteTopK,
         fn_constructor_kwargs=dict(query_ids=qids, query_matrix=qmat, k=k),
         batch_format="pandas",
-        concurrency=2,
+        concurrency=(1, 8),  # autoscale with block count (1 block at test SFs)
         num_cpus=0.5,  # light stage: never starve the upstream read
     ).to_pandas()
     out = sim.global_topk(cands, k)
@@ -822,7 +822,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     )
     assigned = ds.map_batches(
         sim.IVFAssign, fn_constructor_kwargs=dict(centroids=centroids),
-        batch_format="pandas", concurrency=2, num_cpus=0.5,
+        batch_format="pandas", concurrency=(1, 8), num_cpus=0.5,
     )
     probes = sim.probe_cells(qmat, centroids, nprobe)
     probe_sets = [set(map(int, row)) for row in probes]
@@ -860,7 +860,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     cands = assigned.map_batches(
         ProbedTopK,
         fn_constructor_kwargs=dict(query_ids=qids, query_matrix=qmat, k=k),
-        batch_format="pandas", concurrency=2, num_cpus=0.5,
+        batch_format="pandas", concurrency=(1, 8), num_cpus=0.5,
     ).to_pandas()
     out = sim.global_topk(cands, k)
     return out[["qid", "vec_id", "rank"]]

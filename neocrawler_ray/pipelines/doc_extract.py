@@ -79,7 +79,7 @@ def doc_extract(sf_dir: str):
     # CPU-heavy per-row DOM stage: small blocks keep every core busy
     ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"],
                     rows_per_block=100)
-    return ds.map_batches(DocExtract, batch_format="pandas", concurrency=2,
+    return ds.map_batches(DocExtract, batch_format="pandas", concurrency=(1, 8),
                           num_cpus=0.5)
 
 

@@ -124,7 +124,7 @@ def multimodal_decode_meta(sf_dir: str):
     """media table → FakeDecode actor pool → typed metadata rows."""
     ds = media_from_documents(sf_dir)
     return ds.map_batches(
-        FakeDecode, batch_format="pandas", batch_size=64, concurrency=2,
+        FakeDecode, batch_format="pandas", batch_size=64, concurrency=(1, 8),
         num_cpus=0.5,
     )
 

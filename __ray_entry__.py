@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_resumable": _q_doc_stats_resumable,
         # overlapping training-window chunking (window 128 / stride 96)
         "doc_chunks": co.doc_chunks,
+        # deterministic 80/10/10 hash split (train/val/test)
+        "doc_split": co.doc_split,
         # dedup families
         "dedup_exact": co.dedup_exact,
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -232,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_chunks": co.doc_chunks_sql(),
         "doc_stats_resumable": ts.text_stats_sql(),
+        "doc_split": co.doc_split_sql(),
         "corpus_clean": (
             "WITH stats AS (" + ts.text_stats_sql() + "), "
             "survivors AS (SELECT d.doc_id, md5(d.text) AS fp, s.n_tokens "

@@ -264,6 +264,52 @@ def corpus_clean(sf_dir: str):
                          num_parts=_parts_for(sf_dir, "documents"))
 
 
+SPLIT_BOUNDS = (80, 90)  # train < 80 ≤ val < 90 ≤ test, buckets 0-99
+
+
+def doc_split(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10): bucket =
+    avalanche of the first three md5(doc_id) hex chars, so membership is
+    pseudorandom, stable across runs/cluster sizes, and joinable from
+    any other table — the standard hash-split for training corpora.
+    Pure map stage: no shuffle, no state.  The char-combine form (not
+    hex→int) exists so the SAME expression runs in ANSI SQL (ascii +
+    substr) for the oracle."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        h = dd.md5_hex_series(ids.astype(str))
+        # U3 → three unicode codepoints per row, no Python char loop
+        c = np.array(h.to_numpy(), dtype="U3").view(np.uint32).reshape(-1, 3)
+        c = c.astype("int64")
+        bucket = ((c[:, 0] * 131 + c[:, 1]) * 131 + c[:, 2]) % 100
+        split = np.select(
+            [bucket < SPLIT_BOUNDS[0], bucket < SPLIT_BOUNDS[1]],
+            ["train", "val"], default="test")
+        return pd.DataFrame(
+            {"doc_id": ids.to_numpy(),
+             "bucket": bucket.astype("int64"),
+             "split": pd.Series(split, dtype=object)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def doc_split_sql() -> str:
+    lo, hi = SPLIT_BOUNDS
+    return f"""
+SELECT doc_id, b AS bucket,
+       CASE WHEN b < {lo} THEN 'train'
+            WHEN b < {hi} THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ((ascii(substr(h,1,1))*131 + ascii(substr(h,2,1)))*131
+              + ascii(substr(h,3,1))) % 100 AS b
+      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) h FROM documents))
+""".strip()
+
+
 # --- dedup ------------------------------------------------------------
 
 

@@ -192,6 +192,17 @@ def test_analytics_match_sql(ray_session, con):
     )
 
 
+def test_doc_split_match_sql_and_ratios(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    out = co.doc_split(SF)
+    assert_matches_sql(out, con, co.doc_split_sql())
+    df = out.to_pandas()
+    frac = df["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert frac.get("val", 0) > 0.03 and frac.get("test", 0) > 0.03
+
+
 def test_custom_window_ops_match_sql(ray_session, con):
     """Sessionization, as-of join, interval-band join, exact grouped
     quantiles and grouped top-k vs their window-function SQL oracles."""

@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_by_type": an.events_value_by_type,
         # custom operators Ray Data lacks (windows / as-of / range join /
         # exact grouped quantiles / grouped top-k)
+        "events_props_stats": an.events_props_stats,
         "events_sessions": an.events_sessions,
         "events_asof_join": an.events_asof_join,
         "events_value_bands": an.events_value_bands,
@@ -271,6 +272,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
             "SELECT strftime(ts, '%Y-%m-%d') AS date, event_type, "
             "count(*) AS n FROM events GROUP BY 1, 2"
         ),
+        "events_props_stats": an.EVENTS_PROPS_SQL,
         "events_sessions": an.EVENTS_SESSIONS_SQL,
         "events_asof_join": an.EVENTS_ASOF_SQL,
         "events_value_bands": an.events_value_bands_sql(),

@@ -426,6 +426,43 @@ FROM r JOIN (VALUES {', '.join(f'({p})' for p in QUANTILE_PCTS)}) q(q_pct)
 """.strip()
 
 
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the ``props`` JSON column and aggregate per event class.  The pull
+    is one vectorized C-regex over the batch (the fast path for a known
+    shallow field — the engine's jsonSmartDeepParse handles the general
+    nested case row-wise in the crawl layer); the SQL oracle uses real
+    JSON functions, so the shortcut is verified against a full parse."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (df["props"].astype("string")
+             .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+             .fillna("0").astype("int64"))
+        tmp = pd.DataFrame({"event_type": df["event_type"], "k": k})
+        g = tmp.groupby("event_type", as_index=False).agg(
+            p_sum=("k", "sum"), p_max=("k", "max"), p_n=("k", "size"))
+        return g.astype({"p_sum": "int64", "p_max": "int64", "p_n": "int64"})
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = partials.groupby("event_type", as_index=False).agg(
+        sum_k=("p_sum", "sum"), max_k=("p_max", "max"), n=("p_n", "sum"))
+    g = g.astype({"sum_k": "int64", "max_k": "int64", "n": "int64"})
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       count(*) AS n
+FROM (SELECT event_type,
+             COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0) AS k
+      FROM events)
+GROUP BY 1
+""".strip()
+
+
 def top_orders_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Grouped top-k (top orders by price inside each priority class):
     per-batch local top-k (a block can only contribute its own best k)

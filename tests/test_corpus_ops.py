@@ -216,6 +216,7 @@ def test_custom_window_ops_match_sql(ray_session, con):
                        an.EVENTS_QUANTILES_SQL)
     assert_matches_sql(an.top_orders_per_priority(SF), con,
                        an.top_orders_per_priority_sql())
+    assert_matches_sql(an.events_props_stats(SF), con, an.EVENTS_PROPS_SQL)
 
 
 def test_session_gap_boundary(ray_session, tmp_path):

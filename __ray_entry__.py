@@ -142,8 +142,9 @@ def _q_doc_stats_resumable(sf_dir: str):
     from neocrawler_ray.pipelines import export as ex
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    # v2: part files named part-{file}-{chunk} (directory-table support)
-    out = f"/tmp/neocrawler_ray_export/v2/{tag}/text_stats"
+    # versioned by ex.EXPORT_VERSION so a kernel/naming change never
+    # serves stale part files from a previous code state
+    out = f"/tmp/neocrawler_ray_export/v{ex.EXPORT_VERSION}/{tag}/text_stats"
     ex.resumable_export(sf_dir, out, "text_stats")
     return ex.read_export(out)
 

@@ -343,6 +343,10 @@ def events_value_bands(sf_dir: str, n_bands: int = 10):
                                "hi": pd.Series(dtype="int64")})
 
     mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    if mm.empty:  # zero events: empty result, like the SQL side
+        return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                             "sum_value_e4": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64")})
     vmin, vmax = int(mm["lo"].min()), int(mm["hi"].max())
     span = vmax - vmin + 1
     # band i covers [vmin + span*i//n, vmin + span*(i+1)//n - 1] — exact

@@ -177,7 +177,7 @@ class CrawlJob:
         self._last_ckpt_started: int | None = None
         # T5 hot-reload signature of rules.json
         self._rules_path = os.path.join(corpus_dir, "rules.json")
-        self._rules_sig = self._rules_signature()
+        self._rules_sig = self._rules_signature()[0]
         self.rules_version = 0
 
     # ------------------------------------------------------------------
@@ -195,28 +195,37 @@ class CrawlJob:
 
     # --- T5 rules hot-reload (wave-boundary re-expression of the
     #     reference's 120 s poll, scheduler/index.js:63-120) -------------
-    def _rules_signature(self) -> tuple:
+    def _rules_signature(self) -> tuple[tuple, bytes | None]:
+        """(signature, blob) from ONE read — the md5'd bytes are the
+        bytes that get parsed, so a concurrent writer can't slip a
+        different (possibly partial) file between hash and parse."""
         import hashlib
 
         try:
             with open(self._rules_path, "rb") as f:
                 blob = f.read()
-            return (os.stat(self._rules_path).st_mtime_ns,
-                    hashlib.md5(blob).hexdigest())
+            return ((os.stat(self._rules_path).st_mtime_ns,
+                     hashlib.md5(blob).hexdigest()), blob)
         except OSError:
-            return (0, "")
+            return ((0, ""), None)
 
     def _maybe_reload_rules(self) -> bool:
         import ray
 
         if not self.settings.rules_reload:
             return False
-        sig = self._rules_signature()
-        if sig == self._rules_sig:
+        sig, blob = self._rules_signature()
+        if sig == self._rules_sig or blob is None:
+            return False
+        try:
+            new_rules = json.loads(blob)
+        except ValueError:
+            # mid-write snapshot (non-atomic editor): keep the current
+            # rules AND the old signature, so the completed write is
+            # picked up at the next wave boundary
             return False
         self._rules_sig = sig
-        with open(self._rules_path) as f:
-            self.rules = json.load(f)
+        self.rules = new_rules
         self.ruleset = RuleSet(self.rules)
         old_fs = {e["key"]: e["first_schedule"] for e in self.entries}
         self.entries = self.ruleset.priority_list(self.settings.max_weight)

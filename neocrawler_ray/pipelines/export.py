@@ -25,6 +25,11 @@ import os
 
 import pandas as pd
 
+# Bump whenever a transform kernel's OUTPUT changes (new column, new
+# semantics) or the part-file naming changes: cache dirs built from
+# this version invalidate automatically instead of serving stale parts.
+EXPORT_VERSION = 2
+
 # transform name → pandas kernel(df) -> df.  Kept as names (not
 # callables) so the task payload is a string, never a pickled closure.
 _TRANSFORMS = {}

@@ -268,7 +268,12 @@ def route_feedback_files(wave_path: str, shards: list,
     if not files:
         return totals
     if _ROUTE_TASK is None:
-        _ROUTE_TASK = ray.remote(num_cpus=0.5)(_route_files_task)
+        # max_retries=0: the task pushes buffer rows to frontier shards
+        # (a side effect) — Ray's default silent re-execution after a
+        # worker death would re-deliver rows and double-apply feedback;
+        # a failure instead surfaces to the driver, which re-runs the
+        # wave from the checkpoint (exactly-once at the wave level)
+        _ROUTE_TASK = ray.remote(num_cpus=0.5, max_retries=0)(_route_files_task)
     n_tasks = min(max_tasks, len(files))
     chunks = [files[i::n_tasks] for i in range(n_tasks)]
     for c in ray.get([_ROUTE_TASK.remote(ch, shards) for ch in chunks]):

@@ -192,6 +192,22 @@ def test_analytics_match_sql(ray_session, con):
     )
 
 
+def test_value_bands_empty_table(ray_session, tmp_path):
+    """Zero events → empty band frame (mirrors the SQL result), not a
+    NaN-to-int crash in the min/max reduce."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    pq.write_table(
+        pa.table({"value": pa.array([], pa.float64())}),
+        str(tmp_path / "events.parquet"))
+    out = an.events_value_bands(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["band", "sum_value_e4", "n"]
+
+
 def test_doc_split_match_sql_and_ratios(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 

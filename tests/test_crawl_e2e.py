@@ -250,3 +250,51 @@ def test_rules_reload_mid_run(corpus, tmp_path_factory, ray_session):
     assert injected, "injected rule's seed never scheduled"
     assert injected[0][0] == 1  # first wave after the reload
     assert injected[0][2] == seed_url
+
+
+def test_rules_reload_survives_partial_write(corpus, tmp_path_factory,
+                                             ray_session):
+    """A truncated/mid-write rules.json at a wave boundary must not
+    crash the crawl or poison the signature: the old rules stay live
+    and the completed write is picked up at the NEXT boundary."""
+    import json
+    import os
+    import shutil
+
+    from neocrawler_ray.pipelines.crawl import CrawlJob
+
+    my_corpus = str(tmp_path_factory.mktemp("reload2_corpus"))
+    shutil.rmtree(my_corpus)
+    shutil.copytree(corpus, my_corpus)
+
+    with open(os.path.join(my_corpus, "rules.json")) as f:
+        rules = json.load(f)
+    d0 = sorted(rules.keys())[0]
+    seed_url = f"http://www.{d0}/cat_0/list_1.html"
+    path = os.path.join(my_corpus, "rules.json")
+
+    def inject(wave: int) -> None:
+        if wave == 0:
+            # simulate catching a non-atomic editor mid-write
+            with open(path, "w") as f:
+                f.write('{"truncated": ')
+        elif wave == 1:
+            esc = d0.replace(".", r"\.")
+            new_rule = dict(rules[d0]["list"])
+            new_rule.update(
+                alias="injected2",
+                url_pattern=rf"^http://www\.{esc}/cat_0/list_1\.html$",
+                seed=[seed_url], drill_rules=[],
+            )
+            rules[d0]["injected2"] = new_rule
+            with open(path, "w") as f:
+                json.dump(rules, f)
+
+    out = str(tmp_path_factory.mktemp("reload2_out"))
+    job = CrawlJob(my_corpus, _settings(), out)
+    job.run(max_waves=4, on_wave_end=inject)  # must not raise
+
+    rows = _schedule_rows(out)
+    injected = [r for r in rows if r[3] == f"urllib:driller:{d0}:injected2"]
+    assert injected, "valid rewrite after the corrupt one never loaded"
+    assert injected[0][0] == 2  # wave after the VALID write

@@ -248,6 +248,15 @@ def test_css_set_pseudos_jquery_style():
     assert _texts(DOM.find("div.spec span:last")) == ["XL"]
     assert _texts(DOM.find("div.spec span:eq(2)")) == ["size"]
     assert DOM.find("div.spec span:eq(9)") == []
+    # negative :eq counts from the end (jQuery semantics)
+    assert _texts(DOM.find("div.spec span:eq(-1)")) == ["XL"]
+    assert _texts(DOM.find("div.spec span:eq(-4)")) == ["color"]
+    assert DOM.find("div.spec span:eq(-5)") == []
+    # a mid-chain set pseudo would be silently ignored → must raise
+    import pytest
+
+    with pytest.raises(ValueError, match="final compound"):
+        DOM.find("li:first a")
     # comma group: pseudo slices only its own group's matches
     assert _texts(DOM.find("ul.tags li:first, div.spec .v")) == [
         "alpha", "red", "XL"]

@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": an.events_value_quantiles,
         "top_orders_per_priority": an.top_orders_per_priority,
         "q1_lineitem": an.q1_lineitem,
+        "q6_revenue": an.q6_revenue,
         "revenue_by_nation": an.revenue_by_nation,
         "top_customers": an.top_customers,
     }
@@ -291,6 +292,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
             " AS sum_price_e4, count(*) AS count_order "
             "FROM lineitem GROUP BY 1, 2"
         ),
+        "q6_revenue": an.Q6_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

@@ -120,6 +120,55 @@ def q1_lineitem(sf_dir: str):
         {"p_qty": "sum_qty", "p_price": "sum_price_e4", "p_n": "count_order"})
 
 
+def q6_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: filtered discount-revenue aggregate with the row
+    predicates pushed INTO the parquet read (pyarrow dataset filter →
+    row groups whose min/max statistics exclude the ranges never leave
+    storage; at 100 TB this is the difference between scanning a year
+    and scanning everything).  Fixed-point: floor(price·disc·10⁴) per
+    row — IEEE double multiply is order-independent, so the SQL side
+    reproduces it bit-for-bit."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from ..sources.tables import table_files
+
+    flt = (
+        (pads.field("l_shipdate") >= pads.scalar(pd.Timestamp("1996-01-01")))
+        & (pads.field("l_shipdate") < pads.scalar(pd.Timestamp("1997-01-01")))
+        & (pads.field("l_discount") >= pads.scalar(0.05))
+        & (pads.field("l_discount") <= pads.scalar(0.07))
+        & (pads.field("l_quantity") < pads.scalar(24.0))
+    )
+    ds = ray.data.read_parquet(
+        table_files(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount"], filter=flt)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(df["l_extendedprice"].to_numpy("float64")
+                       * df["l_discount"].to_numpy("float64")
+                       * 10000.0).astype("int64")
+        return pd.DataFrame({"p_rev": [int(rev.sum())],
+                             "p_n": [len(rev)]}).astype("int64")
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {"revenue_e4": pd.Series([int(parts["p_rev"].sum())], dtype="int64"),
+         "n_items": pd.Series([int(parts["p_n"].sum())], dtype="int64")})
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""".strip()
+
+
 def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Top-k customers by order revenue — broadcast join to names.
 

@@ -662,25 +662,66 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
         df = df.sort_values("doc_id")
         ids = df["doc_id"].to_numpy(dtype="int64")
         hs = df["simhash"].to_numpy(dtype="int64").view(np.uint64)
+        # Dup-heavy buckets repeat sketches: compute the pairwise Hamming
+        # matrix over UNIQUE sketches (u ≪ m when templates repeat) and
+        # expand matches back to doc pairs — expansion is proportional to
+        # the emitted pairs, so per-bucket work drops from O(m²) to
+        # O(u² + |output|).  This removed a 95 s hot-partition skew at
+        # sf0.1 (one template bucket held thousands of identical hashes).
+        uh, inv = np.unique(hs, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        sids, sinv = ids[order], inv[order]
+        starts = np.searchsorted(sinv, np.arange(len(uh)))
+        ends = np.append(starts[1:], len(sids))
         out_a, out_b, out_d = [], [], []
-        # vectorized pairwise Hamming in row chunks: XOR matrix → byte
-        # view → per-byte popcount table — no python pair loop
-        popb = np.unpackbits(
-            np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
-        n = len(ids)
-        for lo in range(0, n, 512):
-            hi = min(lo + 512, n)
-            x = hs[lo:hi, None] ^ hs[None, :]
-            d = popb[x.view(np.uint8).reshape(hi - lo, n, 8)].sum(axis=2)
-            cand = (d <= max_hamming) & (ids[lo:hi, None] < ids[None, :])
+        # d = 0: all intra-group pairs (ids ascend within a group)
+        for g in range(len(uh)):
+            m = ends[g] - starts[g]
+            if m > 1:
+                gi = sids[starts[g]:ends[g]]
+                ii, jj = np.triu_indices(m, k=1)
+                out_a.append(gi[ii])
+                out_b.append(gi[jj])
+                out_d.append(np.zeros(len(ii), dtype=np.int64))
+        # d ≥ 1: Hamming over unique sketches, chunked + SWAR popcount.
+        # Most qualifying unique-pairs join two SINGLETON groups, so that
+        # case expands with pure gathers; only pairs touching a multi-doc
+        # group (rare) fall back to a per-pair loop.
+        u = len(uh)
+        sizes = ends - starts
+        for lo in range(0, u, 1024):
+            hi = min(lo + 1024, u)
+            d = dd.popcount64(uh[lo:hi, None] ^ uh[None, :])
+            cand = (d <= max_hamming) & (
+                np.arange(lo, hi)[:, None] < np.arange(u)[None, :])
             ii, jj = np.nonzero(cand)
-            out_a.extend(ids[lo + ii])
-            out_b.extend(ids[jj])
-            out_d.extend(d[ii, jj])
+            if len(ii) == 0:
+                continue
+            gi = ii + lo
+            both1 = (sizes[gi] == 1) & (sizes[jj] == 1)
+            if both1.any():
+                a = sids[starts[gi[both1]]]
+                b = sids[starts[jj[both1]]]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_d.append(d[ii[both1], jj[both1]].astype(np.int64))
+            for k in np.nonzero(~both1)[0]:
+                a = sids[starts[gi[k]]:ends[gi[k]]]
+                b = sids[starts[jj[k]]:ends[jj[k]]]
+                aa = np.repeat(a, len(b))
+                bb = np.tile(b, len(a))
+                out_a.append(np.minimum(aa, bb))
+                out_b.append(np.maximum(aa, bb))
+                out_d.append(np.full(len(aa), d[ii[k], jj[k]], dtype=np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")})
         return pd.DataFrame(
-            {"doc_a": pd.Series(out_a, dtype="int64"),
-             "doc_b": pd.Series(out_b, dtype="int64"),
-             "hamming": pd.Series(out_d, dtype="int64")}
+            {"doc_a": pd.Series(np.concatenate(out_a), dtype="int64"),
+             "doc_b": pd.Series(np.concatenate(out_b), dtype="int64"),
+             "hamming": pd.Series(np.concatenate(out_d), dtype="int64")}
         )
 
     parts = _parts_for(sf_dir, "documents")

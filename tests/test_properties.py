@@ -147,3 +147,15 @@ def test_union_find_reps_are_component_minima(pairs):
     for x, rep in comp.items():
         assert rep <= x
         assert comp[rep] == rep  # representative is a fixpoint
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=64))
+def test_popcount64_matches_bin_count(vals):
+    import numpy as np
+
+    from neocrawler_ray.functions import dedup as dd
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = dd.popcount64(arr)
+    assert got.tolist() == [bin(v).count("1") for v in vals]

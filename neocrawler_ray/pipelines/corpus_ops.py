@@ -756,17 +756,20 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97,
             return pd.DataFrame(
                 {"bucket": pd.Series(dtype="int64"),
                  "vec_id": pd.Series(dtype="int64"),
-                 "embedding": pd.Series(dtype=object)})
+                 "vec": pd.Series(dtype=object)})
         m = sim.batch_to_matrix(df["embedding"].to_numpy())
         planes = dd.hyperplanes(m.shape[1], bands * bits)
         keys = dd.cosine_lsh_band_keys(m, planes, bands, bits)  # (n, bands)
+        # vectors travel the two exchanges as compact float32 bytes, not
+        # per-element pickled ndarrays — same values, ~4x less pickle
+        vec_bytes = np.array(
+            [row.tobytes() for row in m.astype(np.float32)], dtype=object)
         return pd.DataFrame(
             {"bucket": pd.Series(keys.reshape(-1), dtype="int64"),
              "vec_id": pd.Series(
                  np.repeat(df["vec_id"].to_numpy(dtype=np.int64), bands),
                  dtype="int64"),
-             "embedding": pd.Series(
-                 df["embedding"].to_numpy().repeat(bands), dtype=object)}
+             "vec": pd.Series(vec_bytes.repeat(bands), dtype=object)}
         )
 
     ds = ds.map_batches(key, batch_format="pandas")
@@ -779,7 +782,10 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97,
                  "cosine": pd.Series(dtype="float64")})
         df = df.sort_values("vec_id")
         ids = df["vec_id"].to_numpy(dtype="int64")
-        m = sim.normalize_rows(sim.batch_to_matrix(df["embedding"].to_numpy()))
+        m = np.frombuffer(
+            b"".join(df["vec"].tolist()), dtype=np.float32
+        ).reshape(len(df), -1).astype(np.float64)
+        m = sim.normalize_rows(m)
         s = m @ m.T
         hit = (s >= threshold) & (ids[:, None] < ids[None, :])
         ii, jj = np.nonzero(hit)

@@ -111,15 +111,20 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 # worker-global token→hash memo: corpus vocabularies are Zipfian, so
 # across the docs of a batch (and across batches on one worker) most
 # blake2b calls are cache hits — measured as the dominant cost of the
-# original per-doc sketch.  Bounded: cleared if it ever exceeds the cap.
+# original per-doc sketch.  Bounded: when over cap, a pseudo-random
+# HALF is evicted (never the whole dict) so steady-state memory stays
+# ~cap/2–cap and the hot Zipf head survives eviction with p=1/2 per
+# round instead of being flushed wholesale (a full clear() caused a
+# periodic rehash spike on large-vocabulary corpora).
 _TOKEN_HASH_CACHE: dict[str, int] = {}
-_TOKEN_HASH_CACHE_CAP = 4_000_000
+_TOKEN_HASH_CACHE_CAP = 1_000_000
 
 
 def _token_hashes(tokens) -> np.ndarray:
     cache = _TOKEN_HASH_CACHE
     if len(cache) > _TOKEN_HASH_CACHE_CAP:
-        cache.clear()
+        for k in [k for k in cache if hash(k) & 1]:
+            del cache[k]
     out = np.empty(len(tokens), dtype=np.uint64)
     for i, tk in enumerate(tokens):
         h = cache.get(tk)

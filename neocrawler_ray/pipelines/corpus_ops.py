@@ -54,15 +54,18 @@ def _hash_grouped(ds, key_cols: list[str], agg_fn, num_parts: int = 64):
     each of ``num_parts`` partitions.  The exchange volume is identical;
     the reduce is a C-speed kernel.  ``agg_fn(df) -> df`` must be a
     per-partition-complete aggregation."""
-    import zlib
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        # one C-speed siphash kernel over the combined key column — every
+        # dedup/window exchange funnels through this, so no per-row
+        # Python (semantics only need "same key → same partition"; the
+        # hash family itself is free to differ from the old crc32)
         key = df[key_cols[0]].astype(str)
         for c in key_cols[1:]:
             key = key + "\x1f" + df[c].astype(str)
         df = df.copy()
-        df["part"] = [zlib.crc32(k.encode()) % num_parts for k in key]
-        df["part"] = df["part"].astype("int64")
+        h = pd.util.hash_array(key.to_numpy(dtype=object), categorize=False)
+        df["part"] = (h % num_parts).astype("int64")
         return df
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -100,14 +103,14 @@ def _bucketed_pairs(ds, bucket_col: str, bucket_pairs, num_parts: int = 64):
     empty-output schema via ``bucket_pairs(df.iloc[0:0])``."""
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-
         df = df.copy()
         col = df[bucket_col]
         if str(col.dtype).startswith(("int", "uint")):
             part = (col.astype("int64") % num_parts)
         else:
-            part = col.map(lambda k: zlib.crc32(str(k).encode()) % num_parts)
+            h = pd.util.hash_array(
+                col.astype(str).to_numpy(dtype=object), categorize=False)
+            part = pd.Series(h % num_parts, index=df.index)
         df["part"] = part.astype("int64")
         return df
 
@@ -760,10 +763,13 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97,
         m = sim.batch_to_matrix(df["embedding"].to_numpy())
         planes = dd.hyperplanes(m.shape[1], bands * bits)
         keys = dd.cosine_lsh_band_keys(m, planes, bands, bits)  # (n, bands)
-        # vectors travel the two exchanges as compact float32 bytes, not
-        # per-element pickled ndarrays — same values, ~4x less pickle
+        # vectors travel the two exchanges as packed float64 bytes, not
+        # per-element pickled ndarrays (~2x less pickle).  float64 — not
+        # float32 — so the in-bucket cosine verify computes on exactly
+        # the values the brute/oracle paths use: a pair whose true cosine
+        # sits within float32 rounding of the threshold must not flip
         vec_bytes = np.array(
-            [row.tobytes() for row in m.astype(np.float32)], dtype=object)
+            [row.tobytes() for row in m], dtype=object)
         return pd.DataFrame(
             {"bucket": pd.Series(keys.reshape(-1), dtype="int64"),
              "vec_id": pd.Series(
@@ -783,8 +789,8 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.97,
         df = df.sort_values("vec_id")
         ids = df["vec_id"].to_numpy(dtype="int64")
         m = np.frombuffer(
-            b"".join(df["vec"].tolist()), dtype=np.float32
-        ).reshape(len(df), -1).astype(np.float64)
+            b"".join(df["vec"].tolist()), dtype=np.float64
+        ).reshape(len(df), -1)
         m = sim.normalize_rows(m)
         s = m @ m.T
         hit = (s >= threshold) & (ids[:, None] < ids[None, :])

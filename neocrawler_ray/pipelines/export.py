@@ -72,7 +72,14 @@ def _t_fingerprint(df: pd.DataFrame) -> pd.DataFrame:
 def plan_chunks(path: str, target_rows: int) -> list[tuple[int, int]]:
     """Split a parquet file into [rg_lo, rg_hi) row-group ranges of
     ≤ ``target_rows`` rows each (always ≥1 row group per chunk).  Planned
-    from metadata only — no data scan."""
+    from metadata only — no data scan.
+
+    Memory floor: the row group is the smallest restartable read unit
+    here, so a single row group larger than ``target_rows`` becomes one
+    oversized chunk — worker memory is bounded by
+    ``max(target_rows, largest row group)`` rows, not strictly
+    ``target_rows``.  Write inputs with reasonable row-group sizes
+    (pyarrow defaults to ~1M rows) or lower them for very wide rows."""
     import pyarrow.parquet as pq
 
     meta = pq.read_metadata(path)

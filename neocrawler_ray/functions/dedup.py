@@ -61,35 +61,109 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
 
+# k-gram combine: positional multiply-add chain + murmur3 finalizer —
+# vectorized replacement for blake2b(" ".join(gram)); any injective-ish
+# 64-bit hash of the token-hash tuple preserves set-Jaccard semantics
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    """murmur3 64-bit finalizer, vectorized (full avalanche)."""
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint64(33))
+        x = x * np.uint64(0xFF51AFD7ED558CCD)
+        x = x ^ (x >> np.uint64(33))
+        x = x * np.uint64(0xC4CEB9FE1A85EC53)
+        x = x ^ (x >> np.uint64(33))
+    return x
+
+
+def shingle_hashes_from_token_hashes(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """SORTED UNIQUE uint64 k-gram shingle hashes from per-token hashes.
+
+    One vectorized multiply-add chain over k shifted views — no loop
+    over shingles.  Mirrors ``word_shingles`` edge semantics: fewer
+    than k tokens → one shingle of all tokens; empty → empty."""
+    n = len(th)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    kk = min(k, n)
+    m = n - kk + 1
+    with np.errstate(over="ignore"):
+        acc = th[:m].astype(np.uint64, copy=True)
+        for j in range(1, kk):
+            acc = acc * _SHINGLE_MIX + th[j:m + j]
+    return np.unique(_fmix64(acc))
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    return np.fromiter(
-        {_hash64(s) for s in word_shingles(text, k)}, dtype=np.uint64
-    )
+    """Sorted unique shingle-hash set of a document (the Jaccard
+    universe for minhash + the distributed verify payload)."""
+    toks = _WORD_RE.findall(text.lower())
+    return shingle_hashes_from_token_hashes(_token_hashes(toks), k)
+
+
+def _sig_matrix(shingle_sets: list[np.ndarray],
+                perm_chunk: int = 32) -> np.ndarray:
+    """(n_docs, P) minhash signature matrix for a batch of shingle-hash
+    sets: ONE concatenated array + ``np.minimum.reduceat`` per perm
+    chunk — no per-document python loop (the per-doc (P×S) matmul it
+    replaces spent most of its time in numpy call overhead at web-page
+    shingle counts).  Empty docs get the empty-signature sentinel."""
+    n = len(shingle_sets)
+    sig = np.empty((n, MINHASH_PERMS), dtype=np.uint64)
+    sig[:] = _MERSENNE
+    nonempty = [i for i, h in enumerate(shingle_sets) if len(h)]
+    if not nonempty:
+        return sig
+    concat = np.concatenate([shingle_sets[i] for i in nonempty])
+    lens = np.array([len(shingle_sets[i]) for i in nonempty], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    rows = np.array(nonempty, dtype=np.int64)
+    for lo in range(0, MINHASH_PERMS, perm_chunk):
+        hi = min(lo + perm_chunk, MINHASH_PERMS)
+        with np.errstate(over="ignore"):
+            m = (_PERM_A[lo:hi, None] * concat[None, :]
+                 + _PERM_B[lo:hi, None]) % _MERSENNE
+        sig[rows, lo:hi] = np.minimum.reduceat(m, starts, axis=1).T
+    return sig
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
-    """128-perm minhash over word k-shingles: sig[p] = min_h (a_p*h+b_p mod M).
-
-    One (P×S) broadcasted multiply-add per document — no python loop over
-    shingles×perms.
-    """
+    """128-perm minhash over word k-shingles: sig[p] = min_h (a_p*h+b_p mod M)."""
     h = shingle_hashes(text, k)
     if h.size == 0:
         return _EMPTY_SIG.copy()
-    # (P,1)*(1,S) in uint64: overflow wraps mod 2^64; then reduce mod M.
-    with np.errstate(over="ignore"):
-        m = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
-    return m.min(axis=1)
+    return _sig_matrix([h])[0]
 
 
 def band_keys(sig: np.ndarray, bands: int = LSH_BANDS) -> list[str]:
     """LSH band keys: md5 of each band's signature bytes, prefixed with
-    the band index so different bands never collide into one bucket."""
+    the band index so different bands never collide into one bucket.
+    (Scalar reference form; the pipeline uses :func:`band_keys_matrix`.)"""
     r = len(sig) // bands
     return [
         f"{b}:{hashlib.md5(sig[b * r:(b + 1) * r].tobytes()).hexdigest()[:16]}"
         for b in range(bands)
     ]
+
+
+def band_keys_matrix(sigs: np.ndarray, bands: int = LSH_BANDS) -> np.ndarray:
+    """(n, bands) int64 LSH bucket keys, fully vectorized: fold each
+    band's rows with the multiply-add chain + finalizer, then xor a
+    band-index avalanche so different bands never share a bucket.
+    Same bucketing semantics as :func:`band_keys` (equal band
+    signature ⟺ equal key, barring 64-bit collisions)."""
+    n, p = sigs.shape
+    r = p // bands
+    cube = sigs.reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = cube[:, :, 0].astype(np.uint64, copy=True)
+        for j in range(1, r):
+            acc = acc * _SHINGLE_MIX + cube[:, :, j]
+        acc = _fmix64(acc) ^ _fmix64(
+            np.arange(bands, dtype=np.uint64) + np.uint64(1))[None, :]
+    return acc.view(np.int64)
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -250,18 +324,26 @@ def exact_dedup_batch(df: pd.DataFrame, text_col: str = "text",
 
 def minhash_batch(df: pd.DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3) -> pd.DataFrame:
-    """Per-batch minhash: one output row per (doc, band)."""
-    ids, bands_out, sigs = [], [], []
-    for i, t in zip(df[id_col], df[text_col].fillna("")):
-        sig = minhash_signature(str(t), k)
-        for bk in band_keys(sig):
-            ids.append(int(i))
-            bands_out.append(bk)
-            sigs.append(sig.tobytes())
+    """Per-batch minhash: one output row per (doc, band).
+
+    Per doc only the C-regex tokenize runs in Python; shingle hashing,
+    the signature matrix and band keys are single vectorized kernels
+    over the whole batch (``_sig_matrix`` / ``band_keys_matrix``)."""
+    texts = df[text_col].fillna("").tolist()
+    ids = df[id_col].to_numpy(dtype=np.int64)
+    sets = [
+        shingle_hashes_from_token_hashes(
+            _token_hashes(_WORD_RE.findall(str(t).lower())), k)
+        for t in texts
+    ]
+    sigs = _sig_matrix(sets)
+    keys = band_keys_matrix(sigs)  # (n, bands)
+    n, bands = keys.shape
+    sig_bytes = np.array([s.tobytes() for s in sigs], dtype=object)
     return pd.DataFrame(
-        {"band_key": pd.Series(bands_out, dtype="string"),
-         id_col: pd.Series(ids, dtype="int64"),
-         "sig": pd.Series(sigs, dtype=object)}
+        {"band_key": pd.Series(keys.reshape(-1), dtype="int64"),
+         id_col: pd.Series(np.repeat(ids, bands), dtype="int64"),
+         "sig": pd.Series(sig_bytes.repeat(bands), dtype=object)}
     )
 
 

@@ -340,19 +340,81 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
     emitted) → groupby(band_key) → per-bucket pair generation → global
     pair dedup (a pair found in several bands collapses to one row).
     """
-    import ray
+    import numpy as np
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     ds = ds.map_batches(dd.minhash_batch, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = dd.candidate_pairs_from_bucket(
-            df["doc_id"].tolist(), df["sig"].tolist(), threshold
-        )
+        # Unique-signature walk (same shape as the simhash pair stage):
+        # dup-heavy buckets repeat identical signatures, so the pairwise
+        # agreement matrix runs over UNIQUE signatures (u ≪ m) and
+        # identical-signature groups expand to est=1.0 pairs by pure
+        # gathers — per-bucket work is O(u²·P/chunk + |output|), with no
+        # per-pair python loop.
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"),
+             "doc_b": pd.Series(dtype="int64"),
+             "est_jaccard": pd.Series(dtype="float64")})
+        m = len(df)
+        if m < 2:
+            return empty
+        ids_all = df["doc_id"].to_numpy(dtype="int64")
+        order0 = np.argsort(ids_all)
+        ids_all = ids_all[order0]
+        sig_mat = np.frombuffer(
+            b"".join(df["sig"].iloc[order0].tolist()), dtype=np.uint64
+        ).reshape(m, dd.MINHASH_PERMS)
+        uh, inv = np.unique(sig_mat, axis=0, return_inverse=True)
+        u = len(uh)
+        order = np.argsort(inv, kind="stable")  # ids stay ascending per group
+        sids, sinv = ids_all[order], inv[order]
+        starts = np.searchsorted(sinv, np.arange(u))
+        ends = np.append(starts[1:], m)
+        sizes = ends - starts
+        out_a, out_b, out_e = [], [], []
+        for g in np.nonzero(sizes > 1)[0]:
+            gi = sids[starts[g]:ends[g]]
+            ii, jj = np.triu_indices(len(gi), k=1)
+            keep = gi[ii] != gi[jj]
+            out_a.append(gi[ii][keep])
+            out_b.append(gi[jj][keep])
+            out_e.append(np.ones(int(keep.sum()), dtype=np.float64))
+        for lo in range(0, u, 256):
+            hi = min(lo + 256, u)
+            est = (uh[lo:hi, None, :] == uh[None, :, :]).mean(axis=2)
+            cand = (est >= threshold) & (
+                np.arange(lo, hi)[:, None] < np.arange(u)[None, :])
+            ii, jj = np.nonzero(cand)
+            if len(ii) == 0:
+                continue
+            gi = ii + lo
+            both1 = (sizes[gi] == 1) & (sizes[jj] == 1)
+            if both1.any():
+                a = sids[starts[gi[both1]]]
+                b = sids[starts[jj[both1]]]
+                keep = a != b
+                out_a.append(np.minimum(a, b)[keep])
+                out_b.append(np.maximum(a, b)[keep])
+                out_e.append(est[ii[both1], jj[both1]][keep])
+            for t in np.nonzero(~both1)[0]:
+                a = sids[starts[gi[t]]:ends[gi[t]]]
+                b = sids[starts[jj[t]]:ends[jj[t]]]
+                aa = np.repeat(a, len(b))
+                bb = np.tile(b, len(a))
+                keep = aa != bb
+                out_a.append(np.minimum(aa, bb)[keep])
+                out_b.append(np.maximum(aa, bb)[keep])
+                out_e.append(
+                    np.full(int(keep.sum()), est[ii[t], jj[t]],
+                            dtype=np.float64))
+        if not out_a:
+            return empty
         return pd.DataFrame(
-            {"doc_a": pd.Series([p[0] for p in pairs], dtype="int64"),
-             "doc_b": pd.Series([p[1] for p in pairs], dtype="int64"),
-             "est_jaccard": pd.Series([p[2] for p in pairs], dtype="float64")}
+            {"doc_a": pd.Series(np.concatenate(out_a), dtype="int64"),
+             "doc_b": pd.Series(np.concatenate(out_b), dtype="int64"),
+             "est_jaccard": pd.Series(np.concatenate(out_e),
+                                      dtype="float64")}
         )
 
     parts = _parts_for(sf_dir, "documents")
@@ -376,10 +438,12 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
 
     1. explode each candidate pair into two (doc_id, pair_key, side)
        rows;
-    2. union with the (doc_id, text) corpus rows and hash-partition by
-       doc_id; inside each partition compute the word-shingle hash SET
-       only for docs that are actually pair sides (co-located semi-join;
-       the text shuffle is ≤1× corpus, shingles only for candidates);
+    2. union with the corpus rows, whose payload is the SORTED UNIQUE
+       shingle-hash set computed AT THE SCAN (uint64 bytes — text never
+       enters the exchange, and nothing re-shingles downstream; this
+       recovered the round-2 2× cost regression), and hash-partition by
+       doc_id; inside each partition forward payloads to the pair-side
+       rows (co-located semi-join);
     3. hash-partition the (pair_key, side, shingle-set) rows by pair_key
        and compute exact set Jaccard per pair inside ``map_groups``.
 
@@ -412,32 +476,31 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def text_rows(df: pd.DataFrame) -> pa.Table:
+    def shingle_rows(df: pd.DataFrame) -> pa.Table:
+        # shingle-hash at the scan: the corpus side of the exchange
+        # carries sorted uint64 hash sets, computed once, in parallel,
+        # where the text already is
         return pa.Table.from_pydict(
             {"doc_id": df["doc_id"].astype("int64").tolist(),
              "pair_key": [""] * len(df),
              "side": [-1] * len(df),
-             "payload": [str(t).encode() for t in df["text"].fillna("")]},
+             "payload": [dd.shingle_hashes(str(t)).tobytes()
+                         for t in df["text"].fillna("")]},
             schema=union_schema)
 
-    unioned = sides.union(docs.map_batches(text_rows, batch_format="pandas"))
+    unioned = sides.union(docs.map_batches(shingle_rows, batch_format="pandas"))
 
     def attach_shingles(df: pd.DataFrame) -> pa.Table:
         pr = df[df["side"] >= 0]
         if pr.empty:
             return attach_schema.empty_table()
-        txt = df[df["side"] < 0]
-        texts = dict(zip(txt["doc_id"], txt["payload"]))
-        needed = pr["doc_id"].unique()
-        sh = {
-            i: np.sort(dd.shingle_hashes(
-                bytes(texts.get(i, b"")).decode("utf-8", "replace"))).tobytes()
-            for i in needed
-        }
+        sh = df[df["side"] < 0]
+        payloads = dict(zip(sh["doc_id"], sh["payload"]))
         return pa.Table.from_pydict(
             {"pair_key": pr["pair_key"].tolist(),
              "side": pr["side"].tolist(),
-             "payload": [sh[i] for i in pr["doc_id"]]},
+             "payload": [bytes(payloads.get(i, b""))
+                         for i in pr["doc_id"]]},
             schema=attach_schema)
 
     parts = _parts_for(sf_dir, "documents")
@@ -452,7 +515,8 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
             blobs = g.sort_values("side")["payload"].tolist()
             sa = np.frombuffer(blobs[0], dtype=np.uint64)
             sb = np.frombuffer(blobs[1], dtype=np.uint64)
-            inter = len(np.intersect1d(sa, sb))
+            # payloads are sorted unique sets by construction
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac = (inter / union) if union else 1.0
             if jac >= jaccard_threshold:

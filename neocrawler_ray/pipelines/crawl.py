@@ -8,7 +8,10 @@ Each wave is one Ray Data pipeline::
       → map_batches(fused fetch-sim + extract)   # task pool, worker-global
       → write wave Parquet (streaming sink)      #   caches persist per run
       → route feedback columns → one buffer RPC per frontier shard
-      → commit_wave (deterministic order) → checkpoint (async IO)
+      → commit_wave (deterministic order) → checkpoint (async IO);
+        the commit barrier is submit-only and overlaps the NEXT wave's
+        schedule via per-shard actor ordering (harvested after the
+        schedule RPCs are queued)
 
 Link discovery rides the output table as a ``feedback_json`` column and
 is routed to the frontier shards once per wave, then applied in
@@ -158,18 +161,6 @@ class CrawlJob:
         self._fs_snapshots: dict[int, dict[str, int]] = {}
         if resume:
             self.start_wave = self._restore_checkpoint()
-        # post-commit queue/retry lengths per urllib key (schedule-skip
-        # indexes — avoid a pop/drain RPC for provably-empty queues)
-        self.queue_lens: dict[str, int] = {}
-        self.retry_lens: dict[str, int] = {}
-        pairs = ray.get([sh.all_queue_lens.remote() for sh in self.shards])
-        rlens = ray.get([sh.all_retry_lens.remote() for sh in self.shards])
-        for lens in pairs:
-            for k, v in lens.items():
-                self.queue_lens[k] = self.queue_lens.get(k, 0) + v
-        for lens in rlens:
-            for k, v in lens.items():
-                self.retry_lens[k] = self.retry_lens.get(k, 0) + v
         # T7 running ±failure counter (extractor.js:416-423 wave analog)
         self._cum_failure = 0
         # newest wave whose checkpoint write has STARTED (manifest lags
@@ -192,6 +183,15 @@ class CrawlJob:
         import ray
 
         return ray.get([getattr(sh, m).remote(*a) for sh, m, *a in requests])
+
+    def _cast(self, requests):
+        """Submit-only batch (results unused, e.g. ``begin_wave``):
+        actor tasks from one caller run in submission order, so any
+        later call on the same shard happens-after these — no join
+        needed, and the previous wave's in-flight commit keeps running
+        under the schedule instead of being a driver barrier."""
+        for sh, m, *a in requests:
+            getattr(sh, m).remote(*a)
 
     # --- T5 rules hot-reload (wave-boundary re-expression of the
     #     reference's 120 s poll, scheduler/index.js:63-120) -------------
@@ -307,14 +307,45 @@ class CrawlJob:
                 prof[name] = prof.get(name, 0.0) + (_time.perf_counter() - t0)
             return _time.perf_counter()
 
+        # in-flight commit of the previous wave: {"wave", "futures",
+        # "spill", "do_ckpt"} — harvested after the NEXT wave's schedule
+        # RPCs are queued (they happen-after each shard's commit via
+        # actor ordering), so the commit barrier overlaps the schedule
+        pending: dict | None = None
+
+        def _harvest() -> None:
+            nonlocal pending
+            if pending is None:
+                return
+            results = ray.get(pending["futures"])
+            for c, _lens, _rlens in results:
+                for k, v in c.items():
+                    totals[k] = totals.get(k, 0) + v
+            if pending["spill"]:
+                totals["state_spilled"] = (
+                    totals.get("state_spilled", 0)
+                    + sum(ray.get(pending["spill"])))
+            if pending["do_ckpt"]:
+                # the PREVIOUS checkpoint's files are durable now (each
+                # shard joined its writer before starting this one) —
+                # the manifest lags one checkpoint
+                if self._last_ckpt_started is not None:
+                    self._write_manifest(self._last_ckpt_started)
+                    for w in list(self._fs_snapshots):
+                        if w <= self._last_ckpt_started:
+                            self._fs_snapshots.pop(w, None)
+                self._last_ckpt_started = pending["wave"]
+            pending = None
+
         while wave < max_waves:
             t = _time.perf_counter()
             self._maybe_reload_rules()
             scheduled = run_schedule_wave(
                 wave, self.entries, self.total_rates, self.shards, s,
-                backlog_len=0, call=self._call, queue_lens=self.queue_lens,
-                retry_lens=self.retry_lens, calls=self._calls,
+                backlog_len=0, call=self._call, calls=self._calls,
+                cast=self._cast,
             )
+            _harvest()
             t = _tick("schedule", t)
             if not scheduled:
                 break
@@ -433,47 +464,34 @@ class CrawlJob:
 
             # ---- deterministic frontier commit + checkpoint -------------
             # each shard writes its own checkpoint file (atomic) — the
-            # per-partition snapshot bytes never ship through the driver;
-            # the driver only appends the manifest once all shards land
+            # per-partition snapshot bytes never ship through the driver.
+            # SUBMIT-ONLY here: the futures are harvested after the next
+            # wave's schedule RPCs are queued (which happen-after each
+            # shard's commit by actor ordering) — the commit barrier
+            # overlaps the next schedule instead of serializing the wave
+            # loop.  Correctness is unchanged: every pop/drain/seed RPC
+            # the next schedule issues runs after its shard's commit.
             do_ckpt = (wave + 1) % s.checkpoint_every == 0
-            results = ray.get(
-                [shard.commit_wave_and_checkpoint.remote(
-                    version, self.ckpt_dir, wave, do_ckpt)
-                 for shard in self.shards]
-            )
-            self.queue_lens = {}
-            self.retry_lens = {}
-            for c, lens, rlens in results:
-                for k, v in c.items():
-                    totals[k] = totals.get(k, 0) + v
-                for k, v in lens.items():
-                    self.queue_lens[k] = self.queue_lens.get(k, 0) + v
-                for k, v in rlens.items():
-                    self.retry_lens[k] = self.retry_lens.get(k, 0) + v
-            totals["scheduled"] = totals.get("scheduled", 0) + n
-            if s.state_spill_keep_ms:
-                spilled = ray.get([
-                    sh.spill_cold_state.remote(
+            pending = {
+                "wave": wave,
+                "do_ckpt": do_ckpt,
+                "futures": [
+                    shard.commit_wave_and_checkpoint.remote(
+                        version, self.ckpt_dir, wave, do_ckpt)
+                    for shard in self.shards
+                ],
+                "spill": (
+                    [sh.spill_cold_state.remote(
                         version, s.state_spill_keep_ms,
                         os.path.join(self.out_dir, "state_spill"))
-                    for sh in self.shards
-                ])
-                totals["state_spilled"] = (
-                    totals.get("state_spilled", 0) + sum(spilled))
+                     for sh in self.shards]
+                    if s.state_spill_keep_ms else []),
+            }
+            totals["scheduled"] = totals.get("scheduled", 0) + n
             # clocks as of the end of THIS wave (consumed by the lagged
             # manifest when this wave's checkpoint becomes durable)
             self._fs_snapshots[wave] = {
                 e["key"]: e["first_schedule"] for e in self.entries}
-            if do_ckpt:
-                # the PREVIOUS checkpoint's files are durable now (each
-                # shard joined its writer before starting this one) —
-                # the manifest lags one checkpoint
-                if self._last_ckpt_started is not None:
-                    self._write_manifest(self._last_ckpt_started)
-                    for w in list(self._fs_snapshots):
-                        if w <= self._last_ckpt_started:
-                            self._fs_snapshots.pop(w, None)
-                self._last_ckpt_started = wave
             t = _tick("commit", t)
 
             # --- T7 circuit breaker (extractor.js:416-423 wave analog):
@@ -496,9 +514,12 @@ class CrawlJob:
                     wave += 1
                     break
             if on_wave_end is not None:
+                # doc contract: fires after this wave's commit is applied
+                _harvest()
                 on_wave_end(wave)
             wave += 1
 
+        _harvest()
         totals["waves"] = wave
         if self._last_ckpt_started is not None:
             ray.get([s_.finish_checkpoints.remote() for s_ in self.shards])

@@ -49,6 +49,7 @@ def run_schedule_wave(
     queue_lens: dict | None = None,
     retry_lens: dict | None = None,
     calls=None,
+    cast=None,
 ):
     """One scheduler round.  ``shards[i]`` may be a local
     :class:`FrontierShard` or a Ray actor handle — pass ``call`` to invoke
@@ -58,7 +59,13 @@ def run_schedule_wave(
     (begin_wave resets, per-shard seed pushes, per-shard retry drains) —
     the engine passes a parallel ``ray.get``-on-futures implementation so
     these don't pay one round trip per shard; semantics are identical to
-    the sequential default.
+    the sequential default.  ``cast(requests)`` (optional) is the
+    submit-only variant for calls whose RESULTS are unused
+    (``begin_wave``): the engine submits the actor tasks without joining
+    them — Ray actors run one caller's tasks in submission order, so a
+    later drain/pop on the same shard still happens-after its
+    begin_wave (and after the previous wave's still-in-flight commit,
+    which is what lets the commit barrier overlap this schedule).
 
     Returns ``scheduled``: ordered list of dicts
     ``{seq, url, urllib, version, referer, drill_relation, wave}`` — the
@@ -70,6 +77,8 @@ def run_schedule_wave(
     if calls is None:
         def calls(requests):
             return [call(sh, m, *a) for sh, m, *a in requests]
+    if cast is None:
+        cast = calls
 
     num_shards = len(shards)
     version = settings.wave_version(wave)
@@ -79,7 +88,7 @@ def run_schedule_wave(
 
     scheduled: list[dict] = []
     left = 0
-    calls([(shard, "begin_wave") for shard in shards])
+    cast([(shard, "begin_wave") for shard in shards])
 
     # --- T6 retry drain (spider/spider.js:350-362) --------------------
     # retryCrawl re-emits a failed urlinfo straight into the spider's

@@ -10,15 +10,19 @@ loop) or as a plain callable class for rayless debug use.
 Scale design: the corpus is laid out as ``pages/shard={md5(host)%P}``.
 In a crawl run each partition is loaded ONCE cluster-wide into the Ray
 object store (parallel read tasks at job start, ``url`` + ``html``
-columns only) and every fetch task maps it zero-copy via ``ray.get`` —
-workers share the node's single copy instead of each parsing parquet
-into private heap dicts (the private-cache design measurably inverted
-CPU scaling: 32 workers × cold partition loads dominated the wave).
-Per worker, only a tiny url→row-index dict is built per partition; the
-html bytes stay in shared memory.  At 100 TB the same layout holds —
-the object store spills cold partitions to disk and the scheduled
-blocks are grouped by pages-shard so a task touches 1-2 partitions.
-Without Ray (debug mode) the stage falls back to direct parquet reads.
+columns only, sorted by a ``url_hash`` uint64 column at load) and every
+fetch task maps it zero-copy via ``ray.get`` — workers share the node's
+single copy instead of each parsing parquet into private heap dicts
+(the private-cache design measurably inverted CPU scaling: 32 workers ×
+cold partition loads dominated the wave).  Lookups binary-search the
+shared hash-sorted column — per worker there is NO index construction
+at all (round 2 built a ``{url: row}`` Python dict per worker per
+partition: O(partition) heap + rebuild CPU, the fetch stage's
+scale-killer at 100-TB partitions); the html bytes stay in shared
+memory.  At 100 TB the same layout holds — the object store spills cold
+partitions to disk and the scheduled blocks are grouped by pages-shard
+so a task touches 1-2 partitions.  Without Ray (debug mode) the stage
+falls back to direct parquet reads through the same hash-sort.
 
 Robots gating (north_rule capability; the reference has none): a
 ``robots.txt`` per host is parsed once (driver-side, broadcast via
@@ -33,6 +37,7 @@ SURVEY.md §2.3 T4); the fetch stage records a simulated cost metric only.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections import OrderedDict
 
@@ -79,15 +84,33 @@ def build_robots_map(corpus_dir: str) -> dict[str, list[str]]:
     return out
 
 
+def _hash_sorted_pages(tbl: pa.Table) -> pa.Table:
+    """(url, html) table → combined-chunk table sorted by a ``url_hash``
+    uint64 column (md5 prefix).  Sorting by hash at LOAD time is what
+    lets every fetch worker do point lookups by binary search on the
+    shared zero-copy hash column — no per-worker ``{url: row}`` Python
+    dict (the round-2 scale-killer: O(partition) heap + rebuild CPU per
+    worker × partition)."""
+    import numpy as np
+
+    urls = tbl.column("url").to_pylist()
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+         for u in urls),
+        dtype=np.uint64, count=len(urls))
+    tbl = tbl.append_column("url_hash", pa.array(h, pa.uint64()))
+    return tbl.sort_by("url_hash").combine_chunks()
+
+
 def load_partition_refs(corpus_dir: str, pages_shards: int) -> dict:
     """Read every pages partition into the object store in parallel —
-    one shared immutable copy per cluster (node), mapped zero-copy by
-    every fetch task."""
+    one shared immutable copy per cluster (node), hash-sorted at load,
+    mapped zero-copy by every fetch task."""
     import ray
 
     @ray.remote
     def _load(path: str):
-        return pq.read_table(path, columns=["url", "html"])
+        return _hash_sorted_pages(pq.read_table(path, columns=["url", "html"]))
 
     refs = {}
     for shard in range(pages_shards):
@@ -143,7 +166,10 @@ class FetchSim:
         self.robots = ray.get(robots_map) if _is_ref else robots_map
         self.cache_partitions = cache_partitions
         self.partition_refs = partition_refs or {}
-        # shard → (html ChunkedArray in shared memory, url → row index)
+        # shard → (url StringArray, html BinaryArray, url_hash ndarray) —
+        # ALL views into the shared object-store copy (the uint64 hash
+        # column is zero-copy via to_numpy); lookups binary-search the
+        # hash-sorted column, so no per-worker index of any kind
         self._cache: OrderedDict[int, tuple] = OrderedDict()
         self.plugin = plugin
 
@@ -161,16 +187,33 @@ class FetchSim:
         else:
             path = os.path.join(self.corpus_dir, "pages",
                                 f"shard={shard}", "part.parquet")
-            tbl = (pq.read_table(path, columns=["url", "html"])
-                   if os.path.exists(path)
-                   else pa.table({"url": pa.array([], pa.string()),
-                                  "html": pa.array([], pa.binary())}))
-        index = {u: i for i, u in enumerate(tbl.column("url").to_pylist())}
-        part = (tbl.column("html"), index)
+            tbl = _hash_sorted_pages(
+                pq.read_table(path, columns=["url", "html"])
+                if os.path.exists(path)
+                else pa.table({"url": pa.array([], pa.string()),
+                               "html": pa.array([], pa.binary())}))
+        hashes = tbl.column("url_hash").combine_chunks().to_numpy()
+        part = (tbl.column("url"), tbl.column("html"), hashes)
         self._cache[shard] = part
         while len(self._cache) > self.cache_partitions:
             self._cache.popitem(last=False)
         return part
+
+    @staticmethod
+    def _lookup_row(urls_col, hashes, url: str) -> int | None:
+        """Row index of ``url`` via binary search on the hash-sorted
+        shared column; equal-hash runs (md5-64 collisions) are resolved
+        by comparing the actual url strings."""
+        import numpy as np
+
+        qh = int.from_bytes(hashlib.md5(url.encode()).digest()[:8], "big")
+        i = int(np.searchsorted(hashes, np.uint64(qh)))
+        n = len(hashes)
+        while i < n and hashes[i] == qh:
+            if urls_col[i].as_py() == url:
+                return i
+            i += 1
+        return None
 
     def _blocked(self, url: str, host: str) -> bool:
         prefixes = self.robots.get(host)
@@ -198,8 +241,9 @@ class FetchSim:
                 blocked_flags.append(True)
                 continue
             blocked_flags.append(False)
-            htmls_col, index = self._partition(_host_shard(host, self.pages_shards))
-            row = index.get(url)
+            urls_col, htmls_col, hashes = self._partition(
+                _host_shard(host, self.pages_shards))
+            row = self._lookup_row(urls_col, hashes, url)
             if row is None:
                 htmls.append(None)
                 statuses.append(404)

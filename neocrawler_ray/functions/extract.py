@@ -199,14 +199,41 @@ def get_drill_relation(dom: Node, url: str, content: str, origin_relation, rule)
 
 GZIP_MAGIC = b"\x1f\x8b"
 
+# <meta charset="..."> / <meta http-equiv=... content="...; charset=...">
+# in the document head — ASCII-compatible in every encoding the engine
+# decodes, so the sniff runs on raw bytes
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.IGNORECASE)
+
+
+def sniff_charset(html: bytes) -> str | None:
+    """Charset declared by the page itself (first 2 KB), or None.
+    Unknown/undecodable names are ignored (fall back to the rule)."""
+    m = _META_CHARSET_RE.search(html[:2048])
+    if not m:
+        return None
+    enc = m.group(1).decode("ascii", "replace")
+    import codecs
+
+    try:
+        codecs.lookup(enc)
+    except LookupError:
+        return None
+    return enc
+
 
 def decode_body(html: bytes, rule: dict) -> str:
     """Transfer-decode then charset-decode a fetched body (reference
     spider/downloader.js:250-307: gunzip on `content-encoding: gzip`,
-    then charset conversion per the rule's `encoding`).  Fetch-sim has
-    no response headers, so gzip is detected by the member magic bytes —
-    safe on the non-binary path, where a gzip member can only mean
-    transfer encoding (binary-format rules never reach this decode)."""
+    then charset conversion).  Fetch-sim has no response headers, so
+    gzip is detected by the member magic bytes — safe on the non-binary
+    path, where a gzip member can only mean transfer encoding
+    (binary-format rules never reach this decode) — and the response's
+    own charset declaration is the ``<meta charset>`` tag: it takes
+    precedence over the rule's ``encoding`` exactly as the reference
+    trusts the content-type header's charset over the configured one
+    (downloader.js:272-285), so a misconfigured rule still decodes
+    correctly."""
     if html[:2] == GZIP_MAGIC:
         import gzip
 
@@ -214,7 +241,8 @@ def decode_body(html: bytes, rule: dict) -> str:
             html = gzip.decompress(html)
         except OSError:
             pass  # corrupt member → charset-decode the raw bytes
-    return html.decode(rule.get("encoding") or "utf-8", "replace")
+    enc = sniff_charset(html) or rule.get("encoding") or "utf-8"
+    return html.decode(enc, "replace")
 
 
 def validate_content(content_len: int, status_code: int, is_binary: bool,

@@ -26,7 +26,7 @@ import pyarrow.dataset as pads
 
 from ..config import CrawlSettings, RuleSet
 from ..stages.extract_stage import ExtractBatch
-from ..stages.fetch import parse_robots
+from ..stages.fetch import apply_browser, navigate_steps, parse_robots
 from ..state.frontier import FrontierShard
 from ..functions.extract import decode_body, extract_page, validate_content
 from ..functions.urls import url_host, url_tld
@@ -41,15 +41,22 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
     entries = ruleset.priority_list(settings.max_weight)
     total_rates = sum(e["rate"] for e in entries)
 
-    pages_tbl = pads.dataset(os.path.join(corpus_dir, "pages")).to_table(
-        columns=["url", "html"]
-    )
-    pages = dict(
-        zip(pages_tbl.column("url").to_pylist(), pages_tbl.column("html").to_pylist())
-    )
+    pages_ds = pads.dataset(os.path.join(corpus_dir, "pages"))
+    cols = ["url", "html"] + (
+        ["html_rendered"] if "html_rendered" in pages_ds.schema.names else [])
+    pages_tbl = pages_ds.to_table(columns=cols)
+    rendered_col = (
+        pages_tbl.column("html_rendered").to_pylist()
+        if "html_rendered" in cols else [None] * pages_tbl.num_rows)
+    # url → (raw body, browser-rendered body or None)
+    pages = {
+        u: (h, r)
+        for u, h, r in zip(pages_tbl.column("url").to_pylist(),
+                           pages_tbl.column("html").to_pylist(), rendered_col)
+    }
     robots = {
         url_host(u): parse_robots(h)
-        for u, h in pages.items()
+        for u, (h, _r) in pages.items()
         if u.endswith("/robots.txt")
     }
 
@@ -105,7 +112,11 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
                 prefixes = robots.get(host) or []
                 path = url.split(host, 1)[-1]
                 blocked = any(path.startswith(p) for p in prefixes)
-                html = None if blocked else pages.get(url)
+                raw, rendered = pages.get(url, (None, None))
+                if not blocked and raw is not None and rule.get("jshandle"):
+                    # S6 browser path — same dispatch as FetchSim.__call__
+                    raw = apply_browser(raw, rendered, navigate_steps(rule))
+                html = None if blocked else raw
                 status = 999 if blocked else (200 if html is not None else 404)
             fmt = rule.get("format", "html")
             is_binary = fmt == "binary"

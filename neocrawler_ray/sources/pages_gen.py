@@ -19,8 +19,14 @@ reference README.md:256-259: home → category → list → detail):
   ``/img/*.jpg`` pages (binary-format rule).
 - Every ~97th item is a deliberately short page (<500 chars → fails
   validateContent, exercising retry → crawled_failure).
+- Domain 1 serves gzip transfer-encoded bodies; domain 2 (when
+  ``n_domains >= 4``) is a jshandle/browser domain — raw ``html`` is a
+  JS shell, the real DOM (with click-revealed ``jsnav`` link blocks)
+  lives in ``html_rendered`` (S6, downloader.js:312-437).
 - The last domain (when ``n_domains >= 3``) is Chinese-language with
-  GBK-encoded html (rule ``encoding: "gbk"``).
+  GBK-encoded html that declares ``<meta charset="gbk">`` while its
+  RULE ``encoding`` is deliberately wrong (``utf-8``) — exercising the
+  M13 page-declared-charset precedence (downloader.js:272-285).
 
 The ``text`` column is the byte-identical parity target: for detail pages
 it is exactly the concatenated descendant text of ``div.product`` (the
@@ -46,8 +52,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump whenever generated corpus bytes change, so /tmp corpus caches
-# regenerate (v2: domain 1 gzip transfer-encoded)
-GEN_VERSION = 2
+# regenerate (v2: domain 1 gzip transfer-encoded; v3: domain 2 is a
+# jshandle/browser-rendered domain with an html_rendered column + a.more
+# navigate links, and the zh domain declares its charset via
+# <meta charset="gbk"> while its RULE encoding is deliberately wrong)
+GEN_VERSION = 3
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -56,6 +65,11 @@ PAGES_SCHEMA = pa.schema(
         ("html", pa.binary()),
         ("text", pa.string()),
         ("lang", pa.string()),
+        # browser-rendered DOM for jshandle pages (None elsewhere): the
+        # fetch-sim analog of the reference's phantomjs downloader
+        # output (downloader.js:312-437) — the raw `html` column holds
+        # the unrendered JS shell a plain HTTP fetch would see
+        ("html_rendered", pa.binary()),
     ]
 )
 
@@ -159,16 +173,39 @@ def generate_corpus(
         n_lists = max(1, (n_d - 1 - n_cats) // ((items_per_list + 1) * n_cats))
         lang = "zh" if zh else "en"
         encoding = "gbk" if zh else "utf-8"
+        # M13: the zh domain declares its real charset in the page itself
+        # (<meta charset="gbk">) while its RULE encoding is deliberately
+        # wrong — the engine must trust the page's declaration first,
+        # like the reference trusts the content-type header's charset
+        # over the configured one (downloader.js:272-285)
+        meta_tag = '<meta charset="gbk">' if zh else ""
+        rule_encoding = "utf-8" if zh else encoding
         # domain 1 serves gzip transfer-encoded responses (reference
         # downloader.js:250-307 gunzip path); mtime=0 keeps bytes
         # deterministic across generations
         gzipped = n_domains >= 2 and d == 1
+        # domain 2 is the jshandle/browser domain (S6): a plain HTTP
+        # fetch sees only a JS shell (no links, fails validateContent);
+        # the real DOM lives in html_rendered (downloader.js:312-437)
+        jsd = n_domains >= 4 and d == 2
+        shell = (
+            "<html><head><title>loading</title>"
+            '<script src="/app.js"></script></head>'
+            '<body><div id="app">loading</div>'
+            "<noscript>This page requires JavaScript</noscript>"
+            "</body></html>"
+        )
 
         def page(url, html_str, text, binary: bytes | None = None):
+            rendered = None
             if binary is not None:
                 body = binary
             else:
-                body = html_str.encode(encoding)
+                if jsd:
+                    rendered = html_str.encode(encoding)
+                    body = shell.encode(encoding)
+                else:
+                    body = html_str.encode(encoding)
                 if gzipped:
                     body = gzip.compress(body, mtime=0)
             rows.append(
@@ -178,6 +215,7 @@ def generate_corpus(
                     "html": body,
                     "text": text,
                     "lang": lang if binary is None else "",
+                    "html_rendered": rendered,
                 }
             )
 
@@ -196,7 +234,7 @@ def generate_corpus(
         filler = _para(rng, 80 * page_weight, zh)
         page(
             f"{base}/",
-            f"<html><head><title>{title}</title></head><body>\n"
+            f"<html><head>{meta_tag}<title>{title}</title></head><body>\n"
             f'<div id="crumb">root</div>\n<ul class="cats">{cats_html}</ul>\n'
             f'<p class="filler">{filler}</p>\n</body></html>',
             title,
@@ -212,7 +250,7 @@ def generate_corpus(
             filler = _para(rng, 80 * page_weight, zh)
             page(
                 f"{base}/cat_{c}.html",
-                f"<html><head><title>{title}</title></head><body>\n"
+                f"<html><head>{meta_tag}<title>{title}</title></head><body>\n"
                 f'<div id="crumb">home</div>\n<ul class="lists">{lists_html}</ul>\n'
                 f'<p class="filler">{filler}</p>\n</body></html>',
                 title,
@@ -222,11 +260,27 @@ def generate_corpus(
                 # list page
                 title = f"cat_{c} list {p} - {domain}"
                 k_lo = (p - 1) * items_per_list
+                ks = list(range(k_lo, k_lo + items_per_list))
+                # jshandle domain: the last two item links exist ONLY in
+                # click-revealed jsnav blocks of the rendered DOM — one
+                # per navigation round (phantomjs-bridge.js:172-207) —
+                # so URL-seen parity is sensitive to navigate_rule /
+                # stoppage handling
+                nav_ks = ks[-2:] if jsd else []
                 items_html = "".join(
                     f'<li><a class="item" href="item_{k}.html?id={k}&utm=feed">Item {k}</a></li>'
-                    for k in range(k_lo, k_lo + items_per_list)
+                    for k in ks
+                    if k not in nav_ks
                 )
                 extras = ""
+                if jsd:
+                    extras += '<a class="more" href="javascript:void(0)">more</a>'
+                    for step, k in enumerate(nav_ks, start=1):
+                        extras += (
+                            f'<div class="jsnav" data-step="{step}">'
+                            f'<a class="item" href="item_{k}.html?id={k}&utm=js">'
+                            f"Item {k}</a></div>"
+                        )
                 if p % 3 == 0:
                     dead = 1_000_000 + p
                     extras += f'<a class="dead" href="item_{dead}.html?id={dead}">gone</a>'
@@ -242,7 +296,7 @@ def generate_corpus(
                 filler = _para(rng, 80 * page_weight, zh)
                 page(
                     f"{base}/cat_{c}/list_{p}.html",
-                    f"<html><head><title>{title}</title></head><body>\n"
+                    f"<html><head>{meta_tag}<title>{title}</title></head><body>\n"
                     f'<div id="crumb">cat_{c}</div>\n<ul class="items">{items_html}</ul>\n'
                     f'{nxt}{extras}<a href="#top">top</a>'
                     f'<a href="javascript:void(0)">noop</a>\n'
@@ -277,7 +331,8 @@ def generate_corpus(
                     filler = _para(rng, 70 * page_weight, zh)
                     page(
                         item_url,
-                        f"<html><head><title>{title} - {domain}</title></head><body>\n"
+                        f"<html><head>{meta_tag}<title>{title} - {domain}"
+                        f"</title></head><body>\n"
                         f'<div id="crumb">cat_{c}</div>\n{product}\n'
                         f'<div class="related"><a class="item" '
                         f'href="item_{k2}.html?id={k2}&utm=rel">related</a></div>\n'
@@ -300,27 +355,34 @@ def generate_corpus(
             "home": _rule(
                 domain, "home", rf"^http://www\.{esc}/$", "branch",
                 drill=["a.cat"], seed=[f"{base}/"], priority=1, weight=10,
-                encoding=encoding,
+                encoding=rule_encoding, jshandle=jsd,
             ),
             "category": _rule(
                 domain, "category", rf"^http://www\.{esc}/cat_\d+\.html$",
                 "branch", drill=["a.list"], priority=1, weight=8,
-                encoding=encoding,
+                encoding=rule_encoding, jshandle=jsd,
             ),
             "list": _rule(
                 domain, "list", rf"^http://www\.{esc}/cat_\d+/list_\d+\.html$",
                 "branch",
                 drill=["a.item", "a.next", "a.dead", "a.priv", "img.photo"],
-                priority=1, weight=6, encoding=encoding,
+                priority=1, weight=6, encoding=rule_encoding,
                 schedule_rule="LIFO" if d == 1 else "FIFO",
+                jshandle=jsd,
+                navigate_rule=["a.more"] if jsd else None,
+                stoppage=3 if jsd else -1,
                 seed=(
                     [f"{base}/cat_0/list_#.html#1#2#1"] if d == 0 else []
                 ),
             ),
             "detail": _rule(
                 domain, "detail", rf"^http://www\.{esc}/cat_\d+/item_\d+\.html",
-                "node", drill=["a.item"], priority=2, weight=5,
-                id_parameter=["id"], encoding=encoding,
+                # jshandle detail pages don't drill: the jsnav links are
+                # then reachable ONLY through the browser's navigation
+                # rounds, so navigate_rule handling is observable in the
+                # URL-seen set
+                "node", drill=[] if jsd else ["a.item"], priority=2, weight=5,
+                id_parameter=["id"], encoding=rule_encoding, jshandle=jsd,
                 validation_keywords=["product"],
                 extract_rule={
                     "category": "product",
@@ -395,8 +457,11 @@ def generate_corpus(
 def _rule(domain, alias, url_pattern, type_, *, drill=None, seed=None,
           priority=1, weight=0, id_parameter=None, validation_keywords=None,
           extract_rule=None, fmt="html", encoding="utf-8",
-          schedule_rule="FIFO") -> dict:
-    """A driller rule in the reference's config schema (README.md:164-250)."""
+          schedule_rule="FIFO", jshandle=False, navigate_rule=None,
+          stoppage=-1) -> dict:
+    """A driller rule in the reference's config schema (README.md:164-250;
+    jshandle/navigate_rule/stoppage defaults per
+    webconfig/controllers/rule.js:13-30)."""
     return {
         "domain": domain,
         "alias": alias,
@@ -405,7 +470,9 @@ def _rule(domain, alias, url_pattern, type_, *, drill=None, seed=None,
         "format": fmt,
         "encoding": encoding,
         "save_page": False,
-        "jshandle": False,
+        "jshandle": jshandle,
+        "navigate_rule": navigate_rule or [],
+        "stoppage": stoppage,
         "drill_rules": drill or [],
         "drill_relation": {"base": "content", "mode": "css",
                             "expression": "#crumb", "pick": "text", "index": 1},

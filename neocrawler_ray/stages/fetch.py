@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 from collections import OrderedDict
 
 import pyarrow as pa
@@ -46,6 +47,67 @@ import pyarrow.parquet as pq
 
 from ..functions.urls import url_host
 from ..sources.pages_gen import _host_shard
+
+# ---------------------------------------------------------------------------
+# Browser-downloader path (S6) — reference spider/downloader.js:312-437
+# spawns phantomjs per jshandle url; lib/phantomjs/phantomjs-bridge.js:115-236
+# renders the DOM, then clicks the element matching ``navigate_rule[i]`` up
+# to ``stoppage - 1`` times, emitting a crawled result (content + links)
+# after every round.  The fetch-sim analog: the corpus carries the final
+# browser-rendered DOM in ``html_rendered``; content a click round would
+# reveal sits in ``<div class="jsnav" data-step="N">`` blocks, and the
+# engine keeps exactly the blocks whose step is within the rule's click
+# budget — so navigate_rule/stoppage drive link discovery observably,
+# without a JS engine.
+# ---------------------------------------------------------------------------
+
+_JSNAV_RE = re.compile(rb'<div class="jsnav" data-step="(\d+)">.*?</div>',
+                       re.S)
+
+
+def navigate_steps(rule: dict) -> int:
+    """Click rounds a jshandle rule performs: phantomjs-bridge.js:172 runs
+    a navigation round while ``drill_count < stoppage-1`` and
+    ``navigate_rule`` is non-empty (stoppage defaults to -1 → none,
+    webconfig/controllers/rule.js:29-30)."""
+    nav = rule.get("navigate_rule") or []
+    if isinstance(nav, str):
+        nav = [nav]
+    if not any(nav):
+        return 0
+    return max(0, int(rule.get("stoppage", -1)) - 1)
+
+
+def browser_rules_map(rules: dict) -> dict[str, int]:
+    """{urllib key: allowed navigate steps} for every ``jshandle`` rule —
+    the downloader's dispatch table (downloader.js:113: ``if
+    urlinfo['jshandle'] browseIt``), tiny and shipped to fetch workers."""
+    out: dict[str, int] = {}
+    for domain, drillers in (rules or {}).items():
+        for alias, r in (drillers or {}).items():
+            if isinstance(r, dict) and r.get("jshandle"):
+                # scheduled rows carry 'urllib:driller:domain:alias'
+                # (state/frontier.py trace format)
+                out[f"urllib:driller:{domain}:{alias}"] = navigate_steps(r)
+    return out
+
+
+def apply_browser(raw: bytes | None, rendered: bytes | None,
+                  allowed_steps: int) -> bytes | None:
+    """Serve the browser-rendered DOM for a jshandle fetch, keeping only
+    the click-revealed ``jsnav`` blocks within the rule's navigation
+    budget.  ``rendered is None`` (non-browser corpus rows, binaries)
+    falls back to the raw body — mirroring phantomjs handing back
+    ``page.content`` only when the render succeeded."""
+    if rendered is None:
+        return raw
+    if allowed_steps <= 0:
+        return _JSNAV_RE.sub(b"", rendered)
+
+    def _keep(m: "re.Match[bytes]") -> bytes:
+        return m.group(0) if int(m.group(1)) <= allowed_steps else b""
+
+    return _JSNAV_RE.sub(_keep, rendered)
 
 
 def parse_robots(robots_bytes: bytes) -> list[str]:
@@ -84,6 +146,21 @@ def build_robots_map(corpus_dir: str) -> dict[str, list[str]]:
     return out
 
 
+PAGES_COLUMNS = ["url", "html", "html_rendered"]
+
+
+def _read_pages_table(path: str) -> pa.Table:
+    """Read a pages partition's fetchable columns; corpora written before
+    the browser path gained ``html_rendered`` get an all-null column so
+    every partition has one shape."""
+    names = set(pq.read_schema(path).names)
+    tbl = pq.read_table(path, columns=[c for c in PAGES_COLUMNS if c in names])
+    if "html_rendered" not in tbl.schema.names:
+        tbl = tbl.append_column(
+            "html_rendered", pa.nulls(tbl.num_rows, pa.binary()))
+    return tbl
+
+
 def _hash_sorted_pages(tbl: pa.Table) -> pa.Table:
     """(url, html) table → combined-chunk table sorted by a ``url_hash``
     uint64 column (md5 prefix).  Sorting by hash at LOAD time is what
@@ -110,7 +187,7 @@ def load_partition_refs(corpus_dir: str, pages_shards: int) -> dict:
 
     @ray.remote
     def _load(path: str):
-        return _hash_sorted_pages(pq.read_table(path, columns=["url", "html"]))
+        return _hash_sorted_pages(_read_pages_table(path))
 
     refs = {}
     for shard in range(pages_shards):
@@ -126,7 +203,8 @@ _WORKER_FETCHERS: "OrderedDict[tuple, FetchSim]" = OrderedDict()
 
 def fetch_sim_batch(batch: pa.Table, *, run_token: str, corpus_dir: str,
                     robots_map, pages_shards: int, partition_refs=None,
-                    plugin=None) -> pa.Table:
+                    plugin=None, browser_map=None,
+                    rules_version: int = 0) -> pa.Table:
     """Task-mode fetch-sim: ``map_batches(fetch_sim_batch, fn_kwargs=...)``.
 
     Ray reuses worker *processes* across tasks and across the wave loop's
@@ -138,12 +216,16 @@ def fetch_sim_batch(batch: pa.Table, *, run_token: str, corpus_dir: str,
     partition cache lives in the singleton and therefore persists for
     the whole run."""
     # keyed by run token, NOT just corpus: two runs over one corpus may
-    # carry different plugins; the cache must not leak across runs
-    key = (run_token, corpus_dir, pages_shards)
+    # carry different plugins; the cache must not leak across runs.
+    # rules_version is in the key so a T5 hot-reload that changes
+    # jshandle/navigate rules rebuilds the singleton (partition refs are
+    # object-store shared, so the rebuild is a cheap re-ray.get)
+    key = (run_token, corpus_dir, pages_shards, rules_version)
     fs = _WORKER_FETCHERS.get(key)
     if fs is None:
         fs = FetchSim(corpus_dir, robots_map, pages_shards,
-                      partition_refs=partition_refs, plugin=plugin)
+                      partition_refs=partition_refs, plugin=plugin,
+                      browser_map=browser_map)
         _WORKER_FETCHERS[key] = fs
         while len(_WORKER_FETCHERS) > 2:  # bound worker memory across runs
             _WORKER_FETCHERS.popitem(last=False)
@@ -154,7 +236,8 @@ class FetchSim:
     """url → (html, status) point lookups with robots gating."""
 
     def __init__(self, corpus_dir: str, robots_map, pages_shards: int,
-                 cache_partitions: int = 16, plugin=None, partition_refs=None):
+                 cache_partitions: int = 16, plugin=None, partition_refs=None,
+                 browser_map: dict[str, int] | None = None):
         try:
             import ray
 
@@ -166,7 +249,11 @@ class FetchSim:
         self.robots = ray.get(robots_map) if _is_ref else robots_map
         self.cache_partitions = cache_partitions
         self.partition_refs = partition_refs or {}
-        # shard → (url StringArray, html BinaryArray, url_hash ndarray) —
+        # urllib key → allowed navigate steps for jshandle rules (S6
+        # browser dispatch, downloader.js:113); empty → plain path only
+        self.browser_map = browser_map or {}
+        # shard → (url StringArray, html BinaryArray, html_rendered
+        # BinaryArray, url_hash ndarray) —
         # ALL views into the shared object-store copy (the uint64 hash
         # column is zero-copy via to_numpy); lookups binary-search the
         # hash-sorted column, so no per-worker index of any kind
@@ -188,12 +275,14 @@ class FetchSim:
             path = os.path.join(self.corpus_dir, "pages",
                                 f"shard={shard}", "part.parquet")
             tbl = _hash_sorted_pages(
-                pq.read_table(path, columns=["url", "html"])
+                _read_pages_table(path)
                 if os.path.exists(path)
                 else pa.table({"url": pa.array([], pa.string()),
-                               "html": pa.array([], pa.binary())}))
+                               "html": pa.array([], pa.binary()),
+                               "html_rendered": pa.array([], pa.binary())}))
         hashes = tbl.column("url_hash").combine_chunks().to_numpy()
-        part = (tbl.column("url"), tbl.column("html"), hashes)
+        part = (tbl.column("url"), tbl.column("html"),
+                tbl.column("html_rendered"), hashes)
         self._cache[shard] = part
         while len(self._cache) > self.cache_partitions:
             self._cache.popitem(last=False)
@@ -233,7 +322,13 @@ class FetchSim:
         htmls: list[bytes | None] = []
         statuses: list[int] = []
         blocked_flags: list[bool] = []
-        for url in batch.column("url").to_pylist():
+        # jshandle dispatch needs the scheduled row's rule key; plain
+        # batches (no browser rules, or no urllib column) skip the lookup
+        ulibs = (
+            batch.column("urllib").to_pylist()
+            if self.browser_map and "urllib" in batch.schema.names
+            else None)
+        for i, url in enumerate(batch.column("url").to_pylist()):
             host = url_host(url) or ""
             if self._blocked(url, host):
                 htmls.append(None)
@@ -241,14 +336,20 @@ class FetchSim:
                 blocked_flags.append(True)
                 continue
             blocked_flags.append(False)
-            urls_col, htmls_col, hashes = self._partition(
+            urls_col, htmls_col, rendered_col, hashes = self._partition(
                 _host_shard(host, self.pages_shards))
             row = self._lookup_row(urls_col, hashes, url)
             if row is None:
                 htmls.append(None)
                 statuses.append(404)
             else:
-                htmls.append(htmls_col[row].as_py())
+                body = htmls_col[row].as_py()
+                if ulibs is not None:
+                    steps = self.browser_map.get(ulibs[i])
+                    if steps is not None:  # jshandle rule → browser path
+                        body = apply_browser(
+                            body, rendered_col[row].as_py(), steps)
+                htmls.append(body)
                 statuses.append(200)
         return (
             batch.append_column("html", pa.array(htmls, pa.binary()))

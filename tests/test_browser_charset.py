@@ -1,0 +1,196 @@
+"""S6 browser path + M13 page-declared charset (round-3 behaviors).
+
+- ``apply_browser`` / ``navigate_steps``: click-budget gating of the
+  ``jsnav`` blocks (reference phantomjs-bridge.js:172-207 runs a
+  navigation round while ``drill_count < stoppage-1``).
+- ``sniff_charset`` / ``decode_body``: the page's own ``<meta charset>``
+  wins over the rule ``encoding`` (reference downloader.js:272-285
+  trusts the response's content-type charset over the configured one).
+- Oracle-level observability: removing ``navigate_rule`` (or lowering
+  ``stoppage``) shrinks the discovered URL set by exactly the
+  click-revealed links.
+
+No Ray needed: the oracle is sequential and the functions are pure.
+The engine side of the same behaviors is covered by the e2e parity
+tests (tests/test_crawl_e2e.py), which run the distributed crawl over
+the same 4-domain corpus (domain 2 jshandle, domain 3 meta-charset).
+"""
+
+import gzip
+import json
+import re
+import shutil
+
+import pytest
+
+from neocrawler_ray.config import CrawlSettings
+from neocrawler_ray.functions.extract import decode_body, sniff_charset
+from neocrawler_ray.sources.pages_gen import generate_corpus
+from neocrawler_ray.stages.fetch import (apply_browser, browser_rules_map,
+                                         navigate_steps)
+
+# ---------------------------------------------------------------------------
+# pure functions
+# ---------------------------------------------------------------------------
+
+RENDERED = (
+    b'<html><body><ul><li><a class="item" href="item_1.html">one</a></li>'
+    b'</ul><a class="more" href="javascript:void(0)">more</a>'
+    b'<div class="jsnav" data-step="1"><a class="item" href="item_2.html">'
+    b"two</a></div>"
+    b'<div class="jsnav" data-step="2"><a class="item" href="item_3.html">'
+    b"three</a></div></body></html>"
+)
+
+
+def test_apply_browser_falls_back_to_raw():
+    assert apply_browser(b"shell", None, 2) == b"shell"
+
+
+def test_apply_browser_step_gating():
+    no_nav = apply_browser(b"shell", RENDERED, 0)
+    one = apply_browser(b"shell", RENDERED, 1)
+    both = apply_browser(b"shell", RENDERED, 2)
+    assert b"item_1" in no_nav and b"item_2" not in no_nav
+    assert b"item_2" in one and b"item_3" not in one
+    assert b"item_2" in both and b"item_3" in both
+    # budget beyond available steps keeps everything
+    assert apply_browser(b"shell", RENDERED, 9) == both
+
+
+def test_navigate_steps_defaults():
+    # reference defaults (webconfig/controllers/rule.js:29-30):
+    # navigate_rule [] + stoppage -1 → no navigation rounds
+    assert navigate_steps({"navigate_rule": [], "stoppage": -1}) == 0
+    assert navigate_steps({}) == 0
+    # stoppage 3 with a rule → 2 click rounds (phantomjs-bridge.js:172)
+    assert navigate_steps({"navigate_rule": ["a.more"], "stoppage": 3}) == 2
+    # empty-string rule is "no navigation" (bridge checks [0] != '')
+    assert navigate_steps({"navigate_rule": [""], "stoppage": 3}) == 0
+    # string form tolerated
+    assert navigate_steps({"navigate_rule": "a.more", "stoppage": 2}) == 1
+
+
+def test_browser_rules_map_keys_and_steps():
+    rules = {
+        "site.example": {
+            "list": {"jshandle": True, "navigate_rule": ["a.more"],
+                     "stoppage": 3},
+            "detail": {"jshandle": True},
+            "plain": {"jshandle": False},
+        }
+    }
+    m = browser_rules_map(rules)
+    assert m == {
+        "urllib:driller:site.example:list": 2,
+        "urllib:driller:site.example:detail": 0,
+    }
+
+
+ZH = "数据处理引擎网络爬虫"
+
+
+def test_sniff_charset():
+    html = f'<html><head><meta charset="gbk"><title>{ZH}</title>'.encode("gbk")
+    assert sniff_charset(html) == "gbk"
+    assert sniff_charset(b"<html><head><title>t</title>") is None
+    # http-equiv form
+    html2 = (b'<html><head><meta http-equiv="Content-Type" '
+             b'content="text/html; charset=GB2312">')
+    assert sniff_charset(html2) == "GB2312"
+    # unknown name → ignored
+    assert sniff_charset(b'<meta charset="no-such-enc">') is None
+
+
+def test_decode_body_meta_overrides_rule_encoding():
+    html = f'<html><head><meta charset="gbk"></head><body>{ZH}</body>'.encode(
+        "gbk")
+    assert ZH in decode_body(html, {"encoding": "utf-8"})
+    # no meta → rule encoding applies
+    raw = f"<html><body>{ZH}</body></html>".encode("gbk")
+    assert ZH in decode_body(raw, {"encoding": "gbk"})
+    # gzip transfer decode runs before the sniff
+    assert ZH in decode_body(gzip.compress(html, mtime=0),
+                             {"encoding": "utf-8"})
+
+
+# ---------------------------------------------------------------------------
+# oracle-level observability (sequential — no Ray)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("jscorpus"))
+    generate_corpus(out, n_pages=400, n_domains=4, seed=42)
+    return out
+
+
+def _settings():
+    return CrawlSettings(num_frontier_shards=1, max_waves=60)
+
+
+def _oracle_seen_urls(corpus_dir):
+    from neocrawler_ray.pipelines.oracle import run_oracle
+
+    res = run_oracle(corpus_dir, _settings())
+    urls = {r["url"] for r in res["schedule_log"]}
+    finished = {r["url"]: r for r in res["extracted"]}
+    return urls, finished
+
+
+def _edit_list_rule(src, dst, **patch):
+    shutil.copytree(src, dst)
+    path = f"{dst}/rules.json"
+    with open(path) as f:
+        rules = json.load(f)
+    rules["site2.example"]["list"].update(patch)
+    with open(path, "w") as f:
+        json.dump(rules, f, ensure_ascii=False)
+    return dst
+
+
+ITEM_RE = re.compile(r"^http://www\.site2\.example/cat_\d+/item_\d+\.html")
+
+
+def test_navigate_rule_drives_discovery(corpus, tmp_path):
+    full_urls, full_rows = _oracle_seen_urls(corpus)
+    no_nav = _edit_list_rule(corpus, str(tmp_path / "nonav"),
+                             navigate_rule=[])
+    nonav_urls, _ = _oracle_seen_urls(no_nav)
+    one_step = _edit_list_rule(corpus, str(tmp_path / "onestep"), stoppage=2)
+    one_urls, _ = _oracle_seen_urls(one_step)
+
+    # click-revealed links exist only with navigation enabled, and the
+    # stoppage budget gates them step by step: none ⊂ one-step ⊂ full
+    assert nonav_urls < one_urls < full_urls
+    for diff in (one_urls - nonav_urls, full_urls - one_urls):
+        assert diff and all(ITEM_RE.match(u) for u in diff)
+
+    # jshandle pages crawl to completion off the RENDERED dom: the raw
+    # shell would fail validateContent, so a finish with product text
+    # proves the browser path served html_rendered
+    js_details = [r for u, r in full_rows.items()
+                  if ITEM_RE.match(u) and r["final_state"] == "crawled_finish"]
+    assert js_details and all(r["text"] for r in js_details)
+
+
+def test_zh_pages_decode_despite_wrong_rule_encoding(corpus):
+    # domain 3 (zh): rule encoding is deliberately utf-8 while the bytes
+    # are GBK + <meta charset="gbk"> — extraction must still produce the
+    # generator's parity text (it would be mojibake without the sniff)
+    import pyarrow.dataset as pads
+
+    _, rows = _oracle_seen_urls(corpus)
+    pages = pads.dataset(f"{corpus}/pages").to_table(columns=["url", "text"])
+    truth = dict(zip(pages.column("url").to_pylist(),
+                     pages.column("text").to_pylist()))
+    zh_finished = [
+        r for u, r in rows.items()
+        if u.startswith("http://www.site3.example/cat_")
+        and "item_" in u and r["final_state"] == "crawled_finish"
+    ]
+    assert zh_finished
+    for r in zh_finished:
+        assert r["text"] == truth[r["url"]]
+        assert any("一" <= ch <= "鿿" for ch in r["text"])

@@ -8,6 +8,13 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: bench-scale (sf0.1) cross-checks — deselect with -m 'not slow'",
+    )
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     """One Ray session per pytest session (requested only by tests that

@@ -207,6 +207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": an.events_asof_join,
         "events_value_bands": an.events_value_bands,
         "events_value_quantiles": an.events_value_quantiles,
+        # approximate t-digest variant (unbounded-domain scale path; no
+        # SQL oracle — verified by a rank-error tolerance pytest vs the
+        # exact histogram op)
+        "events_value_quantiles_td": an.events_value_quantiles_tdigest,
         "top_orders_per_priority": an.top_orders_per_priority,
         "q1_lineitem": an.q1_lineitem,
         "q6_revenue": an.q6_revenue,

@@ -528,3 +528,52 @@ def test_audio_segments_and_image_resize_match_sql(ray_session, con):
     df = mm.image_resize_meta(SF).to_pandas()
     assert ((df["out_w"] <= 256) & (df["out_h"] <= 256)).all()
     assert ((df["out_w"] == 256) | (df["out_h"] == 256)).all()
+
+
+def test_tdigest_sketch_properties():
+    """Pure-kernel t-digest invariants: centroid bound, total-weight
+    conservation, merge ≈ whole-build, monotone quantiles."""
+    from neocrawler_ray.functions import sketches as td
+
+    rng = np.random.RandomState(5)
+    vals = np.concatenate([rng.lognormal(0, 2, 20000),
+                           rng.standard_normal(20000) * 1e6])
+    m, w = td.from_values(vals, 200)
+    assert len(m) <= 102  # k1 span c/2 + 2
+    assert abs(w.sum() - len(vals)) < 1e-6
+    assert (np.diff(m) > 0).all()
+    # merging digests of shards ≈ one digest of the whole
+    parts = [td.from_values(c, 200) for c in np.array_split(vals, 7)]
+    mm_, ww_ = td.merge(parts, 200)
+    qs = np.array([0.01, 0.25, 0.5, 0.75, 0.9, 0.99])
+    sv = np.sort(vals)
+
+    def rank_err(est):
+        return np.abs(np.searchsorted(sv, est) / len(sv) - qs)
+
+    assert rank_err(td.quantile(m, w, qs)).max() <= 0.02
+    assert rank_err(td.quantile(mm_, ww_, qs)).max() <= 0.02
+    # serialize round-trip
+    m2, w2 = td.deserialize(td.serialize(m, w))
+    assert np.array_equal(m2, m) and np.array_equal(w2, w)
+
+
+def test_events_value_quantiles_tdigest_tolerance(ray_session):
+    """The t-digest variant tracks the exact histogram op within 2 %
+    rank error per (group, quantile) — the unbounded-domain swap-in
+    documented at the events_value_quantiles seam."""
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    approx = an.events_value_quantiles_tdigest(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["v"] = np.floor(ev["value"].astype("float64") * 10000.0)
+    assert set(approx["event_type"]) == set(ev["event_type"].astype(str))
+    for (etype, q_pct, est) in approx.itertuples(index=False):
+        sv = np.sort(ev.loc[ev["event_type"].astype(str) == etype,
+                            "v"].to_numpy())
+        rank = np.searchsorted(sv, est, side="right") / len(sv)
+        assert abs(rank - q_pct / 100.0) <= 0.02 + 2.0 / len(sv), \
+            (etype, q_pct, est, rank)

@@ -20,7 +20,7 @@ from typing import Any
 
 # bump when crawl output semantics/schema change so a stale /tmp cache
 # from an older code version is never served to the driver's gate
-_RUN_SCHEMA_VERSION = 6  # v6: corpus gen v3 (jshandle domain + meta-charset)
+_RUN_SCHEMA_VERSION = 7  # v7: corpus gen v4 (simulated-proxy domain)
 _RUN_CACHE_ROOT = f"/tmp/neocrawler_ray_runs/v{_RUN_SCHEMA_VERSION}"
 
 

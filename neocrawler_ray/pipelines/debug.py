@@ -18,7 +18,8 @@ import pyarrow as pa
 from ..config import CrawlSettings, RuleSet
 from ..functions.extract import detect_link
 from ..stages.extract_stage import ExtractBatch
-from ..stages.fetch import FetchSim, browser_rules_map, build_robots_map
+from ..stages.fetch import (FetchSim, browser_rules_map, build_robots_map,
+                            proxy_rules_map)
 
 
 def test_single_url(corpus_dir: str, url: str, out_dir: str,
@@ -49,7 +50,8 @@ def test_single_url(corpus_dir: str, url: str, out_dir: str,
     )
     fetch = FetchSim(corpus_dir, build_robots_map(corpus_dir),
                      meta.get("pages_shards", 16),
-                     browser_map=browser_rules_map(rules))
+                     browser_map=browser_rules_map(rules),
+                     proxy_map=proxy_rules_map(rules))
     extract = ExtractBatch(rules, settings, frontier_shards=[],
                            push_to_frontier=False)
     fetched = fetch(batch)

@@ -26,7 +26,8 @@ import pyarrow.dataset as pads
 
 from ..config import CrawlSettings, RuleSet
 from ..stages.extract_stage import ExtractBatch
-from ..stages.fetch import apply_browser, navigate_steps, parse_robots
+from ..stages.fetch import (apply_browser, navigate_steps, parse_robots,
+                            proxy_fetch_failed)
 from ..state.frontier import FrontierShard
 from ..functions.extract import decode_body, extract_page, validate_content
 from ..functions.urls import url_host, url_tld
@@ -112,12 +113,22 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
                 prefixes = robots.get(host) or []
                 path = url.split(host, 1)[-1]
                 blocked = any(path.startswith(p) for p in prefixes)
-                raw, rendered = pages.get(url, (None, None))
-                if not blocked and raw is not None and rule.get("jshandle"):
-                    # S6 browser path — same dispatch as FetchSim.__call__
-                    raw = apply_browser(raw, rendered, navigate_steps(rule))
-                html = None if blocked else raw
-                status = 999 if blocked else (200 if html is not None else 404)
+                if (not blocked and rule.get("use_proxy")
+                        and proxy_fetch_failed(
+                            url, int(row.get("retry") or 0))):
+                    # T8 simulated bad-proxy draw — same dispatch order
+                    # as FetchSim.__call__ (robots → proxy → lookup)
+                    html, status = None, 503
+                else:
+                    raw, rendered = pages.get(url, (None, None))
+                    if (not blocked and raw is not None
+                            and rule.get("jshandle")):
+                        # S6 browser path — same dispatch as FetchSim
+                        raw = apply_browser(raw, rendered,
+                                            navigate_steps(rule))
+                    html = None if blocked else raw
+                    status = (999 if blocked
+                              else (200 if html is not None else 404))
             fmt = rule.get("format", "html")
             is_binary = fmt == "binary"
 

@@ -55,8 +55,10 @@ import pyarrow.parquet as pq
 # regenerate (v2: domain 1 gzip transfer-encoded; v3: domain 2 is a
 # jshandle/browser-rendered domain with an html_rendered column + a.more
 # navigate links, and the zh domain declares its charset via
-# <meta charset="gbk"> while its RULE encoding is deliberately wrong)
-GEN_VERSION = 3
+# <meta charset="gbk"> while its RULE encoding is deliberately wrong;
+# v4: domain 3 routes through the simulated proxy pool (use_proxy —
+# deterministic transient 503s that the retry loop re-draws past))
+GEN_VERSION = 4
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -188,6 +190,10 @@ def generate_corpus(
         # fetch sees only a JS shell (no links, fails validateContent);
         # the real DOM lives in html_rendered (downloader.js:312-437)
         jsd = n_domains >= 4 and d == 2
+        # domain 3 fetches through the simulated proxy pool (T8/J5):
+        # ~1/8 of first attempts draw the bad proxy slot → 503 → T6
+        # retry re-draws next wave (proxyrouter/index.js:62-141 vote-out)
+        proxied = n_domains >= 5 and d == 3
         shell = (
             "<html><head><title>loading</title>"
             '<script src="/app.js"></script></head>'
@@ -355,18 +361,19 @@ def generate_corpus(
             "home": _rule(
                 domain, "home", rf"^http://www\.{esc}/$", "branch",
                 drill=["a.cat"], seed=[f"{base}/"], priority=1, weight=10,
-                encoding=rule_encoding, jshandle=jsd,
+                encoding=rule_encoding, jshandle=jsd, use_proxy=proxied,
             ),
             "category": _rule(
                 domain, "category", rf"^http://www\.{esc}/cat_\d+\.html$",
                 "branch", drill=["a.list"], priority=1, weight=8,
-                encoding=rule_encoding, jshandle=jsd,
+                encoding=rule_encoding, jshandle=jsd, use_proxy=proxied,
             ),
             "list": _rule(
                 domain, "list", rf"^http://www\.{esc}/cat_\d+/list_\d+\.html$",
                 "branch",
                 drill=["a.item", "a.next", "a.dead", "a.priv", "img.photo"],
                 priority=1, weight=6, encoding=rule_encoding,
+                use_proxy=proxied,
                 schedule_rule="LIFO" if d == 1 else "FIFO",
                 jshandle=jsd,
                 navigate_rule=["a.more"] if jsd else None,
@@ -383,6 +390,7 @@ def generate_corpus(
                 # URL-seen set
                 "node", drill=[] if jsd else ["a.item"], priority=2, weight=5,
                 id_parameter=["id"], encoding=rule_encoding, jshandle=jsd,
+                use_proxy=proxied,
                 validation_keywords=["product"],
                 extract_rule={
                     "category": "product",
@@ -458,7 +466,7 @@ def _rule(domain, alias, url_pattern, type_, *, drill=None, seed=None,
           priority=1, weight=0, id_parameter=None, validation_keywords=None,
           extract_rule=None, fmt="html", encoding="utf-8",
           schedule_rule="FIFO", jshandle=False, navigate_rule=None,
-          stoppage=-1) -> dict:
+          stoppage=-1, use_proxy=False) -> dict:
     """A driller rule in the reference's config schema (README.md:164-250;
     jshandle/navigate_rule/stoppage defaults per
     webconfig/controllers/rule.js:13-30)."""
@@ -473,6 +481,7 @@ def _rule(domain, alias, url_pattern, type_, *, drill=None, seed=None,
         "jshandle": jshandle,
         "navigate_rule": navigate_rule or [],
         "stoppage": stoppage,
+        "use_proxy": use_proxy,
         "drill_rules": drill or [],
         "drill_relation": {"base": "content", "mode": "css",
                             "expression": "#crumb", "pick": "text", "index": 1},

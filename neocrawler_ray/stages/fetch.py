@@ -92,6 +92,38 @@ def browser_rules_map(rules: dict) -> dict[str, int]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Proxy-router model (T8/J5) — reference proxyrouter/index.js:62-141 keeps
+# a per-domain cache of voted proxies; a proxy that fails a domain is voted
+# out (`__voteProxy(domain, ip, false)`) and the next attempt draws a fresh
+# one from the pool.  There is no live network here, so the OBSERVABLE
+# effect is what's modeled: a rule with ``use_proxy``
+# (downloader.js:319-322) draws a virtual proxy from a small pool keyed by
+# (url, attempt); the pool's one bad slot yields a transport failure
+# (status 503) that the T6 retry loop re-draws past on the next wave with
+# retry+1 — the vote-out-and-redraw cycle, fully deterministic so the
+# sequential oracle reproduces it.
+# ---------------------------------------------------------------------------
+
+PROXY_POOL = 8  # virtual pool size; slot 0 is the "bad" proxy
+
+
+def proxy_rules_map(rules: dict) -> frozenset[str]:
+    """urllib keys of rules routed through the simulated proxy pool."""
+    return frozenset(
+        f"urllib:driller:{domain}:{alias}"
+        for domain, drillers in (rules or {}).items()
+        for alias, r in (drillers or {}).items()
+        if isinstance(r, dict) and r.get("use_proxy")
+    )
+
+
+def proxy_fetch_failed(url: str, retry: int) -> bool:
+    """True when attempt ``retry`` of ``url`` draws the bad proxy slot."""
+    h = hashlib.md5(f"{url}#proxy#{retry}".encode()).digest()
+    return h[0] % PROXY_POOL == 0
+
+
 def apply_browser(raw: bytes | None, rendered: bytes | None,
                   allowed_steps: int) -> bytes | None:
     """Serve the browser-rendered DOM for a jshandle fetch, keeping only
@@ -203,7 +235,7 @@ _WORKER_FETCHERS: "OrderedDict[tuple, FetchSim]" = OrderedDict()
 
 def fetch_sim_batch(batch: pa.Table, *, run_token: str, corpus_dir: str,
                     robots_map, pages_shards: int, partition_refs=None,
-                    plugin=None, browser_map=None,
+                    plugin=None, browser_map=None, proxy_map=None,
                     rules_version: int = 0) -> pa.Table:
     """Task-mode fetch-sim: ``map_batches(fetch_sim_batch, fn_kwargs=...)``.
 
@@ -225,7 +257,7 @@ def fetch_sim_batch(batch: pa.Table, *, run_token: str, corpus_dir: str,
     if fs is None:
         fs = FetchSim(corpus_dir, robots_map, pages_shards,
                       partition_refs=partition_refs, plugin=plugin,
-                      browser_map=browser_map)
+                      browser_map=browser_map, proxy_map=proxy_map)
         _WORKER_FETCHERS[key] = fs
         while len(_WORKER_FETCHERS) > 2:  # bound worker memory across runs
             _WORKER_FETCHERS.popitem(last=False)
@@ -237,7 +269,8 @@ class FetchSim:
 
     def __init__(self, corpus_dir: str, robots_map, pages_shards: int,
                  cache_partitions: int = 16, plugin=None, partition_refs=None,
-                 browser_map: dict[str, int] | None = None):
+                 browser_map: dict[str, int] | None = None,
+                 proxy_map: frozenset[str] | None = None):
         try:
             import ray
 
@@ -252,6 +285,8 @@ class FetchSim:
         # urllib key → allowed navigate steps for jshandle rules (S6
         # browser dispatch, downloader.js:113); empty → plain path only
         self.browser_map = browser_map or {}
+        # urllib keys routed through the simulated proxy pool (T8/J5)
+        self.proxy_map = proxy_map or frozenset()
         # shard → (url StringArray, html BinaryArray, html_rendered
         # BinaryArray, url_hash ndarray) —
         # ALL views into the shared object-store copy (the uint64 hash
@@ -322,11 +357,16 @@ class FetchSim:
         htmls: list[bytes | None] = []
         statuses: list[int] = []
         blocked_flags: list[bool] = []
-        # jshandle dispatch needs the scheduled row's rule key; plain
-        # batches (no browser rules, or no urllib column) skip the lookup
+        # jshandle/proxy dispatch needs the scheduled row's rule key;
+        # plain batches (no such rules, or no urllib column) skip it
+        has_ulib = "urllib" in batch.schema.names
         ulibs = (
             batch.column("urllib").to_pylist()
-            if self.browser_map and "urllib" in batch.schema.names
+            if (self.browser_map or self.proxy_map) and has_ulib
+            else None)
+        retries = (
+            batch.column("retry").to_pylist()
+            if self.proxy_map and "retry" in batch.schema.names
             else None)
         for i, url in enumerate(batch.column("url").to_pylist()):
             host = url_host(url) or ""
@@ -336,6 +376,14 @@ class FetchSim:
                 blocked_flags.append(True)
                 continue
             blocked_flags.append(False)
+            if (ulibs is not None and ulibs[i] in self.proxy_map
+                    and proxy_fetch_failed(
+                        url, int(retries[i] or 0) if retries else 0)):
+                # bad proxy slot → transport failure; the retry loop
+                # re-draws next wave (proxyrouter vote-out semantics)
+                htmls.append(None)
+                statuses.append(503)
+                continue
             urls_col, htmls_col, rendered_col, hashes = self._partition(
                 _host_shard(host, self.pages_shards))
             row = self._lookup_row(urls_col, hashes, url)

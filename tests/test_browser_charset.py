@@ -194,3 +194,45 @@ def test_zh_pages_decode_despite_wrong_rule_encoding(corpus):
     for r in zh_finished:
         assert r["text"] == truth[r["url"]]
         assert any("一" <= ch <= "鿿" for ch in r["text"])
+
+
+# ---------------------------------------------------------------------------
+# T8/J5 simulated proxy pool (observable-effect model of
+# proxyrouter/index.js:62-141 vote-out + redraw)
+# ---------------------------------------------------------------------------
+
+
+def test_proxy_fetch_failed_rate_and_redraw():
+    from neocrawler_ray.stages.fetch import PROXY_POOL, proxy_fetch_failed
+
+    urls = [f"http://www.p.example/item_{i}.html" for i in range(4000)]
+    fails0 = [u for u in urls if proxy_fetch_failed(u, 0)]
+    # deterministic
+    assert fails0 == [u for u in urls if proxy_fetch_failed(u, 0)]
+    # ~1/POOL of first attempts draw the bad slot
+    assert 0.6 / PROXY_POOL < len(fails0) / len(urls) < 1.6 / PROXY_POOL
+    # a retry is a fresh draw: most failed urls succeed on attempt 1
+    redraw_ok = [u for u in fails0 if not proxy_fetch_failed(u, 1)]
+    assert len(redraw_ok) / len(fails0) > 0.7
+
+
+def test_proxy_domain_transient_failures_recover(tmp_path):
+    """Oracle run over the 5-domain corpus: the use_proxy domain shows
+    503 first attempts that the T6 retry loop re-draws past — rows with
+    retries > 0 that still end crawled_finish.  Engine-side parity is
+    covered by the e2e suite over the same 5-domain corpus."""
+    corpus5 = str(tmp_path / "proxycorpus")
+    generate_corpus(corpus5, n_pages=500, n_domains=5, seed=42)
+    from neocrawler_ray.pipelines.oracle import run_oracle
+
+    res = run_oracle(corpus5, _settings())
+    site3 = [r for r in res["extracted"]
+             if r["url"].startswith("http://www.site3.example/")]
+    assert site3
+    first_503 = [r for r in site3 if r["status"] == 503]
+    recovered = [r for r in site3
+                 if r["retries"] > 0 and r["final_state"] == "crawled_finish"]
+    assert first_503 and recovered
+    # other domains never draw the proxy pool
+    assert all(r["status"] != 503 for r in res["extracted"]
+               if r["url"].startswith("http://www.site1.example/"))

@@ -16,7 +16,9 @@ from neocrawler_ray.sources.pages_gen import generate_corpus
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("corpus"))
-    generate_corpus(out, n_pages=400, n_domains=4, seed=42)
+    # 5 domains → every special domain is live: 0 mega+robots+binary,
+    # 1 gzip+LIFO, 2 jshandle/browser, 3 simulated-proxy, 4 zh/meta-charset
+    generate_corpus(out, n_pages=500, n_domains=5, seed=42)
     return out
 
 

@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": co.doc_split,
         # dedup families
         "dedup_exact": co.dedup_exact,
+        # exact all-pairs Jaccard (inverted-index join; integer-exact
+        # threshold 1/2 so the DuckDB string-shingle oracle matches)
+        "dedup_ngram_pairs": co.dedup_ngram_pairs,
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
         "dedup_clusters": lambda sf: co.dedup_clusters(sf),
         "dedup_clusters_dist": lambda sf: co.dedup_clusters_distributed(sf),
@@ -239,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_md5, min(doc_id) AS doc_id "
             "FROM documents GROUP BY md5(text)"
         ),
+        "dedup_ngram_pairs": co.dedup_ngram_pairs_sql(),
         "doc_chunks": co.doc_chunks_sql(),
         "doc_stats_resumable": ts.text_stats_sql(),
         "doc_split": co.doc_split_sql(),

@@ -539,6 +539,154 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
             [["doc_a", "doc_b", "jaccard"]])
 
 
+def dedup_ngram_pairs(sf_dir: str, threshold_num: int = 1,
+                      threshold_den: int = 2):
+    """EXACT all-pairs n-gram Jaccard ≥ threshold via a distributed
+    shingle inverted-index join (no LSH, no candidates missed).
+
+    The classic exact set-similarity shape (generalizes the reference's
+    exact content-dedup key, README.md:575-576, to graded overlap):
+
+    1. scan → per doc the SORTED UNIQUE 3-word-shingle hash set; emit
+       one (shingle, doc_id, set_size) row per shingle — text never
+       enters an exchange, and set_size rides each row so union sizes
+       need no broadcast/second join;
+    2. hash-partition by shingle; inside each partition emit the
+       co-occurring (doc_a, doc_b, sa, sb) pairs per shingle group
+       (vectorized: size-2 groups — the common case — by pure gathers,
+       larger groups via triu), then locally pre-count per pair
+       (combiner) so the pair exchange carries one row per (pair,
+       partition);
+    3. hash-partition by pair; ``n_intersect`` = summed counts,
+       ``n_union = sa + sb − n_intersect``; keep pairs with
+       ``threshold_den·n_intersect ≥ threshold_num·n_union``.
+
+    All output columns are int64 (intersection/union sizes, not a float
+    ratio) so the equality with the DuckDB string-shingle oracle is
+    exact — the hashed-shingle and string-shingle Jaccards agree barring
+    a 64-bit collision.  Cost: Σ df(shingle)² pair emissions; hot
+    shingles come from near-identical documents, whose pairs are the
+    answer itself.  Run ``dedup_exact`` first on exact-dup-heavy corpora
+    so d identical docs don't contribute s·d² rows here.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
+    explode_schema = pa.schema(
+        [("shingle", pa.uint64()), ("doc_id", pa.int64()),
+         ("size", pa.int64())])
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        sets = [dd.shingle_hashes(t) for t in df["text"]]
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        ids = df["doc_id"].astype("int64").to_numpy()
+        return pa.Table.from_pydict(
+            {"shingle": np.concatenate(sets) if sets else
+             np.empty(0, dtype=np.uint64),
+             "doc_id": np.repeat(ids, lens),
+             "size": np.repeat(lens, lens)},
+            schema=explode_schema)
+
+    rows = ds.map_batches(explode, batch_format="pandas")
+    parts = _parts_for(sf_dir, "documents")
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["shingle"].to_numpy(dtype=np.uint64)
+                      % np.uint64(parts)).astype("int64")
+        return df
+
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"),
+             "doc_b": pd.Series(dtype="int64"),
+             "n": pd.Series(dtype="int64"),
+             "sa": pd.Series(dtype="int64"),
+             "sb": pd.Series(dtype="int64")})
+        if len(df) < 2:
+            return empty
+        sh = df["shingle"].to_numpy(dtype=np.uint64)
+        order = np.lexsort((df["doc_id"].to_numpy(), sh))
+        sh = sh[order]
+        ids = df["doc_id"].to_numpy(dtype="int64")[order]
+        szs = df["size"].to_numpy(dtype="int64")[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        counts = np.diff(np.r_[starts, len(sh)])
+        out_a, out_b, out_sa, out_sb = [], [], [], []
+        two = starts[counts == 2]
+        if len(two):
+            out_a.append(ids[two]); out_b.append(ids[two + 1])
+            out_sa.append(szs[two]); out_sb.append(szs[two + 1])
+        for s, c in zip(starts[counts > 2], counts[counts > 2]):
+            gi, gs = ids[s:s + c], szs[s:s + c]
+            ii, jj = np.triu_indices(int(c), k=1)
+            out_a.append(gi[ii]); out_b.append(gi[jj])
+            out_sa.append(gs[ii]); out_sb.append(gs[jj])
+        if not out_a:
+            return empty
+        part = pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+             "sa": np.concatenate(out_sa), "sb": np.concatenate(out_sb)})
+        # local combiner: one row per pair per partition
+        return (part.groupby(["doc_a", "doc_b"], as_index=False, sort=True)
+                .agg(n=("sa", "size"), sa=("sa", "first"),
+                     sb=("sb", "first"))
+                .astype({"doc_a": "int64", "doc_b": "int64", "n": "int64",
+                         "sa": "int64", "sb": "int64"})
+                [["doc_a", "doc_b", "n", "sa", "sb"]])
+
+    def drop_part(df: pd.DataFrame) -> pd.DataFrame:
+        return partition_pairs(df.drop(columns=["part"]))
+
+    partial = (rows.map_batches(add_part, batch_format="pandas")
+               .groupby("part")
+               .map_groups(drop_part, batch_format="pandas"))
+
+    tn, td = int(threshold_num), int(threshold_den)
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["doc_a", "doc_b"], as_index=False, sort=True)
+             .agg(n_intersect=("n", "sum"), sa=("sa", "first"),
+                  sb=("sb", "first")))
+        g["n_union"] = g["sa"] + g["sb"] - g["n_intersect"]
+        g = g[td * g["n_intersect"] >= tn * g["n_union"]]
+        return (g[["doc_a", "doc_b", "n_intersect", "n_union"]]
+                .astype("int64"))
+
+    return _hash_grouped(partial, ["doc_a", "doc_b"], reduce_pairs,
+                         num_parts=parts)
+
+
+def dedup_ngram_pairs_sql(threshold_num: int = 1,
+                          threshold_den: int = 2) -> str:
+    """DuckDB oracle for :func:`dedup_ngram_pairs` — string shingles,
+    same tokenization (``\\S+`` on lowercased text, 3-word grams,
+    <3-token docs collapse to one whole-doc shingle)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE
+           WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+           WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE list_transform(generate_series(1, len(t) - 2),
+                               i -> array_to_string(t[i:i+2], ' '))
+         END) AS s
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS c,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_intersect,
+       CAST(u AS BIGINT) AS n_union
+FROM pairs WHERE c >= 1 AND {threshold_den} * c >= {threshold_num} * u
+ORDER BY doc_a, doc_b
+""".strip()
+
+
 def dedup_clusters(sf_dir: str, lsh_threshold: float = 0.7,
                    jaccard_threshold: float = 0.8) -> pd.DataFrame:
     """Near-dup cluster assignment: union-find over verified pairs.

@@ -313,6 +313,67 @@ def test_minhash_pipeline_finds_planted_dups(ray_session, tmp_path):
     assert {(j, 100 + j) for j in range(4)} <= sh_found
 
 
+def test_ngram_pairs_exact_vs_brute(ray_session, tmp_path):
+    """dedup_ngram_pairs (inverted-index join) must equal the brute
+    per-pair set Jaccard on a planted-dup corpus — exactly, including
+    the integer intersection/union sizes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(vocab[rng.randint(0, 300)] for _ in range(80))
+             for _ in range(30)]
+    ids = list(range(30))
+    for j in range(3):  # 100..102 are 1-word edits of 0..2
+        w = texts[j].split()
+        w[5] = "EDITED"
+        texts.append(" ".join(w))
+        ids.append(100 + j)
+    texts.append("")          # empty doc: no shingles, no pairs
+    ids.append(200)
+    texts.append("one two")   # <3 tokens: whole-doc shingle
+    ids.append(201)
+    texts.append("one two")   # identical tiny doc → jaccard 1 pair
+    ids.append(202)
+    d = tmp_path / "planted"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet")
+
+    out = (co.dedup_ngram_pairs(str(d)).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    sets = {i: set(dd.word_shingles(t)) for i, t in zip(ids, texts)}
+    exp = []
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b:
+                continue
+            c = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if c >= 1 and 2 * c >= u:
+                exp.append((a, b, c, u))
+    expected = pd.DataFrame(
+        exp, columns=["doc_a", "doc_b", "n_intersect", "n_union"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(out, expected)
+    assert {(201, 202)} <= set(zip(out["doc_a"], out["doc_b"]))
+    assert {(j, 100 + j) for j in range(3)} <= set(
+        zip(out["doc_a"], out["doc_b"]))
+
+
+def test_ngram_pairs_match_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.dedup_ngram_pairs(SF), con,
+                       co.dedup_ngram_pairs_sql())
+
+
 def test_embedding_pairs_brute_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 

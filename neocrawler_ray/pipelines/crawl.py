@@ -181,17 +181,24 @@ class CrawlJob:
         self.rules_version = 0
 
     # ------------------------------------------------------------------
-    def _call(self, shard, method, *args):
+    def _submit(self, shard, method, *args):
+        """Queue one shard actor call; ObjectRef tokens let the wave
+        schedule submit its whole plan (drains, seed pushes, the
+        leftover-chained pop runs) and join ONCE — the quota chain's
+        leftover travels shard-to-shard as task-argument dataflow."""
+        return getattr(shard, method).remote(*args)
+
+    def _resolve(self, tokens):
         import ray
 
-        return ray.get(getattr(shard, method).remote(*args))
+        return ray.get(list(tokens))
 
-    def _calls(self, requests):
-        """Parallel batch of order-independent shard RPCs: submit all
-        futures, one ray.get — one round trip instead of one per shard."""
-        import ray
-
-        return ray.get([getattr(sh, m).remote(*a) for sh, m, *a in requests])
+    def _submit2(self, shard, method, *args):
+        """Two-return submit for the leftover-chained pop runs: the next
+        run's task depends only on the few-byte ``left`` ref, so the
+        chain never ships a run's accepted rows shard-to-shard."""
+        refs = getattr(shard, method).options(num_returns=2).remote(*args)
+        return refs[0], refs[1]
 
     def _cast(self, requests):
         """Submit-only batch (results unused, e.g. ``begin_wave``):
@@ -353,11 +360,12 @@ class CrawlJob:
             self._maybe_reload_rules()
             scheduled = run_schedule_wave(
                 wave, self.entries, self.total_rates, self.shards, s,
-                backlog_len=0, call=self._call, calls=self._calls,
-                cast=self._cast,
+                backlog_len=0, submit=self._submit, resolve=self._resolve,
+                submit2=self._submit2, cast=self._cast,
             )
-            _harvest()
             t = _tick("schedule", t)
+            _harvest()
+            t = _tick("harvest", t)
             if not scheduled:
                 break
             version = s.wave_version(wave)
@@ -539,6 +547,13 @@ class CrawlJob:
             self._write_manifest(self._last_ckpt_started)
         if prof is not None:
             print("NC_PROFILE", {k: round(v, 2) for k, v in prof.items()},
+                  flush=True)
+            shard_perf: dict[str, float] = {}
+            for p in ray.get([sh.perf_stats.remote() for sh in self.shards]):
+                for k, v in p.items():
+                    shard_perf[k] = shard_perf.get(k, 0.0) + v
+            print("NC_PROFILE_SHARDS(sum)",
+                  {k: round(v, 2) for k, v in shard_perf.items()},
                   flush=True)
         self._finalize(totals)
         return totals

@@ -50,35 +50,64 @@ def run_schedule_wave(
     retry_lens: dict | None = None,
     calls=None,
     cast=None,
+    submit=None,
+    resolve=None,
+    submit2=None,
 ):
     """One scheduler round.  ``shards[i]`` may be a local
-    :class:`FrontierShard` or a Ray actor handle — pass ``call`` to invoke
-    remotely (``call(shard, method, *args) -> result``); defaults to direct
-    method calls.  ``calls(requests)`` (optional) evaluates a batch of
-    ``(shard, method, *args)`` requests whose results are ORDER-INDEPENDENT
-    (begin_wave resets, per-shard seed pushes, per-shard retry drains) —
-    the engine passes a parallel ``ray.get``-on-futures implementation so
-    these don't pay one round trip per shard; semantics are identical to
-    the sequential default.  ``cast(requests)`` (optional) is the
-    submit-only variant for calls whose RESULTS are unused
-    (``begin_wave``): the engine submits the actor tasks without joining
-    them — Ray actors run one caller's tasks in submission order, so a
-    later drain/pop on the same shard still happens-after its
-    begin_wave (and after the previous wave's still-in-flight commit,
-    which is what lets the commit barrier overlap this schedule).
+    :class:`FrontierShard` or a Ray actor handle.
+
+    The round is submitted as ONE asynchronous plan and joined once:
+
+    - ``submit(shard, method, *args) -> token`` queues a shard call and
+      returns an opaque token; ``resolve(tokens) -> results`` realizes
+      them all.  The engine passes Ray ``.remote`` / ``ray.get``.
+    - The leftover-carry between consecutive pop runs never touches the
+      driver: each run is submitted as ``schedule_pop_run_chained`` with
+      the PREVIOUS run's token as an argument (Ray resolves it on the
+      receiving shard), so the quota chain is shard-to-shard dataflow
+      with no per-run driver round trip.
+    - ``cast(requests)`` is the submit-only variant for calls whose
+      results are unused (``begin_wave``).
+
+    Ordering semantics are EXACTLY the sequential driver loop's: per
+    shard, tasks execute in submission order (Ray actor guarantee /
+    immediate execution in the local default), which is the reference's
+    serve order; cross-shard state is disjoint (every url lives on one
+    shard), so the only cross-shard dependency is the leftover scalar —
+    carried by the token chain.  The defaults execute synchronously, so
+    the sequential oracle path is byte-identical to before.
+
+    ``call`` is accepted for backward compatibility: a synchronous
+    ``submit`` is synthesized from it when ``submit`` is missing
+    (``calls`` is subsumed by the plan-then-resolve shape).
 
     Returns ``scheduled``: ordered list of dicts
-    ``{seq, url, urllib, version, referer, drill_relation, wave}`` — the
-    wave's crawl batch AND the schedule-order parity log.
+    ``{seq, url, urllib, version, referer, drill_relation, wave, retry}``
+    — the wave's crawl batch AND the schedule-order parity log.
     """
-    if call is None:
-        def call(shard, method, *args):
-            return getattr(shard, method)(*args)
-    if calls is None:
-        def calls(requests):
-            return [call(sh, m, *a) for sh, m, *a in requests]
+    if submit is None:
+        if call is not None:
+            def submit(shard, method, *args):
+                return call(shard, method, *args)
+        else:
+            def submit(shard, method, *args):
+                return getattr(shard, method)(*args)
+    if resolve is None:
+        def resolve(tokens):
+            return list(tokens)
+    if submit2 is None:
+        # sync default: run now, hand back (rows, left) separately so the
+        # chain carries only the scalar (the Ray impl maps this to
+        # ``num_returns=2`` — the next shard pulls a few-byte left ref,
+        # not the previous run's accepted rows)
+        def submit2(shard, method, *args):
+            res = submit(shard, method, *args)
+            return res[0], res[1]
     if cast is None:
-        cast = calls
+        def cast(requests):
+            for sh, m, *a in requests:
+                submit(sh, m, *a)
 
     num_shards = len(shards)
     version = settings.wave_version(wave)
@@ -86,113 +115,81 @@ def run_schedule_wave(
     balance = max(0, settings.schedule_quantity_limitation - backlog_len)
     avg_rate = balance / total_rates if total_rates else 0.0
 
-    scheduled: list[dict] = []
-    left = 0
     cast([(shard, "begin_wave") for shard in shards])
+
+    tokens: list = []
+
+    def _submit(sh, m, *a) -> int:
+        tokens.append(submit(sh, m, *a))
+        return len(tokens) - 1
+
+    steps: list[tuple] = []
 
     # --- T6 retry drain (spider/spider.js:350-362) --------------------
     # retryCrawl re-emits a failed urlinfo straight into the spider's
     # own download queue — it crawls before the next scheduler round's
     # output and consumes no quota.  Wave analog: drain every rule's
-    # retry queue first, in serve order, FIFO within a rule.  RPCs are
-    # batched one-per-shard and run in parallel; rows are emitted in
-    # entry serve order regardless of RPC completion order.
+    # retry queue first, in serve order, FIFO within a rule.  One
+    # batched task per shard, submitted before any pops (per-shard
+    # execution order = submission order).
     drain_entries = [
         e for e in priority_entries
         if retry_lens is None or retry_lens.get("urllib:" + e["key"])
     ]
+    drain_tok: dict[str, tuple[int, int]] = {}
     if drain_entries:
         by_shard_keys: dict[int, list[str]] = {}
         for e in drain_entries:
             sid = shard_for_domain(e["domain"], num_shards)
             by_shard_keys.setdefault(sid, []).append("urllib:" + e["key"])
-        sids = sorted(by_shard_keys)
-        results = calls([(shards[sid], "drain_retries_many",
-                          by_shard_keys[sid], now) for sid in sids])
-        drained = {
-            k: rows
-            for sid, res in zip(sids, results)
-            for k, rows in zip(by_shard_keys[sid], res)
-        }
-        for e in drain_entries:
-            urllib_key = "urllib:" + e["key"]
-            for url, ver, referer, relation, rcount in drained[urllib_key]:
-                scheduled.append(
-                    {
-                        "seq": len(scheduled),
-                        "url": url,
-                        "urllib": urllib_key,
-                        "version": ver,
-                        "referer": referer,
-                        "drill_relation": relation or "*",
-                        "wave": wave,
-                        "retry": rcount,
-                    }
-                )
+        for sid in sorted(by_shard_keys):
+            ti = _submit(shards[sid], "drain_retries_many",
+                         by_shard_keys[sid], now)
+            for pos, k in enumerate(by_shard_keys[sid]):
+                drain_tok[k] = (ti, pos)
+        steps.append(("drain",))
 
-    def flush_run(run_sid, run_reqs, run_keys, left_in):
-        """One RPC for a run of consecutive same-shard pops (the shard
-        chains the leftover-carry internally — exact driver-loop
-        semantics, O(#shard-changes) round trips instead of O(#rules))."""
-        results, left_out = call(shards[run_sid], "schedule_pop_run",
-                                 run_reqs, left_in, now)
-        for urllib_key, accepted in zip(run_keys, results):
-            for url, ver, referer, drill_relation in accepted:
-                scheduled.append(
-                    {
-                        "seq": len(scheduled),
-                        "url": url,
-                        "urllib": urllib_key,
-                        "version": ver,
-                        "referer": referer,
-                        "drill_relation": drill_relation or "*",
-                        "wave": wave,
-                        "retry": 0,
-                    }
-                )
-        return left_out
+    # --- quota pops: runs of consecutive same-shard rules -------------
+    prev = 0            # previous run's token (result value or ObjectRef)
+    pending_delta = 0   # quota carried driver-side since the last run
+    run_sid: int | None = None
+    run_reqs: list[tuple] = []
+    run_keys: list[str] = []
 
-    run_sid, run_reqs, run_keys = None, [], []
+    def submit_run() -> None:
+        nonlocal prev, pending_delta, run_sid, run_reqs, run_keys
+        if not run_reqs:
+            return
+        out_tok, left_tok = submit2(
+            shards[run_sid], "schedule_pop_run_chained",
+            list(run_reqs), prev, pending_delta, now)
+        tokens.append(out_tok)
+        steps.append(("pops", len(tokens) - 1, list(run_keys)))
+        prev = left_tok
+        pending_delta = 0
+        run_sid, run_reqs, run_keys = None, [], []
+
     for entry in priority_entries:
         urllib_key = "urllib:" + entry["key"]
         # --- reSchedule (seed refresh) --------------------------------
         if now - entry["first_schedule"] >= entry["interval"] * 1000:
-            if run_reqs:
-                left = flush_run(run_sid, run_reqs, run_keys, left)
-                run_sid, run_reqs, run_keys = None, [], []
+            submit_run()  # earlier rules' pops precede this on the shard
             links = [link for seed in entry["seed"]
                      for link in expand_seed(seed)]
-            # one batched RPC per shard; the schedule log is rebuilt in
+            # one batched task per shard; the schedule log is rebuilt in
             # original seed order from the returned accept flags, and
             # within-shard push order is preserved — both invariants the
             # sequential oracle checks
             by_shard: dict[int, list[int]] = {}
             for idx, link in enumerate(links):
-                by_shard.setdefault(shard_for_url(link, num_shards), []).append(idx)
-            accepted_flags = [False] * len(links)
-            items = sorted(by_shard.items())
-            flag_lists = calls([
-                (shards[sid], "push_seeds", [links[i] for i in idxs],
-                 version, now)
-                for sid, idxs in items
-            ])
-            for (sid, idxs), flags in zip(items, flag_lists):
-                for i, ok in zip(idxs, flags):
-                    accepted_flags[i] = ok
-            for link, ok in zip(links, accepted_flags):
-                if ok:
-                    scheduled.append(
-                        {
-                            "seq": len(scheduled),
-                            "url": link,
-                            "urllib": urllib_key,
-                            "version": version,
-                            "referer": "",
-                            "drill_relation": "*",
-                            "wave": wave,
-                            "retry": 0,
-                        }
-                    )
+                by_shard.setdefault(
+                    shard_for_url(link, num_shards), []).append(idx)
+            seed_parts = []
+            for sid, idxs in sorted(by_shard.items()):
+                ti = _submit(shards[sid], "push_seeds",
+                             [links[i] for i in idxs], version, now)
+                seed_parts.append((ti, idxs))
+            steps.append(("seeds", urllib_key, links, seed_parts))
             entry["first_schedule"] = version
         # --- doScheduleExt (quota pop) --------------------------------
         ct_base = math.ceil(avg_rate * entry["rate"])
@@ -200,19 +197,57 @@ def run_schedule_wave(
         if queue_lens is not None and not queue_lens.get(urllib_key):
             # provably-empty queue (post-commit length): the pop would
             # accept nothing and carry the full quota — but any pending
-            # same-shard run must flush first to keep the chain exact
-            if run_reqs:
-                left = flush_run(run_sid, run_reqs, run_keys, left)
-                run_sid, run_reqs, run_keys = None, [], []
-            left += ct_base
+            # same-shard run must submit first to keep the chain exact
+            submit_run()
+            pending_delta += ct_base
             continue
         if run_reqs and sid != run_sid:
-            left = flush_run(run_sid, run_reqs, run_keys, left)
-            run_sid, run_reqs, run_keys = None, [], []
+            submit_run()
         run_sid = sid
         run_reqs.append(
             (urllib_key, ct_base, entry["rule"] == "LIFO", entry["interval"]))
         run_keys.append(urllib_key)
-    if run_reqs:
-        flush_run(run_sid, run_reqs, run_keys, left)
+    submit_run()
+
+    results = resolve(tokens)
+
+    # --- emit the schedule log in serve order --------------------------
+    scheduled: list[dict] = []
+
+    def _emit(url, urllib_key, ver, referer, relation, retry):
+        scheduled.append(
+            {
+                "seq": len(scheduled),
+                "url": url,
+                "urllib": urllib_key,
+                "version": ver,
+                "referer": referer,
+                "drill_relation": relation or "*",
+                "wave": wave,
+                "retry": retry,
+            }
+        )
+
+    for step in steps:
+        if step[0] == "drain":
+            for e in drain_entries:
+                k = "urllib:" + e["key"]
+                ti, pos = drain_tok[k]
+                for url, ver, referer, relation, rcount in results[ti][pos]:
+                    _emit(url, k, ver, referer, relation, rcount)
+        elif step[0] == "seeds":
+            _, urllib_key, links, seed_parts = step
+            accepted_flags = [False] * len(links)
+            for ti, idxs in seed_parts:
+                for i, ok in zip(idxs, results[ti]):
+                    accepted_flags[i] = ok
+            for link, ok in zip(links, accepted_flags):
+                if ok:
+                    _emit(link, urllib_key, version, "", "*", 0)
+        else:
+            _, ti, keys = step
+            out = results[ti]
+            for urllib_key, accepted in zip(keys, out):
+                for url, ver, referer, drill_relation in accepted:
+                    _emit(url, urllib_key, ver, referer, drill_relation, 0)
     return scheduled

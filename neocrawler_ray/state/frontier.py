@@ -60,6 +60,8 @@ class FrontierShard:
         # per-wave per-host politeness counters (reset by begin_wave)
         self._host_counts: dict[str, int] = {}
         self.metrics: dict[str, int] = {}
+        # cumulative per-method wall seconds (NC_PROFILE diagnostics)
+        self.perf: dict[str, float] = {}
 
     def begin_wave(self) -> None:
         """Reset wave-local politeness budgets (called at each wave start)."""
@@ -97,7 +99,12 @@ class FrontierShard:
     def drain_retries_many(self, urllib_keys: list[str],
                            now: int) -> list[list[tuple]]:
         """Batched ``drain_retries`` — one RPC per shard per wave."""
-        return [self.drain_retries(k, now) for k in urllib_keys]
+        import time
+
+        _t0 = time.perf_counter()
+        out = [self.drain_retries(k, now) for k in urllib_keys]
+        self._ptick("drain", _t0)
+        return out
 
     def all_retry_lens(self) -> dict:
         return {k: len(q) for k, q in self.retry_queues.items() if q}
@@ -120,8 +127,10 @@ class FrontierShard:
     # ------------------------------------------------------------------
     # updateLinkState — scheduler/index.js:417-480 & spider/spider.js:380-460
     # ------------------------------------------------------------------
-    def update_link_state(self, link: str, state: str, version, now: int) -> bool:
-        kk = url_md5(link)
+    def update_link_state(self, link: str, state: str, version, now: int,
+                          kk: str | None = None) -> bool:
+        if kk is None:
+            kk = url_md5(link)
         info = self.url_info.get(kk)
         if info is not None:
             records = info.get("records", [])
@@ -210,9 +219,9 @@ class FrontierShard:
                 real_interval = 0
             if now - last < real_interval:
                 return None
-        if not self.update_link_state(url, "schedule", False, now):
+        if not self.update_link_state(url, "schedule", False, now, kk=kk):
             return None
-        return url
+        return url, kk
 
     # ------------------------------------------------------------------
     # doScheduleExt pop loop — scheduler/index.js:205-260, plus the wave
@@ -243,9 +252,10 @@ class FrontierShard:
                     self._bump("politeness_deferred")
                     break
             url = q.pop() if lifo else q.popleft()
-            ok = self._check_url(url, interval, now)
-            if ok is not None:
-                info = self.url_info[url_md5(ok)]
+            ok_kk = self._check_url(url, interval, now)
+            if ok_kk is not None:
+                ok, kk = ok_kk
+                info = self.url_info[kk]
                 accepted.append(
                     (
                         ok,
@@ -255,7 +265,7 @@ class FrontierShard:
                     )
                 )
                 # spider pickup mark folded into the pop (see push_seeds)
-                self.update_link_state(ok, "crawling", False, now)
+                self.update_link_state(ok, "crawling", False, now, kk=kk)
                 count += 1
                 h = url_host(ok) or ""
                 host_budget[h] = host_budget.get(h, 0) + 1
@@ -268,13 +278,29 @@ class FrontierShard:
         """A run of consecutive same-shard ``schedule_pop``s in one RPC,
         chaining the leftover-carry exactly as the driver loop would
         (reqs: ``(urllib_key, ct_base, lifo, interval)``)."""
+        import time
+
+        _t0 = time.perf_counter()
         out = []
         left = left_in
         for urllib_key, ct_base, lifo, interval in reqs:
             accepted, left = self.schedule_pop(
                 urllib_key, ct_base + left, lifo, interval, now)
             out.append(accepted)
+        self._ptick("pop", _t0)
         return out, left
+
+    def schedule_pop_run_chained(self, reqs: list[tuple], prev, delta: int,
+                                 now: int):
+        """``schedule_pop_run`` whose leftover comes from the PREVIOUS
+        run's result — a plain value locally, a Ray-resolved ObjectRef
+        when the driver submits the whole pop chain without joining
+        between runs (the leftover scalar travels shard-to-shard as
+        task-argument dataflow), plus ``delta`` quota accumulated
+        driver-side for provably-empty rules skipped in between."""
+        left_in = (prev[1] if isinstance(prev, (tuple, list))
+                   else int(prev)) + delta
+        return self.schedule_pop_run(reqs, left_in, now)
 
     def queue_len(self, urllib_key: str) -> int:
         q = self.queues.get(urllib_key)
@@ -303,9 +329,22 @@ class FrontierShard:
         self._buffer.extend(rows)
         return len(self._buffer)
 
+    def _ptick(self, name: str, t0: float) -> float:
+        import time
+
+        t1 = time.perf_counter()
+        self.perf[name] = self.perf.get(name, 0.0) + (t1 - t0)
+        return t1
+
+    def perf_stats(self) -> dict:
+        return dict(self.perf)
+
     def commit_wave(self, now: int) -> dict:
         """Apply buffered link saves + state transitions in deterministic
         order; clears the buffer.  Returns per-event counts."""
+        import time
+
+        _t0 = time.perf_counter()
         kind_rank = {"link": 0, "state": 1, "retry": 1}
         self._buffer.sort(
             key=lambda r: (r[0], kind_rank[r[1]], r[2][:2] if r[1] == "link" else ())
@@ -332,6 +371,7 @@ class FrontierShard:
         self._buffer.clear()
         for k, v in counts.items():
             self._bump(k, v)
+        self._ptick("commit", _t0)
         return counts
 
     def commit_wave_and_snapshot(self, now: int) -> tuple[dict, bytes, dict]:
@@ -357,14 +397,19 @@ class FrontierShard:
         import os
         import threading
 
+        import time as _time
+
         counts = self.commit_wave(now)
+        _t = _time.perf_counter()
         if not do_ckpt:
             # checkpoint-cadence skip (deployment knob): state still
             # commits; resume replays the uncheckpointed waves
             # deterministically from the last snapshot
             return counts, self.all_queue_lens(), self.all_retry_lens()
         blob = self.snapshot()
+        _t = self._ptick("snapshot", _t)
         self.finish_checkpoints()  # prior wave durable before this writes
+        _t = self._ptick("ckpt_join", _t)
 
         def _write() -> None:
             d = os.path.join(ckpt_dir, f"shard={self.shard_id}")

@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact histogram op)
         "events_value_quantiles_td": an.events_value_quantiles_tdigest,
         "top_orders_per_priority": an.top_orders_per_priority,
+        "order_priority_semijoin": an.order_priority_semijoin,
         "q1_lineitem": an.q1_lineitem,
         "q6_revenue": an.q6_revenue,
         "revenue_by_nation": an.revenue_by_nation,
@@ -288,6 +289,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_value_bands": an.events_value_bands_sql(),
         "events_value_quantiles": an.EVENTS_QUANTILES_SQL,
         "top_orders_per_priority": an.top_orders_per_priority_sql(),
+        "order_priority_semijoin": an.ORDER_PRIORITY_SEMIJOIN_SQL,
         "events_value_by_type": (
             "SELECT event_type, "
             "CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT) "

@@ -12,16 +12,27 @@ config (the parity tests use the reference's conservative defaults;
 the bench raises the per-wave quota the way a real deployment would).
 
 ``--scaling``: runs the headline crawl in FRESH subprocesses at
-num_cpus=N and 4N (default 4 → 16, best of 2 runs each) on the same
-corpus and reports both throughputs plus scaling efficiency
-``eff = (thr_4N / thr_N) / 4``.  Round 2 shrank the per-wave
-driver-serial floor (task-side feedback routing, parallel shard RPC
-batches, chunked route tasks), so the honest mid ladder is the default.
-The harness additionally measures the machine's own parallel-compute
-ceiling (pure busy-loop pool at both levels — this shared VM shows
-bursty host CPU-steal with a 0.58-0.9 ceiling) and reports
-``ceiling_eff`` and ``value_normalized = eff / ceiling_eff`` — the
-number comparable to a dedicated cluster, where the ceiling ≈1.0.
+num_cpus=N and 4N (default 4 → 16) on the same corpus and reports both
+throughputs plus scaling efficiency ``eff = (thr_4N / thr_N) / 4``.
+Round 3 made the ladder faithful to the two-cluster-size criterion it
+stands in for:
+
+- **Each leg is pinned to exactly N physical cores**
+  (``os.sched_setaffinity`` before ``ray.init``; Ray workers inherit).
+  ``ray.init(num_cpus=N)`` alone caps *task slots*, not cores — the
+  small leg's pyarrow/IO/actor threads silently spill onto all 32
+  cores, which a real N-node cluster cannot do, deflating measured
+  efficiency.
+- **Legs are interleaved into matched-window pairs** (N, 4N, N, 4N, …)
+  because host CPU-steal on this shared VM swings single-run wall time
+  3-4× minute to minute; only a pair measured in the same window is a
+  valid A/B.  The reported ``value`` is the efficiency of the pair
+  from the *quietest* window — the pair minimizing total compute-time
+  (t_4N + t_N/4) — NOT the max-efficiency pair, which would
+  cherry-pick steal on the small leg.  All pairs are reported.
+- The harness still measures the machine's busy-loop parallel ceiling
+  (pinned pools) and reports ``value_normalized = eff / ceiling_eff``
+  — comparable to a dedicated cluster where the ceiling ≈1.0.
 """
 
 from __future__ import annotations
@@ -127,6 +138,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 def worker_main(sf_dir: str, num_cpus: int, crawl_only: bool) -> None:
     import ray
 
+    if os.environ.get("GRAFT_PIN_CPUS") == "1":
+        # emulate a real N-core cluster: cap the whole session (driver +
+        # raylet + all inheriting workers) to N physical cores so the
+        # small leg can't borrow compute through unmanaged threads
+        os.sched_setaffinity(0, set(range(num_cpus)))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  logging_level="ERROR")
@@ -155,63 +171,83 @@ def _burn(n: int) -> int:
     return x
 
 
-def cpu_ceiling(n_lo: int, n_hi: int, per: int = 4_000_000) -> float:
-    """The machine's own parallel-compute scaling ceiling, measured with
-    a pure busy-loop process pool (no Ray, no IO).  On this shared VM
-    host CPU-steal caps even embarrassingly-parallel python at <1.0."""
+def _burn_pool(nproc: int, per: int) -> float:
     import multiprocessing as mp
 
-    def run(nproc: int) -> float:
-        t0 = time.perf_counter()
-        with mp.Pool(nproc) as p:
-            p.map(_burn, [per] * nproc * 4)
-        return time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with mp.Pool(nproc) as p:
+        p.map(_burn, [per] * nproc * 4)
+    return time.perf_counter() - t0
 
-    t_lo, t_hi = run(n_lo), run(n_hi)
-    thr_lo = n_lo * 4 / t_lo
-    thr_hi = n_hi * 4 / t_hi
+
+def cpu_ceiling(n_lo: int, n_hi: int, per: int = 4_000_000) -> float:
+    """The machine's own parallel-compute scaling ceiling, measured with
+    a pure busy-loop process pool (no Ray, no IO), each pool pinned to
+    its leg's core set like the crawl legs.  On this shared VM host
+    CPU-steal caps even embarrassingly-parallel python at <1.0."""
+    saved = os.sched_getaffinity(0)
+    times = {}
+    try:
+        for n in (n_lo, n_hi):
+            os.sched_setaffinity(0, set(range(n)))
+            times[n] = _burn_pool(n, per)
+    finally:
+        os.sched_setaffinity(0, saved)
+    thr_lo = n_lo * 4 / times[n_lo]
+    thr_hi = n_hi * 4 / times[n_hi]
     return (thr_hi / thr_lo) / (n_hi / n_lo)
 
 
 def scaling_main(sf_dir: str, n_lo: int = 4, n_hi: int = 16,
                  repeats: int = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))) -> None:
-    """Same corpus, fresh Ray sessions at N and 4N cpus → efficiency."""
+    """Same corpus, fresh pinned Ray sessions at N and 4N cpus →
+    efficiency, from interleaved matched-window pairs (see module doc)."""
     from neocrawler_ray.sources.pages_gen import corpus_for_sf
 
     # warm the corpus cache outside the timed runs
     corpus_for_sf(sf_dir, page_weight=BENCH_PAGE_WEIGHT)
+    env = dict(os.environ, GRAFT_PIN_CPUS="1")
+
+    def leg(n: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker", str(n), "--crawl-only",
+             "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True, env=env,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
     ceiling_pre = cpu_ceiling(n_lo, n_hi)
-    results = {}
-    for n in (n_lo, n_hi):
-        best = None
-        for _ in range(repeats):  # best-of-N damps host-steal noise
-            proc = subprocess.run(
-                [sys.executable, __file__, "--worker", str(n), "--crawl-only",
-                 "--sf-dir", sf_dir],
-                capture_output=True, text=True, check=True,
-            )
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
-                best = r
-        results[n] = best
+    pairs = []
+    for _ in range(repeats):  # interleave legs: each pair is one window
+        lo, hi = leg(n_lo), leg(n_hi)
+        pairs.append({
+            f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
+            f"urls_per_sec_{n_lo}": lo["urls_per_sec"],
+            f"urls_per_sec_{n_hi}": hi["urls_per_sec"],
+            "eff": round((hi["urls_per_sec"] / lo["urls_per_sec"])
+                         / (n_hi / n_lo), 3),
+            # quietness: total compute-seconds, small leg discounted by
+            # the ladder ratio so both legs weigh equally when ideal
+            "window_cost": round(hi["value"] + lo["value"] / (n_hi / n_lo), 3),
+        })
     # host steal varies minute-to-minute: bracket the ladder with a
     # second calibration and use the mean window ceiling
     ceiling = (ceiling_pre + cpu_ceiling(n_lo, n_hi)) / 2
-    thr_lo = results[n_lo]["urls_per_sec"]
-    thr_hi = results[n_hi]["urls_per_sec"]
-    eff = (thr_hi / thr_lo) / (n_hi / n_lo)
+    best = min(pairs, key=lambda p: p["window_cost"])
     print(json.dumps({
-        "metric": f"crawl scaling efficiency {n_lo}→{n_hi} cpus (fresh sessions)",
-        "value": round(eff, 3),
+        "metric": (f"crawl scaling efficiency {n_lo}→{n_hi} cpus "
+                   "(fresh pinned sessions, quietest matched pair)"),
+        "value": best["eff"],
         "unit": "efficiency",
         "sf": sf_dir,
-        f"urls_per_sec_{n_lo}": thr_lo,
-        f"urls_per_sec_{n_hi}": thr_hi,
-        f"sec_{n_lo}": results[n_lo]["value"],
-        f"sec_{n_hi}": results[n_hi]["value"],
+        f"urls_per_sec_{n_lo}": best[f"urls_per_sec_{n_lo}"],
+        f"urls_per_sec_{n_hi}": best[f"urls_per_sec_{n_hi}"],
+        f"sec_{n_lo}": best[f"sec_{n_lo}"],
+        f"sec_{n_hi}": best[f"sec_{n_hi}"],
+        "pairs": pairs,
         "cpu_ceiling_eff": round(ceiling, 3),
-        "value_normalized": round(eff / ceiling, 3),
+        "value_normalized": round(best["eff"] / ceiling, 3),
     }))
 
 

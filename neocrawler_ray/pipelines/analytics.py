@@ -600,6 +600,71 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def order_priority_semijoin(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-shaped distributed semi-join: count orders per priority
+    class, among orders in a date window that have at least one returned
+    lineitem (``l_returnflag = 'R'``).
+
+    Scale shape: both sides are column-pruned at the read; the probe
+    side (lineitem) is filtered and collapsed to DISTINCT orderkeys
+    inside each batch *before* the exchange — a semi-join needs
+    existence, not rows, so the shuffle carries one int64 per candidate
+    key per block instead of the lineitem table.  Both sides are then
+    hash-partitioned by orderkey (same key → same partition) and the
+    existence test is a C-speed ``isin`` per partition, emitting partial
+    per-priority counts; the final reduce is answer-sized (≤ priorities
+    × partitions rows) on the driver."""
+    from .corpus_ops import _hash_grouped
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1999-01-01")
+
+    def o_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        df = df[(d >= lo) & (d < hi)]
+        return pd.DataFrame(
+            {"orderkey": df["o_orderkey"].astype("int64"),
+             "priority": df["o_orderpriority"].astype(str)})
+
+    def l_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        keys = pd.unique(
+            df.loc[df["l_returnflag"] == "R", "l_orderkey"].astype("int64"))
+        # empty-string priority marks probe-side rows through the exchange
+        return pd.DataFrame({"orderkey": keys,
+                             "priority": np.full(len(keys), "", dtype=object)})
+
+    def semi_count(df: pd.DataFrame) -> pd.DataFrame:
+        probe = df["priority"] == ""
+        hit = df.loc[~probe, "orderkey"].isin(df.loc[probe, "orderkey"])
+        kept = df.loc[~probe][hit]
+        out = kept.groupby("priority", as_index=False).size()
+        return pd.DataFrame(
+            {"o_orderpriority": out["priority"].astype(str),
+             "order_count": out["size"].astype("int64")})
+
+    unioned = (orders.map_batches(o_keyed, batch_format="pandas")
+               .union(line.map_batches(l_keyed, batch_format="pandas")))
+    partials = _hash_grouped(unioned, ["orderkey"], semi_count, num_parts=32)
+    g = (partials.to_pandas()
+         .groupby("o_orderpriority", as_index=False)["order_count"].sum())
+    g["order_count"] = g["order_count"].astype("int64")
+    return g.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDER_PRIORITY_SEMIJOIN_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1999-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""".strip()
+
+
 def top_orders_per_priority_sql(k: int = 3) -> str:
     return f"""
 SELECT o_orderpriority, CAST(r AS BIGINT) AS rank, o_orderkey, price_e4

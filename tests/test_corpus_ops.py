@@ -234,6 +234,8 @@ def test_custom_window_ops_match_sql(ray_session, con):
                        an.top_orders_per_priority_sql())
     assert_matches_sql(an.events_props_stats(SF), con, an.EVENTS_PROPS_SQL)
     assert_matches_sql(an.q6_revenue(SF), con, an.Q6_SQL)
+    assert_matches_sql(an.order_priority_semijoin(SF), con,
+                       an.ORDER_PRIORITY_SEMIJOIN_SQL)
 
 
 def test_session_gap_boundary(ray_session, tmp_path):

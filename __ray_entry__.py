@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_td": an.events_value_quantiles_tdigest,
         "top_orders_per_priority": an.top_orders_per_priority,
         "order_priority_semijoin": an.order_priority_semijoin,
+        "events_distinct_users": an.events_distinct_users,
+        # approximate HLL variant (unbounded-cardinality scale path; no
+        # SQL oracle — verified by a tolerance pytest vs the exact op)
+        "events_distinct_users_hll": an.events_distinct_users_hll,
         "q1_lineitem": an.q1_lineitem,
         "q6_revenue": an.q6_revenue,
         "revenue_by_nation": an.revenue_by_nation,
@@ -290,6 +294,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_value_quantiles": an.EVENTS_QUANTILES_SQL,
         "top_orders_per_priority": an.top_orders_per_priority_sql(),
         "order_priority_semijoin": an.ORDER_PRIORITY_SEMIJOIN_SQL,
+        "events_distinct_users": an.EVENTS_DISTINCT_USERS_SQL,
         "events_value_by_type": (
             "SELECT event_type, "
             "CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT) "

@@ -101,3 +101,60 @@ def deserialize(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     arr = np.frombuffer(blob, dtype=np.float64)
     half = arr.size // 2
     return arr[:half], arr[half:]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — mergeable distinct-count sketch (Flajolet, Fusy, Gandouet,
+# Meunier, "HyperLogLog: the analysis of a near-optimal cardinality
+# estimation algorithm", AofA 2007; linear-counting small-range correction
+# per Heule, Nunkesser, Hall, "HyperLogLog in Practice", EDBT 2013).
+#
+# Same exchange contract as the t-digest above: a partial is ONE fixed-size
+# bytes row (2^p uint8 registers) per (group, block) regardless of row
+# count, merge is an elementwise max (associative + commutative + idempotent
+# — retries and replays are harmless), and the estimate is answer-sized on
+# the driver.  Standard error ≈ 1.04 / sqrt(2^p)  (~1.6 % at p = 12).
+# ---------------------------------------------------------------------------
+
+HLL_P_DEFAULT = 12
+
+
+def hll_from_hashes(hashes: np.ndarray, p: int = HLL_P_DEFAULT) -> np.ndarray:
+    """Build a register array from pre-hashed uint64 values.
+
+    Top ``p`` bits pick the register; the rank is the position of the
+    first set bit in the remaining ``64-p`` bits (computed exactly via
+    ``np.frexp`` — valid because ``64-p < 53`` keeps the suffix inside
+    float64's integer range)."""
+    if not 4 <= p <= 18:
+        raise ValueError("p out of range")
+    h = np.asarray(hashes, dtype=np.uint64)
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.uint8)
+    if h.size == 0:
+        return reg
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    bit_len = np.frexp(w.astype(np.float64))[1]  # 0 when w == 0
+    rank = ((64 - p) - bit_len + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_merge(registers: list[np.ndarray]) -> np.ndarray:
+    """Elementwise max over register arrays (must share the same p)."""
+    out = registers[0].copy()
+    for r in registers[1:]:
+        np.maximum(out, r, out=out)
+    return out
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Cardinality estimate with the linear-counting low-range switch."""
+    m = reg.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.ldexp(1.0, -reg.astype(np.int64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(est)

@@ -600,6 +600,94 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed grouped COUNT(DISTINCT): distinct users per
+    event class.  Scale shape: each batch first collapses to its own
+    distinct (event_type, user_id) pairs — the exchange carries at most
+    one row per pair per block, never per event — then a hash partition
+    on the pair co-locates duplicates for an exact per-partition dedup
+    + count, and the final reduce sums answer-sized partials.  The
+    unbounded-cardinality seam is :func:`events_distinct_users_hll`."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        return pd.DataFrame({"event_type": d["event_type"].astype(str),
+                             "user_id": d["user_id"].astype("int64")})
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).size()
+        return pd.DataFrame(
+            {"event_type": out["event_type"].astype(str),
+             "distinct_users": out["size"].astype("int64")})
+
+    partials = _hash_grouped(ds.map_batches(pairs, batch_format="pandas"),
+                             ["event_type", "user_id"], count_part,
+                             num_parts=32)
+    g = (partials.to_pandas()
+         .groupby("event_type", as_index=False)["distinct_users"].sum())
+    g["distinct_users"] = g["distinct_users"].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()
+
+
+def events_distinct_users_hll(sf_dir: str, p: int = None) -> pd.DataFrame:
+    """Approximate grouped distinct count via mergeable HyperLogLog
+    sketches — the UNBOUNDED-cardinality variant of
+    :func:`events_distinct_users`, whose exchange grows with the true
+    distinct count.  Here a partial is one fixed 2^p-byte register row
+    per (event_type, block), the combine is an elementwise register max
+    (associative/commutative/idempotent — safe under retries), and the
+    exchange is O(groups × blocks) regardless of cardinality.  Standard
+    error ≈ 1.04/√2^p (~1.6 % at the default p=12; pytest asserts a
+    3 % band vs the exact op plus a large-cardinality function test).
+    Same output schema as the exact op, so the two are drop-in
+    swappable."""
+    from ..functions import sketches as sk
+    from .corpus_ops import _hash_grouped
+
+    pp = sk.HLL_P_DEFAULT if p is None else p
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["user_id"].to_numpy(dtype="int64")
+        h = pd.util.hash_array(ids)
+        out_t, out_r = [], []
+        for etype, idx in df.groupby(
+                df["event_type"].astype(str)).indices.items():
+            out_t.append(etype)
+            out_r.append(sk.hll_from_hashes(h[idx], pp).tobytes())
+        return pd.DataFrame({"event_type": out_t, "registers": out_r})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_r = [], []
+        for etype, g in df.groupby("event_type", sort=True):
+            merged = sk.hll_merge(
+                [np.frombuffer(bytes(b), dtype=np.uint8)
+                 for b in g["registers"]])
+            out_t.append(etype)
+            out_r.append(merged.tobytes())
+        return pd.DataFrame({"event_type": out_t, "registers": out_r})
+
+    merged = _hash_grouped(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type"], combine, num_parts=8).to_pandas()
+    est = [int(round(sk.hll_estimate(
+        np.frombuffer(bytes(b), dtype=np.uint8))))
+        for b in merged["registers"]]
+    return (pd.DataFrame({"event_type": merged["event_type"].astype(str),
+                          "distinct_users": pd.Series(est, dtype="int64")})
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def order_priority_semijoin(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q4-shaped distributed semi-join: count orders per priority
     class, among orders in a date window that have at least one returned

@@ -15,8 +15,10 @@ recomputes only the missing ones.  Raw ``@ray.remote`` tasks (not a
 Dataset stage) are the right primitive here: the unit of restart must
 equal the unit of output, and that mapping (chunk i ↔ part-i) has to be
 deterministic across runs, which a streaming executor's dynamic block
-assignment cannot promise.  Chunks never exceed ``target_rows`` worth
-of row groups, so worker memory is bounded regardless of file size.
+assignment cannot promise.  A chunk holds whole row groups up to
+``target_rows``, so worker memory is bounded by ``max(target_rows,
+largest row group)`` — see :func:`plan_chunks` for the single-row-group
+floor.
 """
 
 from __future__ import annotations

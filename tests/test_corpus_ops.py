@@ -236,6 +236,38 @@ def test_custom_window_ops_match_sql(ray_session, con):
     assert_matches_sql(an.q6_revenue(SF), con, an.Q6_SQL)
     assert_matches_sql(an.order_priority_semijoin(SF), con,
                        an.ORDER_PRIORITY_SEMIJOIN_SQL)
+    assert_matches_sql(an.events_distinct_users(SF), con,
+                       an.EVENTS_DISTINCT_USERS_SQL)
+
+
+def test_hll_sketch_accuracy_bands():
+    """Function-level HLL across regimes: linear-counting range, the
+    crossover, and deep register-saturation cardinalities the pipeline
+    tables can't reach; split-then-merge must equal one-shot."""
+    from neocrawler_ray.functions import sketches as sk
+
+    rng = np.random.default_rng(7)
+    for n in (100, 5000, 200_000, 1_000_000):
+        vals = np.unique(rng.integers(0, 2**62, size=n, dtype=np.int64))
+        h = pd.util.hash_array(vals)
+        merged = sk.hll_merge([sk.hll_from_hashes(h[i::8])
+                               for i in range(8)])
+        assert np.array_equal(merged, sk.hll_from_hashes(h))
+        est = sk.hll_estimate(merged)
+        assert abs(est - len(vals)) / len(vals) < 0.05
+    assert sk.hll_estimate(sk.hll_from_hashes(np.array([], np.uint64))) == 0.0
+
+
+def test_events_distinct_users_hll_tracks_exact(ray_session):
+    from neocrawler_ray.pipelines import analytics as an
+
+    exact = an.events_distinct_users(SF).set_index("event_type")
+    approx = an.events_distinct_users_hll(SF).set_index("event_type")
+    assert list(exact.index) == list(approx.index)
+    for etype in exact.index:
+        e = exact.loc[etype, "distinct_users"]
+        a = approx.loc[etype, "distinct_users"]
+        assert abs(a - e) <= max(3, 0.03 * e)
 
 
 def test_session_gap_boundary(ray_session, tmp_path):

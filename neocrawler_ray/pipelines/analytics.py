@@ -600,6 +600,84 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-funnel analysis: how many users reached each stage of
+    signup → click → purchase, where a stage counts only if it happens
+    strictly after the user's entry into the previous stage (first
+    qualifying timestamp).  The staple product-analytics window op; Ray
+    Data has no native funnel.
+
+    Scale shape: the entry time of stage k is min{ts of stage-k events
+    strictly after the user's stage-k−1 entry} — a threshold-min, which
+    has NO lossless bounded per-block partial (any timestamp can become
+    the answer for some threshold), so the exchange honestly carries one
+    row per qualifying event, pruned to the funnel's stages and deduped
+    per (user, stage, ts) in-batch.  A hash partition on user co-locates
+    each user's rows; inside a partition the recurrence is one
+    vectorized merge + filtered groupby-min per stage; the final stage
+    counts are an answer-sized sum."""
+    from .corpus_ops import _hash_grouped
+
+    stages = ["signup", "click", "purchase"]
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(stages)]
+        return (pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                              "stage": df["event_type"].astype(str),
+                              "ts_us": _ts_us(df["ts"])})
+                .drop_duplicates(["user_id", "stage", "ts_us"]))
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        entry = (df[df["stage"] == stages[0]]
+                 .groupby("user_id")["ts_us"].min())
+        counts = [int(entry.size)]
+        for st in stages[1:]:
+            nxt = df[df["stage"] == st].merge(
+                entry.rename("prev"), left_on="user_id", right_index=True)
+            entry = (nxt[nxt["ts_us"] > nxt["prev"]]
+                     .groupby("user_id")["ts_us"].min())
+            counts.append(int(entry.size))
+        return pd.DataFrame({"stage": stages,
+                             "users": pd.Series(counts, dtype="int64")})
+
+    partials = _hash_grouped(ds.map_batches(partial, batch_format="pandas"),
+                             ["user_id"], funnel, num_parts=32)
+    g = partials.to_pandas().groupby("stage", as_index=False)["users"].sum()
+    g["users"] = g["users"].astype("int64")
+    g["stage_idx"] = g["stage"].map(
+        {s: i + 1 for i, s in enumerate(stages)}).astype("int64")
+    return (g[["stage_idx", "stage", "users"]]
+            .sort_values("stage_idx").reset_index(drop=True))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) t1
+  FROM events GROUP BY user_id
+), f2 AS (
+  SELECT e.user_id, f.t1, min(epoch_us(e.ts)) t2
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > f.t1
+  GROUP BY e.user_id, f.t1
+), f3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) t3
+  FROM events e JOIN f2 ON e.user_id = f2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) stage_idx, 'signup' stage,
+         CAST((SELECT count(*) FROM f WHERE t1 IS NOT NULL) AS BIGINT) users
+  UNION ALL
+  SELECT 2, 'click', CAST((SELECT count(*) FROM f2) AS BIGINT)
+  UNION ALL
+  SELECT 3, 'purchase', CAST((SELECT count(*) FROM f3) AS BIGINT)
+) ORDER BY stage_idx
+""".strip()
+
+
 def events_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact distributed grouped COUNT(DISTINCT): distinct users per
     event class.  Scale shape: each batch first collapses to its own

@@ -238,6 +238,38 @@ def test_custom_window_ops_match_sql(ray_session, con):
                        an.ORDER_PRIORITY_SEMIJOIN_SQL)
     assert_matches_sql(an.events_distinct_users(SF), con,
                        an.EVENTS_DISTINCT_USERS_SQL)
+    assert_matches_sql(an.events_funnel(SF), con, an.EVENTS_FUNNEL_SQL)
+
+
+def test_funnel_requires_strict_order(ray_session, tmp_path):
+    """A later event must qualify when the earliest one predates the
+    previous stage's entry (the case a min-per-stage partial would
+    lose): clicks at t=5 and t=15 around a signup at t=10 still reach
+    the click stage; purchase at t=12 (< click entry 15) must NOT."""
+    from neocrawler_ray.pipelines import analytics as an
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        (1, 5, "click"), (1, 10, "signup"), (1, 15, "click"),
+        (1, 12, "purchase"),
+        (2, 1, "signup"), (2, 2, "click"), (2, 3, "purchase"),
+        (3, 4, "click"), (3, 6, "purchase"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[1], "m") for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = an.events_funnel(str(tmp_path)).set_index("stage")["users"]
+    assert out["signup"] == 2   # users 1, 2
+    assert out["click"] == 2    # user 1 via t=15, user 2
+    assert out["purchase"] == 1  # user 2 only
 
 
 def test_hll_sketch_accuracy_bands():

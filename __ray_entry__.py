@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_resumable": _q_doc_stats_resumable,
         # overlapping training-window chunking (window 128 / stride 96)
         "doc_chunks": co.doc_chunks,
+        "doc_term_df": co.doc_term_df,
         # deterministic 80/10/10 hash split (train/val/test)
         "doc_split": co.doc_split,
         # dedup families
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_pairs": co.dedup_ngram_pairs_sql(),
         "doc_chunks": co.doc_chunks_sql(),
+        "doc_term_df": co.doc_term_df_sql(),
         "doc_stats_resumable": ts.text_stats_sql(),
         "doc_split": co.doc_split_sql(),
         "corpus_clean": (

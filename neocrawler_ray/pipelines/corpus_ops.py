@@ -172,6 +172,60 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+TERM_DF_TOP_K = 100
+
+
+def doc_term_df(sf_dir: str, k: int = TERM_DF_TOP_K) -> pd.DataFrame:
+    """Corpus document-frequency table: the top-``k`` terms by number of
+    documents containing them — the IDF half of TF-IDF and the standard
+    vocabulary/stopword report for a training corpus.
+
+    Scale shape: per batch, each document collapses to its UNIQUE terms
+    (one `str.split` + explode + drop_duplicates — the exchange carries
+    one row per (doc, term), bounded by vocabulary growth, never by term
+    occurrences), then per-batch partial df counts shrink that to one
+    row per (term, block); a term-hash partition sums exactly; each
+    partition emits only its own top-``k`` candidates (a global top-k
+    winner must win its partition) and the driver reduces ≤ k × parts
+    rows.  Ties break lexicographically for determinism."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.split(" ").explode()
+        pairs = pd.DataFrame(
+            {"doc_id": df["doc_id"].reindex(s.index).astype("int64"),
+             "term": s})
+        pairs = pairs[pairs["term"] != ""].drop_duplicates()
+        out = pairs.groupby("term", as_index=False).size()
+        return pd.DataFrame({"term": out["term"].astype(str),
+                             "df": out["size"].astype("int64")})
+
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False)["df"].sum()
+        g = g.sort_values(["df", "term"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["df"] = g["df"].astype("int64")
+        return g
+
+    cands = _hash_grouped(ds.map_batches(partial, batch_format="pandas"),
+                          ["term"], topk_part, num_parts=32).to_pandas()
+    out = (cands.sort_values(["df", "term"], ascending=[False, True],
+                             kind="mergesort").head(k)
+           .reset_index(drop=True))
+    out["df"] = out["df"].astype("int64")
+    return out
+
+
+def doc_term_df_sql(k: int = TERM_DF_TOP_K) -> str:
+    return f"""
+WITH u AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u WHERE term <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {k}
+""".strip()
+
+
 CHUNK_WINDOW = 128   # tokens per training window
 CHUNK_STRIDE = 96    # window - overlap (32-token overlap)
 

@@ -272,6 +272,12 @@ def test_funnel_requires_strict_order(ray_session, tmp_path):
     assert out["purchase"] == 1  # user 2 only
 
 
+def test_doc_term_df_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_term_df(SF), con, co.doc_term_df_sql())
+
+
 def test_hll_sketch_accuracy_bands():
     """Function-level HLL across regimes: linear-counting range, the
     crossover, and deep register-saturation cardinalities the pipeline

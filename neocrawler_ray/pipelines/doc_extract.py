@@ -44,45 +44,48 @@ def wrap_document_html(doc_id: int, text: str, source: str) -> str:
     )
 
 
-class DocExtract:
-    """Actor-pool stage: html envelope → rule-engine extraction."""
-
-    def __init__(self, rule: dict | None = None):
-        self.rule = rule or DOC_EXTRACT_RULE
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_title, out_text, out_src = [], [], [], []
-        for doc_id, text, source in zip(
-            df["doc_id"], df["text"].fillna(""), df["source"].fillna("")
-        ):
-            url = f"http://docs.example/view?id={doc_id}&src={source}"
-            html = wrap_document_html(int(doc_id), str(text), str(source))
-            dom = parse_html(html)
-            data, _lacks = extract_data(url, html, self.rule, None, dom)
-            out_id.append(int(doc_id))
-            out_title.append(data.get("title") or "")
-            out_text.append(data.get("text") or "")
-            out_src.append(data.get("source") or "")
-        return pd.DataFrame(
-            {"doc_id": pd.Series(out_id, dtype="int64"),
-             "title": pd.Series(out_title, dtype="string"),
-             "text": pd.Series(out_text, dtype="string"),
-             "source_re": pd.Series(out_src, dtype="string")}
-        )
+def extract_batch(df: pd.DataFrame,
+                  rule: dict | None = None) -> pd.DataFrame:
+    """html envelope → rule-engine extraction, one batch."""
+    rule = rule or DOC_EXTRACT_RULE
+    out_id, out_title, out_text, out_src = [], [], [], []
+    for doc_id, text, source in zip(
+        df["doc_id"], df["text"].fillna(""), df["source"].fillna("")
+    ):
+        url = f"http://docs.example/view?id={doc_id}&src={source}"
+        html = wrap_document_html(int(doc_id), str(text), str(source))
+        dom = parse_html(html)
+        data, _lacks = extract_data(url, html, rule, None, dom)
+        out_id.append(int(doc_id))
+        out_title.append(data.get("title") or "")
+        out_text.append(data.get("text") or "")
+        out_src.append(data.get("source") or "")
+    return pd.DataFrame(
+        {"doc_id": pd.Series(out_id, dtype="int64"),
+         "title": pd.Series(out_title, dtype="string"),
+         "text": pd.Series(out_text, dtype="string"),
+         "source_re": pd.Series(out_src, dtype="string")}
+    )
 
 
 def doc_extract(sf_dir: str):
     """documents → html envelope → rule engine → (doc_id, title, text,
-    source_re); the oracle rebuilds title/source with SQL string fns."""
+    source_re); the oracle rebuilds title/source with SQL string fns.
+
+    TASK-mode map_batches, not an actor pool: the stage holds no
+    per-worker state worth amortizing (the rule is a tiny dict; the DOM
+    engine caches compiled selectors at module level inside the warm
+    worker processes), so a pool's only observable effect was its own
+    spawn cost — ~1.5 s of the op's wall time at sf0.1.  A stage that
+    genuinely loads state (model weights, big indexes) should stay a
+    callable class with ``concurrency=N``; see stages/multimodal.py."""
     from ..sources.tables import read_table
 
     # CPU-heavy per-row DOM stage: small blocks keep every core busy
     ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"],
                     rows_per_block=100)
-    # DOM parsing is the hot stage of this op: a wider pool (≤16 cpus
-    # at 0.5 each) measured 1.84 s vs 2.4 s for (1, 8) at sf0.1
-    return ds.map_batches(DocExtract, batch_format="pandas",
-                          concurrency=(4, 32), num_cpus=0.5)
+    return ds.map_batches(extract_batch, batch_format="pandas",
+                          num_cpus=0.5)
 
 
 DOC_EXTRACT_SQL = """

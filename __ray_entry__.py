@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": an.top_orders_per_priority,
         "order_priority_semijoin": an.order_priority_semijoin,
         "events_funnel": an.events_funnel,
+        "events_rolling_sum": an.events_rolling_sum,
         "events_distinct_users": an.events_distinct_users,
         # approximate HLL variant (unbounded-cardinality scale path; no
         # SQL oracle — verified by a tolerance pytest vs the exact op)
@@ -299,6 +300,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "order_priority_semijoin": an.ORDER_PRIORITY_SEMIJOIN_SQL,
         "events_distinct_users": an.EVENTS_DISTINCT_USERS_SQL,
         "events_funnel": an.EVENTS_FUNNEL_SQL,
+        "events_rolling_sum": an.events_rolling_sum_sql(),
         "events_value_by_type": (
             "SELECT event_type, "
             "CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT) "

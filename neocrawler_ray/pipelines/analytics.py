@@ -600,6 +600,54 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def events_rolling_sum(sf_dir: str, window: int = 3):
+    """Per-entity rolling-window aggregate: for each user's events in
+    time order, the sum of the last ``window`` fixed-point values (ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW) — the moving-average /
+    trailing-exposure shape none of the other window ops cover.
+
+    Scale shape: hash-partition by user co-locates each user's rows
+    (the only correctness requirement — a rolling frame never crosses
+    users); inside a partition one ``groupby(...).rolling(...)`` C
+    kernel computes every frame.  Values ride as int64 e4 fixed-point so
+    the rolling sums are exact, not float-order-dependent.  Ties on ts
+    break by event_id — the same total order the SQL oracle declares."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_id": df["event_id"].astype("int64"),
+             "ts_us": _ts_us(df["ts"]),
+             "value_e4": _e4(df["value"])})
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        r = (df.groupby("user_id")["value_e4"]
+             .rolling(window, min_periods=1).sum()
+             .reset_index(drop=True))
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(),
+             "roll_sum_e4": r.to_numpy(dtype="int64")})
+
+    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                         ["user_id"], roll, num_parts=32)
+
+
+def events_rolling_sum_sql(window: int = 3) -> str:
+    return f"""
+SELECT event_id,
+       CAST(sum(CAST(floor(value*10000) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS roll_sum_e4
+FROM events
+""".strip()
+
+
 def events_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered-funnel analysis: how many users reached each stage of
     signup → click → purchase, where a stage counts only if it happens

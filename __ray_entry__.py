@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize_meta": mm.image_resize_meta,
         # aggregates / joins (reference §2.5 shapes over TPC-H-ish tables)
         "events_daily_counts": an.events_daily_counts,
+        "events_pivot_daily": an.events_pivot_daily,
         "events_value_by_type": an.events_value_by_type,
         # custom operators Ray Data lacks (windows / as-of / range join /
         # exact grouped quantiles / grouped top-k)
@@ -301,6 +302,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_distinct_users": an.EVENTS_DISTINCT_USERS_SQL,
         "events_funnel": an.EVENTS_FUNNEL_SQL,
         "events_rolling_sum": an.events_rolling_sum_sql(),
+        "events_pivot_daily": an.EVENTS_PIVOT_SQL,
         "events_value_by_type": (
             "SELECT event_type, "
             "CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT) "

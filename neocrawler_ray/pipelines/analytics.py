@@ -77,6 +77,51 @@ def events_daily_counts(sf_dir: str):
     return _finish_small(ds, ["date", "event_type"], {"partial_n": "n"})
 
 
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_daily(sf_dir: str) -> pd.DataFrame:
+    """Pivot / crosstab: the day × event-class count matrix — the
+    orientation the reference's monitor UI renders its counters in
+    (webconfig/controllers/monitor.js:53-171: day rows, one column per
+    event class).  Long→wide is a driver-side reshape of the SAME
+    answer-sized partial aggregate as :func:`events_daily_counts`; the
+    exchange never carries wide rows (a pivot before the reduce would
+    ship mostly-zero vectors).  Unseen classes become zero columns, so
+    the schema is stable across inputs."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"date": df["ts"].dt.strftime("%Y-%m-%d"),
+             "event_type": df["event_type"]}
+        )
+        g = out.groupby(["date", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "partial_n"}).astype(
+            {"partial_n": "int64"})
+
+    long = _finish_small(ds.map_batches(partial, batch_format="pandas"),
+                         ["date", "event_type"], {"partial_n": "n"})
+    wide = (long.pivot_table(index="date", columns="event_type", values="n",
+                             aggfunc="sum", fill_value=0)
+            .reindex(columns=PIVOT_TYPES, fill_value=0))
+    out = pd.DataFrame({"date": wide.index.astype(str)})
+    for t in PIVOT_TYPES:
+        out[f"n_{t}"] = wide[t].astype("int64").to_numpy()
+    return out.sort_values("date").reset_index(drop=True)
+
+
+EVENTS_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS date,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1 ORDER BY 1
+""".strip()
+
+
 def events_value_by_type(sf_dir: str):
     """Σ value (fixed-point) + count per event class."""
     ds = _read(sf_dir, "events", ["event_type", "value"])

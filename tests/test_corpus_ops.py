@@ -241,6 +241,7 @@ def test_custom_window_ops_match_sql(ray_session, con):
     assert_matches_sql(an.events_funnel(SF), con, an.EVENTS_FUNNEL_SQL)
     assert_matches_sql(an.events_rolling_sum(SF), con,
                        an.events_rolling_sum_sql())
+    assert_matches_sql(an.events_pivot_daily(SF), con, an.EVENTS_PIVOT_SQL)
 
 
 def test_funnel_requires_strict_order(ray_session, tmp_path):

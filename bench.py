@@ -121,11 +121,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dedup_exact": lambda: consume(co.dedup_exact(sf_dir)),
         "dedup_minhash": lambda: co.dedup_minhash_verified(sf_dir),
         "dedup_simhash": lambda: consume(co.dedup_simhash_pairs(sf_dir, 7)),
+        "dedup_ngram": lambda: consume(co.dedup_ngram_pairs(sf_dir)),
         "ann_brute_topk": lambda: co.ann_brute_topk(sf_dir),
         "q1_lineitem": lambda: consume(an.q1_lineitem(sf_dir)),
         "events_daily_counts": lambda: consume(an.events_daily_counts(sf_dir)),
         "events_sessions": lambda: consume(an.events_sessions(sf_dir)),
         "events_quantiles": lambda: consume(an.events_value_quantiles(sf_dir)),
+        "events_funnel": lambda: consume(an.events_funnel(sf_dir)),
+        "order_priority_semijoin":
+            lambda: consume(an.order_priority_semijoin(sf_dir)),
     }
     out = {}
     for name, fn in timed.items():

@@ -202,24 +202,44 @@ GZIP_MAGIC = b"\x1f\x8b"
 # <meta charset="..."> / <meta http-equiv=... content="...; charset=...">
 # in the document head — ASCII-compatible in every encoding the engine
 # decodes, so the sniff runs on raw bytes
-_META_CHARSET_RE = re.compile(
-    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.IGNORECASE)
+_META_TAG_RE = re.compile(rb"<meta\b([^>]*)>", re.IGNORECASE)
+_ATTR_RE = re.compile(
+    rb"([a-zA-Z-]+)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)")
+_CONTENT_CHARSET_RE = re.compile(
+    rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.IGNORECASE)
 
 
 def sniff_charset(html: bytes) -> str | None:
     """Charset declared by the page itself (first 2 KB), or None.
-    Unknown/undecodable names are ignored (fall back to the rule)."""
-    m = _META_CHARSET_RE.search(html[:2048])
-    if not m:
-        return None
-    enc = m.group(1).decode("ascii", "replace")
-    import codecs
 
-    try:
-        codecs.lookup(enc)
-    except LookupError:
-        return None
-    return enc
+    Only genuine declarations count: a ``charset`` ATTRIBUTE of a meta
+    tag, or the ``; charset=...`` inside an http-equiv content-type's
+    ``content`` value — attributes are actually parsed, so "charset="
+    appearing in unrelated attribute text (e.g. a description meta's
+    content) never wins.  Unknown/undecodable names are ignored (fall
+    back to the rule encoding)."""
+    for tag in _META_TAG_RE.finditer(html[:2048]):
+        attrs = {
+            k.lower(): v.strip(b"\"'")
+            for k, v in _ATTR_RE.findall(tag.group(1))
+        }
+        enc_b = attrs.get(b"charset")
+        if enc_b is None and (
+            attrs.get(b"http-equiv", b"").lower() == b"content-type"
+        ):
+            m = _CONTENT_CHARSET_RE.search(attrs.get(b"content", b""))
+            enc_b = m.group(1) if m else None
+        if not enc_b:
+            continue
+        enc = enc_b.decode("ascii", "replace")
+        import codecs
+
+        try:
+            codecs.lookup(enc)
+        except LookupError:
+            continue
+        return enc
+    return None
 
 
 def decode_body(html: bytes, rule: dict) -> str:

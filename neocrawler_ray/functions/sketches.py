@@ -124,10 +124,12 @@ def hll_from_hashes(hashes: np.ndarray, p: int = HLL_P_DEFAULT) -> np.ndarray:
 
     Top ``p`` bits pick the register; the rank is the position of the
     first set bit in the remaining ``64-p`` bits (computed exactly via
-    ``np.frexp`` — valid because ``64-p < 53`` keeps the suffix inside
-    float64's integer range)."""
-    if not 4 <= p <= 18:
-        raise ValueError("p out of range")
+    ``np.frexp`` — valid only while ``64-p <= 53`` keeps the suffix
+    inside float64's integer range, hence the ``p >= 11`` floor: below
+    it a suffix just under a power of two can round up and understate
+    the rank by one)."""
+    if not 11 <= p <= 18:
+        raise ValueError("p out of range (frexp rank exact only for 11..18)")
     h = np.asarray(hashes, dtype=np.uint64)
     m = 1 << p
     reg = np.zeros(m, dtype=np.uint8)

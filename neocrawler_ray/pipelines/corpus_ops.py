@@ -631,7 +631,7 @@ def dedup_ngram_pairs(sf_dir: str, threshold_num: int = 1,
          ("size", pa.int64())])
 
     def explode(df: pd.DataFrame) -> pa.Table:
-        sets = [dd.shingle_hashes(t) for t in df["text"]]
+        sets = [dd.shingle_hashes(str(t)) for t in df["text"].fillna("")]
         lens = np.array([len(s) for s in sets], dtype=np.int64)
         ids = df["doc_id"].astype("int64").to_numpy()
         return pa.Table.from_pydict(

@@ -336,7 +336,7 @@ class CrawlJob:
             if pending is None:
                 return
             results = ray.get(pending["futures"])
-            for c, _lens, _rlens in results:
+            for c in results:
                 for k, v in c.items():
                     totals[k] = totals.get(k, 0) + v
             if pending["spill"]:

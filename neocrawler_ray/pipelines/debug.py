@@ -38,24 +38,36 @@ def test_single_url(corpus_dir: str, url: str, out_dir: str,
     if urllib_key is None:
         return {"url": url, "error": "no driller rule matches"}
 
-    batch = pa.table(
-        {
-            "seq": pa.array([0], pa.int64()),
-            "wave": pa.array([0], pa.int32()),
-            "url": pa.array([url], pa.string()),
-            "urllib": pa.array(["urllib:" + urllib_key], pa.string()),
-            "version": pa.array([settings.wave_version(0)], pa.int64()),
-            "drill_relation": pa.array(["*"], pa.string()),
-        }
-    )
+    def batch_for(retry: int) -> pa.Table:
+        return pa.table(
+            {
+                "seq": pa.array([0], pa.int64()),
+                "wave": pa.array([0], pa.int32()),
+                "url": pa.array([url], pa.string()),
+                "urllib": pa.array(["urllib:" + urllib_key], pa.string()),
+                "version": pa.array([settings.wave_version(0)], pa.int64()),
+                "drill_relation": pa.array(["*"], pa.string()),
+                "retry": pa.array([retry], pa.int64()),
+            }
+        )
+
     fetch = FetchSim(corpus_dir, build_robots_map(corpus_dir),
                      meta.get("pages_shards", 16),
                      browser_map=browser_rules_map(rules),
                      proxy_map=proxy_rules_map(rules))
     extract = ExtractBatch(rules, settings, frontier_shards=[],
                            push_to_frontier=False)
-    fetched = fetch(batch)
+    # retryCrawl inline (spider/spider.js:350-362): a transient transport
+    # failure (the simulated proxy's 503 draw) re-fetches with retry+1 up
+    # to download_retry, exactly like the crawl's T6 loop — so the debug
+    # tool shows the page a real crawl would eventually get, plus how
+    # many attempts it took
+    for attempt in range(settings.download_retry + 1):
+        fetched = fetch(batch_for(attempt))
+        if fetched.column("status")[0].as_py() != 503:
+            break
     result = extract(fetched).to_pylist()[0]
+    result["attempts"] = attempt + 1
 
     html = fetched.column("html")[0].as_py()
     if html is not None:  # debug-page.html (pipeline.js:523-527)

@@ -45,10 +45,6 @@ def run_schedule_wave(
     shards: list,
     settings: CrawlSettings,
     backlog_len: int = 0,
-    call=None,
-    queue_lens: dict | None = None,
-    retry_lens: dict | None = None,
-    calls=None,
     cast=None,
     submit=None,
     resolve=None,
@@ -78,21 +74,13 @@ def run_schedule_wave(
     carried by the token chain.  The defaults execute synchronously, so
     the sequential oracle path is byte-identical to before.
 
-    ``call`` is accepted for backward compatibility: a synchronous
-    ``submit`` is synthesized from it when ``submit`` is missing
-    (``calls`` is subsumed by the plan-then-resolve shape).
-
     Returns ``scheduled``: ordered list of dicts
     ``{seq, url, urllib, version, referer, drill_relation, wave, retry}``
     — the wave's crawl batch AND the schedule-order parity log.
     """
     if submit is None:
-        if call is not None:
-            def submit(shard, method, *args):
-                return call(shard, method, *args)
-        else:
-            def submit(shard, method, *args):
-                return getattr(shard, method)(*args)
+        def submit(shard, method, *args):
+            return getattr(shard, method)(*args)
     if resolve is None:
         def resolve(tokens):
             return list(tokens)
@@ -132,10 +120,7 @@ def run_schedule_wave(
     # retry queue first, in serve order, FIFO within a rule.  One
     # batched task per shard, submitted before any pops (per-shard
     # execution order = submission order).
-    drain_entries = [
-        e for e in priority_entries
-        if retry_lens is None or retry_lens.get("urllib:" + e["key"])
-    ]
+    drain_entries = list(priority_entries)
     drain_tok: dict[str, tuple[int, int]] = {}
     if drain_entries:
         by_shard_keys: dict[int, list[str]] = {}
@@ -151,22 +136,20 @@ def run_schedule_wave(
 
     # --- quota pops: runs of consecutive same-shard rules -------------
     prev = 0            # previous run's token (result value or ObjectRef)
-    pending_delta = 0   # quota carried driver-side since the last run
     run_sid: int | None = None
     run_reqs: list[tuple] = []
     run_keys: list[str] = []
 
     def submit_run() -> None:
-        nonlocal prev, pending_delta, run_sid, run_reqs, run_keys
+        nonlocal prev, run_sid, run_reqs, run_keys
         if not run_reqs:
             return
         out_tok, left_tok = submit2(
             shards[run_sid], "schedule_pop_run_chained",
-            list(run_reqs), prev, pending_delta, now)
+            list(run_reqs), prev, 0, now)
         tokens.append(out_tok)
         steps.append(("pops", len(tokens) - 1, list(run_keys)))
         prev = left_tok
-        pending_delta = 0
         run_sid, run_reqs, run_keys = None, [], []
 
     for entry in priority_entries:
@@ -194,13 +177,6 @@ def run_schedule_wave(
         # --- doScheduleExt (quota pop) --------------------------------
         ct_base = math.ceil(avg_rate * entry["rate"])
         sid = shard_for_domain(entry["domain"], num_shards)
-        if queue_lens is not None and not queue_lens.get(urllib_key):
-            # provably-empty queue (post-commit length): the pop would
-            # accept nothing and carry the full quota — but any pending
-            # same-shard run must submit first to keep the chain exact
-            submit_run()
-            pending_delta += ct_base
-            continue
         if run_reqs and sid != run_sid:
             submit_run()
         run_sid = sid

@@ -374,17 +374,9 @@ class FrontierShard:
         self._ptick("commit", _t0)
         return counts
 
-    def commit_wave_and_snapshot(self, now: int) -> tuple[dict, bytes, dict]:
-        """One RPC for the wave barrier: apply buffers, snapshot the
-        committed state, and report post-commit queue lengths (the next
-        scheduler round skips rules whose queues are provably empty —
-        identical semantics, no RPC per idle rule)."""
-        counts = self.commit_wave(now)
-        return counts, self.snapshot(), self.all_queue_lens()
-
     def commit_wave_and_checkpoint(self, now: int, ckpt_dir: str,
                                    wave: int,
-                                   do_ckpt: bool = True) -> tuple[dict, dict, dict]:
+                                   do_ckpt: bool = True) -> dict:
         """Wave barrier with the north_rule's per-partition checkpoint
         written BY THE SHARD (atomic rename) — snapshot bytes never ship
         through the driver.  The snapshot is taken synchronously (state
@@ -405,7 +397,7 @@ class FrontierShard:
             # checkpoint-cadence skip (deployment knob): state still
             # commits; resume replays the uncheckpointed waves
             # deterministically from the last snapshot
-            return counts, self.all_queue_lens(), self.all_retry_lens()
+            return counts
         blob = self.snapshot()
         _t = self._ptick("snapshot", _t)
         self.finish_checkpoints()  # prior wave durable before this writes
@@ -422,7 +414,7 @@ class FrontierShard:
         t = threading.Thread(target=_write, daemon=True)
         t.start()
         self._ckpt_thread = t
-        return counts, self.all_queue_lens(), self.all_retry_lens()
+        return counts
 
     def finish_checkpoints(self) -> bool:
         """Join the in-flight checkpoint write (durability barrier)."""

@@ -100,6 +100,15 @@ def test_sniff_charset():
     assert sniff_charset(html2) == "GB2312"
     # unknown name → ignored
     assert sniff_charset(b'<meta charset="no-such-enc">') is None
+    # "charset=" inside an unrelated attribute VALUE must not win —
+    # attributes are parsed, not substring-matched
+    desc = (b'<meta name="description" '
+            b'content="how to convert charset=gbk files">')
+    assert sniff_charset(desc) is None
+    assert sniff_charset(desc + b'<meta charset="utf-8">') == "utf-8"
+    # unknown declaration first, real one later in head → later one wins
+    assert sniff_charset(
+        b'<meta charset="bogus-enc"><meta charset="gbk">') == "gbk"
 
 
 def test_decode_body_meta_overrides_rule_encoding():

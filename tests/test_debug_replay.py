@@ -44,6 +44,29 @@ def test_debug_single_url_writes_artifacts(corpus, tmp_path):
     assert missing.get("error") or missing.get("status") == 404
 
 
+def test_debug_single_url_proxy_retries(tmp_path_factory, tmp_path):
+    """A use_proxy url whose FIRST proxy draw fails must still come back
+    with the page: the debug tool inlines the retryCrawl loop, re-drawing
+    past transient 503s exactly like the crawl's T6 path."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    from neocrawler_ray.stages.fetch import proxy_fetch_failed
+
+    out = str(tmp_path_factory.mktemp("dbg_proxy_corpus"))
+    generate_corpus(out, n_pages=300, n_domains=5, seed=42)
+    urls = (pads.dataset(glob.glob(out + "/pages*")[0])
+            .to_table(columns=["url"]).column("url").to_pylist())
+    bad_first = [u for u in urls
+                 if "site3" in u and proxy_fetch_failed(u, 0)]
+    assert bad_first  # deterministic corpus plants ~1/8 of them
+    rec = debug_single_url(out, bad_first[0], str(tmp_path))
+    assert rec["status"] == 200
+    assert rec["attempts"] > 1
+    assert (tmp_path / "debug-page.html").exists()
+
+
 def test_replay_failures_reschedules(corpus, tmp_path, ray_session):
     from neocrawler_ray.pipelines.crawl import CrawlJob
 

@@ -176,8 +176,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # overlapping training-window chunking (window 128 / stride 96)
         "doc_chunks": co.doc_chunks,
         "doc_term_df": co.doc_term_df,
+        # per-doc salient terms (log-free TF-IDF, two-exchange join)
+        "doc_tfidf_top": co.doc_tfidf_top,
         # deterministic 80/10/10 hash split (train/val/test)
         "doc_split": co.doc_split,
+        # per-language eval-set carving (hash-ordered stratified pick)
+        "doc_sample_stratified": co.doc_sample_stratified,
+        # source-ratio data mixture (md5-bucketed keep fraction)
+        "corpus_mix": co.corpus_mix,
         # dedup families
         "dedup_exact": co.dedup_exact,
         # exact all-pairs Jaccard (inverted-index join; integer-exact
@@ -226,6 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": an.events_distinct_users_hll,
         "q1_lineitem": an.q1_lineitem,
         "q6_revenue": an.q6_revenue,
+        # Q3-shaped three-way join (broadcast dim + tagged orderkey
+        # exchange + per-partition top-k)
+        "q3_top_revenue": an.q3_top_revenue,
         "revenue_by_nation": an.revenue_by_nation,
         "top_customers": an.top_customers,
     }
@@ -254,8 +263,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": co.dedup_ngram_pairs_sql(),
         "doc_chunks": co.doc_chunks_sql(),
         "doc_term_df": co.doc_term_df_sql(),
+        "doc_tfidf_top": co.doc_tfidf_top_sql(),
         "doc_stats_resumable": ts.text_stats_sql(),
         "doc_split": co.doc_split_sql(),
+        "doc_sample_stratified": co.doc_sample_stratified_sql(),
+        "corpus_mix": co.corpus_mix_sql(),
         "corpus_clean": (
             "WITH stats AS (" + ts.text_stats_sql() + "), "
             "survivors AS (SELECT d.doc_id, md5(d.text) AS fp, s.n_tokens "
@@ -316,6 +328,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
             "FROM lineitem GROUP BY 1, 2"
         ),
         "q6_revenue": an.Q6_SQL,
+        "q3_top_revenue": an.q3_top_revenue_sql(),
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

@@ -934,3 +934,113 @@ FROM (SELECT o_orderpriority, o_orderkey,
       FROM orders)
 WHERE r <= {k}
 """.strip()
+
+
+Q3_CUT = "1998-06-01"
+Q3_SEGMENT = "BUILDING"
+
+
+def q3_top_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3-shaped three-way join: the top-``k`` orders by open
+    (post-cutoff-shipped) revenue among a market segment's pre-cutoff
+    orders — customer ⋈ orders ⋈ lineitem.
+
+    Scale shape, one join per size class:
+
+    - customer is filtered to one segment and reduced to a custkey
+      array broadcast via ``ray.put`` (one object-store copy, zero-copy
+      ``ray.get`` per task — never a shuffle; at a scale where even the
+      filtered dimension outgrows broadcast, the same tagged-union
+      exchange below absorbs it on ``o_custkey``);
+    - lineitem (the 100-TB side) is filtered at the batch and collapsed
+      to per-(orderkey, block) partial revenue sums — fixed-point
+      ``floor(extprice·(1-disc)·10⁴)`` per row so sums are
+      order-independent exact ints;
+    - the orders survivors and lineitem partials meet in ONE tagged
+      hash-partition exchange on orderkey (same key → same partition):
+      the in-partition join + sum is exact, and each partition emits
+      only its own top-``k`` candidates (a global winner must win its
+      partition), so the driver reduces ≤ k × parts rows.
+    """
+    import ray
+
+    from .corpus_ops import _hash_grouped
+
+    cut = np.datetime64(Q3_CUT)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys_ref = ray.put(
+        cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"]
+        .to_numpy("int64"))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+
+    def o_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        m = (d < cut) & np.isin(
+            df["o_custkey"].to_numpy("int64"), ray.get(keys_ref))
+        kept = df[m]
+        return pd.DataFrame(
+            {"orderkey": kept["o_orderkey"].to_numpy("int64"),
+             "orderdate": kept["o_orderdate"].dt.strftime("%Y-%m-%d")
+             .to_numpy(dtype=object),
+             "rev": np.zeros(int(m.sum()), dtype="int64")})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["l_shipdate"].to_numpy(dtype="datetime64[us]")
+        kept = df[d > cut]
+        rev = np.floor(
+            kept["l_extendedprice"].to_numpy("float64")
+            * (1.0 - kept["l_discount"].to_numpy("float64"))
+            * 10000.0).astype("int64")
+        part = (pd.DataFrame({"orderkey": kept["l_orderkey"].astype("int64"),
+                              "rev": rev})
+                .groupby("orderkey", as_index=False)["rev"].sum())
+        part["rev"] = part["rev"].astype("int64")
+        # empty orderdate marks the lineitem side through the exchange
+        part["orderdate"] = pd.Series(
+            np.full(len(part), "", dtype=object), index=part.index)
+        return part[["orderkey", "orderdate", "rev"]]
+
+    def join_topk(df: pd.DataFrame) -> pd.DataFrame:
+        o_side = df["orderdate"] != ""
+        rev = (df[~o_side].groupby("orderkey", as_index=False)["rev"].sum())
+        j = df.loc[o_side, ["orderkey", "orderdate"]].merge(
+            rev, on="orderkey", how="inner")
+        j = j.sort_values(["rev", "orderkey"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pd.DataFrame(
+            {"o_orderkey": j["orderkey"].astype("int64"),
+             "o_orderdate": j["orderdate"].astype(str),
+             "revenue_e4": j["rev"].astype("int64")})
+
+    unioned = (orders.map_batches(o_keyed, batch_format="pandas")
+               .union(line.map_batches(l_partial, batch_format="pandas")))
+    cands = _hash_grouped(unioned, ["orderkey"], join_topk,
+                          num_parts=32).to_pandas()
+    out = (cands.sort_values(["revenue_e4", "o_orderkey"],
+                             ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    return out
+
+
+def q3_top_revenue_sql(k: int = 10) -> str:
+    return f"""
+WITH l AS (SELECT l_orderkey,
+                  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                       * 10000) AS BIGINT)) AS BIGINT) rev
+           FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUT}'
+           GROUP BY 1),
+o AS (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') d
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE c_mktsegment = '{Q3_SEGMENT}'
+        AND o_orderdate < TIMESTAMP '{Q3_CUT}')
+SELECT o.o_orderkey, o.d AS o_orderdate, l.rev AS revenue_e4
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+ORDER BY revenue_e4 DESC, o.o_orderkey LIMIT {k}
+""".strip()

@@ -1229,3 +1229,205 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     ).to_pandas()
     out = sim.global_topk(cands, k)
     return out[["qid", "vec_id", "rank"]]
+
+
+# --- TF-IDF / stratified sampling / source mixing ---------------------
+#
+# Training-corpus construction operators beyond dedup: per-document
+# salient-term scoring, deterministic per-stratum sampling, and
+# source-ratio mixing.  All three keep the driver answer-sized and the
+# exchanges bounded by (doc, term) pairs or ids — never text.
+
+
+TFIDF_TOP_M = 5
+
+
+def doc_tfidf_top(sf_dir: str, m: int = TFIDF_TOP_M):
+    """Top-``m`` salient terms per document by a log-free TF-IDF
+    surrogate: ``score = floor(tf * 1_000_000 / df)``.
+
+    The log-free form exists for bit-exact cross-engine parity: ``tf``
+    and ``df`` are small exact integers, ``tf * 1e6`` is exactly
+    representable, and IEEE double division + floor round identically
+    in numpy and DuckDB — whereas ``ln()`` is libm-dependent and can
+    flip a fixed-point floor on the last ulp.  Ranking by tf/df orders
+    identically to tf·log(N/df) whenever df differs (monotone in both
+    factors); it is the standard relevance shape, not a toy.
+
+    Scale shape (two MapReduce rounds, the canonical TF-IDF plan):
+
+    1. per batch, each document collapses to (doc_id, term, tf) —
+       exact because a document's text is one row (the exchange
+       carries unique terms per doc, never occurrences);
+    2. hash-partition by term: df = group size per term (exact — all
+       rows of a term co-locate), attached to the pairs in-partition
+       (no second scan);
+    3. hash-partition by doc_id: score + per-doc top-``m`` (ties break
+       term-lexicographic).  Output ∝ m × docs; nothing corpus-sized
+       on the driver.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.split(" ").explode()
+        pairs = pd.DataFrame(
+            {"doc_id": df["doc_id"].reindex(s.index).astype("int64"),
+             "term": s})
+        pairs = pairs[pairs["term"] != ""]
+        out = pairs.groupby(["doc_id", "term"], as_index=False).size()
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             "term": out["term"].astype(str),
+                             "tf": out["size"].astype("int64")})
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["df"] = (df.groupby("term")["doc_id"].transform("size")
+                    .astype("int64"))
+        return df
+
+    def topm(df: pd.DataFrame) -> pd.DataFrame:
+        score = np.floor(
+            df["tf"].to_numpy("float64") * 1_000_000.0
+            / df["df"].to_numpy("float64")).astype("int64")
+        df = df.assign(score=score)
+        df = df.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("doc_id", as_index=False, sort=False).head(m)
+        return df[["doc_id", "term", "tf", "df", "score"]]
+
+    with_df = _hash_grouped(
+        ds.map_batches(tf_pairs, batch_format="pandas"),
+        ["term"], attach_df, num_parts=32)
+    return _hash_grouped(with_df, ["doc_id"], topm, num_parts=32)
+
+
+def doc_tfidf_top_sql(m: int = TFIDF_TOP_M) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+       FROM toks WHERE term <> '' GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+             CAST(floor(tf.tf * 1000000.0 / dft.df) AS BIGINT) score
+      FROM tf JOIN dft USING (term))
+SELECT doc_id, term, tf, df, score FROM
+  (SELECT *, row_number() OVER (PARTITION BY doc_id
+       ORDER BY score DESC, term) r FROM s)
+WHERE r <= {m}
+""".strip()
+
+
+SAMPLE_PER_STRATUM = 20
+
+
+def doc_sample_stratified(sf_dir: str, n: int = SAMPLE_PER_STRATUM):
+    """Deterministic stratified sample: the ``n`` documents per language
+    with the smallest ``md5(doc_id)`` — a seedless, order-free,
+    cluster-size-independent pick (the hash IS the random order, as in
+    :func:`doc_split`), used for per-language eval-set carving.
+
+    Scale shape: each batch keeps at most ``n`` rows per stratum (only
+    a batch's n smallest hashes can win globally — a combiner, so the
+    exchange carries ≤ n × strata × blocks id-rows), then one
+    hash-partition by stratum selects exactly (same stratum → same
+    partition).  Output = n × strata rows.
+    """
+    from ..functions import dedup as _dd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        out = pd.DataFrame(
+            {"lang": df["lang"].astype(str).to_numpy(),
+             "doc_id": ids.to_numpy(),
+             "h": _dd.md5_hex_series(ids.astype(str)).to_numpy(dtype=object)})
+        out = out.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return out.groupby("lang", as_index=False, sort=False).head(n)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        df = df.groupby("lang", as_index=False, sort=False).head(n)
+        r = df.groupby("lang").cumcount() + 1
+        return pd.DataFrame({"lang": df["lang"].astype(str),
+                             "doc_id": df["doc_id"].astype("int64"),
+                             "rank": r.astype("int64")})
+
+    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                         ["lang"], pick, num_parts=16)
+
+
+def doc_sample_stratified_sql(n: int = SAMPLE_PER_STRATUM) -> str:
+    return f"""
+SELECT lang, doc_id, CAST(r AS BIGINT) AS rank FROM
+  (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) r FROM documents)
+WHERE r <= {n}
+""".strip()
+
+
+# source → sampling ratio for corpus_mix; sources absent from the map
+# use MIX_DEFAULT_RATIO.  A ratio ≥ 1.0 keeps every row.
+MIX_RATIOS = {"src0": 0.25, "src1": 0.5, "src2": 0.75}
+MIX_DEFAULT_RATIO = 0.5
+
+
+def _ratio_hex(r: float) -> str:
+    """Keep-threshold for ``substr(md5(id),1,4) < threshold``: the first
+    4 hex chars of md5 are uniform over 0..65535, so a ratio maps to
+    ``%04x`` of ``floor(r * 65536)``.  Ratios ≥ 1.0 return ``"g"`` —
+    lexicographically above every hex string, i.e. keep-all — so the
+    same single compare handles the no-op case in both engines."""
+    import numpy as np
+
+    b = int(np.floor(r * 65536.0))
+    return "g" if b >= 65536 else format(max(b, 0), "04x")
+
+
+def corpus_mix(sf_dir: str, ratios: dict[str, float] | None = None,
+               default_ratio: float = MIX_DEFAULT_RATIO):
+    """Source-ratio corpus mixing: keep a deterministic
+    ``ratios[source]`` fraction of each source's documents — the
+    data-mixture step of training-corpus assembly (up/down-weighting
+    crawls vs curated sources).
+
+    Membership is ``md5(doc_id)``-hashed (stable across runs, cluster
+    sizes and shard layouts; joinable from any table), so reruns and
+    incremental appends select consistently.  Pure map stage: no
+    shuffle, no state, output ∝ Σ ratio·|source|.
+    """
+    from ..functions import dedup as _dd
+
+    rat = dict(MIX_RATIOS if ratios is None else ratios)
+    thr_map = {s: _ratio_hex(r) for s, r in rat.items()}
+    dflt = _ratio_hex(default_ratio)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        h4 = _dd.md5_hex_series(ids.astype(str)).str.slice(0, 4)
+        thr = df["source"].astype(str).map(thr_map).fillna(dflt)
+        keep = (h4 < pd.Series(thr, dtype="string")).fillna(False)
+        kept = df[keep.to_numpy(dtype=bool)]
+        return pd.DataFrame(
+            {"doc_id": kept["doc_id"].astype("int64"),
+             "source": kept["source"].astype(str)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def corpus_mix_sql(ratios: dict[str, float] | None = None,
+                   default_ratio: float = MIX_DEFAULT_RATIO) -> str:
+    rat = dict(MIX_RATIOS if ratios is None else ratios)
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{_ratio_hex(r)}'" for s, r in sorted(rat.items()))
+    return f"""
+SELECT doc_id, source FROM
+  (SELECT doc_id, source,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) h4 FROM documents)
+WHERE h4 < CASE source {cases} ELSE '{_ratio_hex(default_ratio)}' END
+""".strip()

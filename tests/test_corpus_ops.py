@@ -713,3 +713,39 @@ def test_events_value_quantiles_tdigest_tolerance(ray_session):
         rank = np.searchsorted(sv, est, side="right") / len(sv)
         assert abs(rank - q_pct / 100.0) <= 0.02 + 2.0 / len(sv), \
             (etype, q_pct, est, rank)
+
+
+def test_tfidf_sample_mix_match_sql(ray_session, con):
+    """Round-3b corpus-construction operators vs their SQL oracles:
+    per-doc TF-IDF top terms (two-exchange join), hash-ordered
+    stratified sample, and source-ratio mix."""
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_tfidf_top(SF), con, co.doc_tfidf_top_sql())
+    assert_matches_sql(co.doc_sample_stratified(SF), con,
+                       co.doc_sample_stratified_sql())
+    assert_matches_sql(co.corpus_mix(SF), con, co.corpus_mix_sql())
+
+
+def test_corpus_mix_ratio_semantics(ray_session):
+    """Ratio 0 keeps nothing, ratio >= 1.0 keeps every row of that
+    source, and the kept set is a subset of the source's docs."""
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    all_docs = co.corpus_mix(
+        SF, ratios={}, default_ratio=1.0).to_pandas()
+    none_docs = co.corpus_mix(
+        SF, ratios={}, default_ratio=0.0).to_pandas()
+    some = co.corpus_mix(
+        SF, ratios={"src0": 0.0}, default_ratio=1.0).to_pandas()
+    assert len(none_docs) == 0
+    assert len(all_docs) == 500
+    assert (some["source"] != "src0").all()
+    assert len(some) == len(all_docs[all_docs["source"] != "src0"])
+
+
+def test_q3_top_revenue_matches_sql(ray_session, con):
+    """Q3-shaped customer ⋈ orders ⋈ lineitem top-k revenue."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q3_top_revenue(SF), con, an.q3_top_revenue_sql())

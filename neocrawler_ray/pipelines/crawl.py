@@ -358,10 +358,21 @@ class CrawlJob:
         while wave < max_waves:
             t = _time.perf_counter()
             self._maybe_reload_rules()
+            # speculative (parallel-pop) scheduling is exact iff
+            # politeness can never bind: total pops per wave ≤
+            # Σ ceil(avg·rate) ≤ quota + #rules (the carry only
+            # redistributes), so a per-host budget at/above that bound
+            # — or 0, politeness off — can never defer a pop.  Any
+            # binding budget keeps the leftover-chained plan.
+            budget = s.politeness_per_host_per_wave
+            spec_ok = (budget <= 0
+                       or budget >= (s.schedule_quantity_limitation
+                                     + len(self.entries)))
             scheduled = run_schedule_wave(
                 wave, self.entries, self.total_rates, self.shards, s,
                 backlog_len=0, submit=self._submit, resolve=self._resolve,
                 submit2=self._submit2, cast=self._cast,
+                speculative=spec_ok,
             )
             t = _tick("schedule", t)
             _harvest()
@@ -546,6 +557,10 @@ class CrawlJob:
             ray.get([s_.finish_checkpoints.remote() for s_ in self.shards])
             self._write_manifest(self._last_ckpt_started)
         if prof is not None:
+            from . import scheduler as _sched
+
+            prof.update(_sched.PHASES)
+            _sched.PHASES.clear()
             print("NC_PROFILE", {k: round(v, 2) for k, v in prof.items()},
                   flush=True)
             shard_perf: dict[str, float] = {}

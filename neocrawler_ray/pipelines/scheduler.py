@@ -22,11 +22,15 @@ Quota parity (scheduler/index.js:88, 124-157, 205-260):
 from __future__ import annotations
 
 import math
+import time as _time
 
 from ..config import CrawlSettings
 from ..functions.urls import expand_seed, url_md5, url_tld
 
 __all__ = ["shard_for_domain", "shard_for_url", "run_schedule_wave"]
+
+# NC_PROFILE sub-phase accumulators (read+reset by the crawl loop)
+PHASES: dict[str, float] = {}
 
 
 def shard_for_domain(domain: str, num_shards: int) -> int:
@@ -49,6 +53,7 @@ def run_schedule_wave(
     submit=None,
     resolve=None,
     submit2=None,
+    speculative: bool = False,
 ):
     """One scheduler round.  ``shards[i]`` may be a local
     :class:`FrontierShard` or a Ray actor handle.
@@ -77,6 +82,31 @@ def run_schedule_wave(
     Returns ``scheduled``: ordered list of dicts
     ``{seq, url, urllib, version, referer, drill_relation, wave, retry}``
     — the wave's crawl batch AND the schedule-order parity log.
+
+    ``speculative=True`` replaces the leftover-chained pop plan — whose
+    critical path is one actor hop per run, ~#rules hops per wave —
+    with ONE parallel round of per-rule ``schedule_pop(ct_base)`` calls
+    plus rare driver-issued "repair" pops, and is byte-identical to the
+    chained plan whenever the caller proves politeness can never bind
+    (``politeness_per_host_per_wave == 0`` or ≥ the wave's total quota
+    bound — the gate in crawl.py).  Why exact:
+
+    - per-rule state (queue, url states) is disjoint, and with
+      politeness provably idle there is NO cross-rule shard state, so
+      pops commute across rules and only the leftover-carry couples
+      them;
+    - speculation under-quotes (``left_in=0`` → ct ≤ true quota), so it
+      never over-pops — no rollback exists or is needed;
+    - ``pop(ct)`` then ``pop(delta)`` ≡ ``pop(ct+delta)`` (the pop loop
+      is a pure continuation over queue + url state), so a rule that
+      consumed its whole speculative quota is topped up by one repair
+      pop for the true carry; a rule that stopped early exhausted its
+      queue, and extra quota could not have popped more — its true
+      leftover just joins the carry arithmetic on the driver.
+
+    Repairs are issued only for quota-limited rules reached with a
+    positive carry; with wave quota sized above the frontier's actual
+    yield (the recommended large-cluster setting) they are rare.
     """
     if submit is None:
         def submit(shard, method, *args):
@@ -97,6 +127,7 @@ def run_schedule_wave(
             for sh, m, *a in requests:
                 submit(sh, m, *a)
 
+    _p0 = _time.perf_counter()
     num_shards = len(shards)
     version = settings.wave_version(wave)
     now = version
@@ -177,15 +208,64 @@ def run_schedule_wave(
         # --- doScheduleExt (quota pop) --------------------------------
         ct_base = math.ceil(avg_rate * entry["rate"])
         sid = shard_for_domain(entry["domain"], num_shards)
+        lifo = entry["rule"] == "LIFO"
+        if speculative:
+            # one parallel pop per rule, zero assumed carry; per-shard
+            # actor ordering still serves rules in priority order
+            ti = _submit(shards[sid], "schedule_pop",
+                         urllib_key, ct_base, lifo, entry["interval"], now)
+            steps.append(("spec", ti, urllib_key, sid, lifo,
+                          entry["interval"]))
+            continue
         if run_reqs and sid != run_sid:
             submit_run()
         run_sid = sid
-        run_reqs.append(
-            (urllib_key, ct_base, entry["rule"] == "LIFO", entry["interval"]))
+        run_reqs.append((urllib_key, ct_base, lifo, entry["interval"]))
         run_keys.append(urllib_key)
     submit_run()
 
+    _p1 = _time.perf_counter()
     results = resolve(tokens)
+    _p2 = _time.perf_counter()
+    PHASES["sched_submit"] = PHASES.get("sched_submit", 0.0) + (_p1 - _p0)
+    PHASES["sched_join"] = PHASES.get("sched_join", 0.0) + (_p2 - _p1)
+
+    # --- speculative repair plan --------------------------------------
+    # Reconstruct the true leftover-carry in serve order.  Rules that
+    # stopped early (queue exhausted) contribute their unmet quota as a
+    # driver-known int; rules that consumed their whole speculative
+    # quota are entitled to the carry and get a "repair" continuation
+    # pop.  Repairs chain shard-to-shard through the previous repair's
+    # few-byte left ref (``schedule_pop_run_chained`` with ct_base=0,
+    # known carry as ``delta``) — no driver round trip per repair, one
+    # resolve for all of them.  A repair whose true carry turns out 0
+    # degenerates to pop(0): a no-op, so maybe-zero submissions are
+    # safe.
+    repair_for_step: dict[int, int] = {}
+    repair_out: list = []
+    if speculative:
+        carry_known = 0
+        pending_left = None  # previous repair's left (token or value)
+        for si, step in enumerate(steps):
+            if step[0] != "spec":
+                continue
+            _, ti, urllib_key, sid, lifo, interval = step
+            _accepted, left = results[ti]
+            if left > 0:
+                carry_known += left
+            elif carry_known > 0 or pending_left is not None:
+                out_tok, left_tok = submit2(
+                    shards[sid], "schedule_pop_run_chained",
+                    [(urllib_key, 0, lifo, interval)],
+                    pending_left if pending_left is not None else 0,
+                    carry_known, now)
+                repair_for_step[si] = len(repair_out)
+                repair_out.append(out_tok)
+                pending_left = left_tok
+                carry_known = 0
+                PHASES["sched_repairs"] = (
+                    PHASES.get("sched_repairs", 0) + 1)
+        repair_out = resolve(repair_out) if repair_out else []
 
     # --- emit the schedule log in serve order --------------------------
     scheduled: list[dict] = []
@@ -204,7 +284,7 @@ def run_schedule_wave(
             }
         )
 
-    for step in steps:
+    for si, step in enumerate(steps):
         if step[0] == "drain":
             for e in drain_entries:
                 k = "urllib:" + e["key"]
@@ -220,10 +300,20 @@ def run_schedule_wave(
             for link, ok in zip(links, accepted_flags):
                 if ok:
                     _emit(link, urllib_key, version, "", "*", 0)
+        elif step[0] == "spec":
+            _, ti, urllib_key, sid, lifo, interval = step
+            accepted, _left = results[ti]
+            if si in repair_for_step:
+                accepted = (list(accepted)
+                            + list(repair_out[repair_for_step[si]][0]))
+            for url, ver, referer, drill_relation in accepted:
+                _emit(url, urllib_key, ver, referer, drill_relation, 0)
         else:
             _, ti, keys = step
             out = results[ti]
             for urllib_key, accepted in zip(keys, out):
                 for url, ver, referer, drill_relation in accepted:
                     _emit(url, urllib_key, ver, referer, drill_relation, 0)
+    PHASES["sched_emit"] = (PHASES.get("sched_emit", 0.0)
+                            + (_time.perf_counter() - _p2))
     return scheduled

@@ -300,3 +300,29 @@ def test_rules_reload_survives_partial_write(corpus, tmp_path_factory,
     injected = [r for r in rows if r[3] == f"urllib:driller:{d0}:injected2"]
     assert injected, "valid rewrite after the corrupt one never loaded"
     assert injected[0][0] == 2  # wave after the VALID write
+
+
+def test_speculative_schedule_e2e_parity(corpus, tmp_path_factory,
+                                         ray_session):
+    """Distributed engine with the speculative (parallel-pop) schedule
+    engaged ≡ sequential oracle (which always runs the chained plan):
+    schedule order, wave count and URL-seen set.  The politeness budget
+    is raised above quota+rules so crawl.py's exactness gate enables
+    speculation (the default-budget fixtures above keep exercising the
+    chained plan)."""
+    from neocrawler_ray.pipelines.crawl import CrawlJob
+    from neocrawler_ray.pipelines.oracle import run_oracle
+
+    spec_settings = _settings(politeness_per_host_per_wave=10**6)
+    out = str(tmp_path_factory.mktemp("spec_out"))
+    job = CrawlJob(corpus, spec_settings, out)
+    totals = job.run()
+
+    ora = run_oracle(corpus, spec_settings)
+    eng_rows = _schedule_rows(out)
+    ora_rows = [(r["wave"], r["seq"], r["url"], r["urllib"])
+                for r in ora["schedule_log"]]
+    assert eng_rows == ora_rows
+    assert totals["waves"] == ora["waves"]
+    seen = pq.read_table(f"{out}/url_seen").column("url_md5").to_pylist()
+    assert set(seen) == set(ora["url_seen"].keys())

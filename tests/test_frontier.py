@@ -205,6 +205,55 @@ def test_run_schedule_wave_quota_and_seeds():
     assert sched == sched2
 
 
+def _quota_wave(speculative: bool):
+    settings = CrawlSettings(
+        schedule_quantity_limitation=10, num_frontier_shards=1,
+        politeness_per_host_per_wave=0,
+    )
+    shard = FrontierShard(0, RULES, settings)
+    for i in range(8):
+        shard._save_link(URLLIB, f"http://www.site0.example/item_{i}?id={i}",
+                         "http://ref", "*", 1, now=0)
+    ruleset = RuleSet(RULES)
+    return run_schedule_wave(0, ruleset.priority_list(), ruleset.total_rates,
+                             [shard], settings, speculative=speculative)
+
+
+def test_speculative_schedule_equals_chained():
+    """The parallel-pop speculative plan is byte-identical to the
+    leftover-chained plan, INCLUDING the repair path: the list rule's
+    empty queue leaves carry 7, and the detail rule (quota-limited at
+    ct_base=4) needs a repair pop to absorb it — without the repair it
+    would schedule 4 of its 8 queued urls instead of all 8."""
+    assert _quota_wave(True) == _quota_wave(False)
+
+
+def test_speculative_schedule_no_carry_case():
+    """Zero-carry waves need no repairs: deep queues, quota-limited
+    everywhere — speculation alone is exact."""
+    settings = CrawlSettings(
+        schedule_quantity_limitation=4, num_frontier_shards=1,
+        politeness_per_host_per_wave=0,
+    )
+
+    def run(spec):
+        shard = FrontierShard(0, RULES, settings)
+        for i in range(50):
+            shard._save_link(
+                URLLIB, f"http://www.site0.example/item_{i}?id={i}",
+                "http://ref", "*", 1, now=0)
+        rs = RuleSet(RULES)
+        # advance first_schedule so no reseed floods the tiny quota
+        entries = rs.priority_list()
+        for e in entries:
+            e["first_schedule"] = 10**18
+        return run_schedule_wave(0, entries, rs.total_rates, [shard],
+                                 settings, speculative=spec)
+
+    a, b = run(True), run(False)
+    assert a == b and len(a) > 0
+
+
 # --------------------------- snapshot/restore -----------------------------
 def test_snapshot_restore_roundtrip():
     shard, settings = mk_shard()

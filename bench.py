@@ -135,6 +135,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_funnel": lambda: consume(an.events_funnel(sf_dir)),
         "order_priority_semijoin":
             lambda: consume(an.order_priority_semijoin(sf_dir)),
+        "doc_tfidf_top": lambda: consume(co.doc_tfidf_top(sf_dir)),
+        "q3_top_revenue": lambda: consume(an.q3_top_revenue(sf_dir)),
     }
     out = {}
     for name, fn in timed.items():

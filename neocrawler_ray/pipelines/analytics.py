@@ -89,19 +89,7 @@ def events_pivot_daily(sf_dir: str) -> pd.DataFrame:
     exchange never carries wide rows (a pivot before the reduce would
     ship mostly-zero vectors).  Unseen classes become zero columns, so
     the schema is stable across inputs."""
-    ds = _read(sf_dir, "events", ["ts", "event_type"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {"date": df["ts"].dt.strftime("%Y-%m-%d"),
-             "event_type": df["event_type"]}
-        )
-        g = out.groupby(["date", "event_type"], as_index=False).size()
-        return g.rename(columns={"size": "partial_n"}).astype(
-            {"partial_n": "int64"})
-
-    long = _finish_small(ds.map_batches(partial, batch_format="pandas"),
-                         ["date", "event_type"], {"partial_n": "n"})
+    long = events_daily_counts(sf_dir)
     wide = (long.pivot_table(index="date", columns="event_type", values="n",
                              aggfunc="sum", fill_value=0)
             .reindex(columns=PIVOT_TYPES, fill_value=0))
@@ -671,12 +659,21 @@ def events_rolling_sum(sf_dir: str, window: int = 3):
     def roll(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts_us", "event_id"],
                             kind="mergesort")
-        r = (df.groupby("user_id")["value_e4"]
-             .rolling(window, min_periods=1).sum()
-             .reset_index(drop=True))
+        # window-1 shifted int64 adds masked at group boundaries —
+        # unlike groupby.rolling().sum() (float64 internally, inexact
+        # past 2^53) this stays integer-exact at any magnitude
+        v = df["value_e4"].to_numpy("int64")
+        u = df["user_id"].to_numpy("int64")
+        out = v.copy()
+        for k in range(1, window):
+            shifted = np.zeros_like(v)
+            shifted[k:] = v[:-k]
+            same = np.zeros(len(v), dtype=bool)
+            same[k:] = u[k:] == u[:-k]
+            out += np.where(same, shifted, 0)
         return pd.DataFrame(
             {"event_id": df["event_id"].to_numpy(),
-             "roll_sum_e4": r.to_numpy(dtype="int64")})
+             "roll_sum_e4": out})
 
     return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
                          ["user_id"], roll, num_parts=32)
@@ -969,9 +966,11 @@ def q3_top_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
     cut = np.datetime64(Q3_CUT)
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys_ref = ray.put(
+    # sorted once driver-side: tasks membership-test via searchsorted
+    # (np.isin would re-sort the broadcast array per batch)
+    keys_ref = ray.put(np.sort(
         cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"]
-        .to_numpy("int64"))
+        .to_numpy("int64")))
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
@@ -981,8 +980,13 @@ def q3_top_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     def o_keyed(df: pd.DataFrame) -> pd.DataFrame:
         d = df["o_orderdate"].to_numpy(dtype="datetime64[us]")
-        m = (d < cut) & np.isin(
-            df["o_custkey"].to_numpy("int64"), ray.get(keys_ref))
+        keys = ray.get(keys_ref)  # zero-copy view of the shared array
+        ck = df["o_custkey"].to_numpy("int64")
+        pos = np.searchsorted(keys, ck)
+        member = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)]
+                                      == ck) if len(keys) else np.zeros(
+            len(ck), dtype=bool)
+        m = (d < cut) & member
         kept = df[m]
         return pd.DataFrame(
             {"orderkey": kept["o_orderkey"].to_numpy("int64"),

@@ -191,7 +191,10 @@ def doc_term_df(sf_dir: str, k: int = TERM_DF_TOP_K) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["text"].astype(str).str.split(" ").explode()
+        # astype("string").fillna("") — astype(str) would render a NULL
+        # text as the literal term 'nan' (oracle: string_split(NULL) → ∅)
+        s = (df["text"].astype("string").fillna("")
+             .astype(str).str.split(" ").explode())
         pairs = pd.DataFrame(
             {"doc_id": df["doc_id"].reindex(s.index).astype("int64"),
              "term": s})
@@ -420,6 +423,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
             b"".join(df["sig"].iloc[order0].tolist()), dtype=np.uint64
         ).reshape(m, dd.MINHASH_PERMS)
         uh, inv = np.unique(sig_mat, axis=0, return_inverse=True)
+        inv = np.asarray(inv).ravel()  # numpy 2.0.x returns (m,1) for axis!=None
         u = len(uh)
         order = np.argsort(inv, kind="stable")  # ids stay ascending per group
         sids, sinv = ids_all[order], inv[order]
@@ -1271,7 +1275,8 @@ def doc_tfidf_top(sf_dir: str, m: int = TFIDF_TOP_M):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def tf_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["text"].astype(str).str.split(" ").explode()
+        s = (df["text"].astype("string").fillna("")
+             .astype(str).str.split(" ").explode())
         pairs = pd.DataFrame(
             {"doc_id": df["doc_id"].reindex(s.index).astype("int64"),
              "term": s})

@@ -263,8 +263,8 @@ def run_schedule_wave(
                 repair_out.append(out_tok)
                 pending_left = left_tok
                 carry_known = 0
-                PHASES["sched_repairs"] = (
-                    PHASES.get("sched_repairs", 0) + 1)
+                PHASES["sched_repairs_n"] = (
+                    PHASES.get("sched_repairs_n", 0) + 1)
         repair_out = resolve(repair_out) if repair_out else []
 
     # --- emit the schedule log in serve order --------------------------

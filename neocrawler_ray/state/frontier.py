@@ -106,9 +106,6 @@ class FrontierShard:
         self._ptick("drain", _t0)
         return out
 
-    def all_retry_lens(self) -> dict:
-        return {k: len(q) for k, q in self.retry_queues.items() if q}
-
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
@@ -423,9 +420,6 @@ class FrontierShard:
             t.join()
             self._ckpt_thread = None
         return True
-
-    def all_queue_lens(self) -> dict:
-        return {k: len(q) for k, q in self.queues.items() if q}
 
     # ------------------------------------------------------------------
     # save_links single-link admission — spider/pipeline.js:119-193

@@ -224,6 +224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_td": an.events_value_quantiles_tdigest,
         "top_orders_per_priority": an.top_orders_per_priority,
         "order_priority_semijoin": an.order_priority_semijoin,
+        # NOT EXISTS sibling (negated co-partitioned existence test)
+        "order_priority_antijoin": an.order_priority_antijoin,
+        # LAG window: per-user inter-arrival microseconds
+        "events_time_since_last": an.events_time_since_last,
         "events_funnel": an.events_funnel,
         "events_rolling_sum": an.events_rolling_sum,
         "events_distinct_users": an.events_distinct_users,
@@ -311,6 +315,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_value_quantiles": an.EVENTS_QUANTILES_SQL,
         "top_orders_per_priority": an.top_orders_per_priority_sql(),
         "order_priority_semijoin": an.ORDER_PRIORITY_SEMIJOIN_SQL,
+        "order_priority_antijoin": an.ORDER_PRIORITY_ANTIJOIN_SQL,
+        "events_time_since_last": an.EVENTS_TIME_SINCE_LAST_SQL,
         "events_distinct_users": an.EVENTS_DISTINCT_USERS_SQL,
         "events_funnel": an.EVENTS_FUNNEL_SQL,
         "events_rolling_sum": an.events_rolling_sum_sql(),

@@ -1048,3 +1048,105 @@ SELECT o.o_orderkey, o.d AS o_orderdate, l.rev AS revenue_e4
 FROM l JOIN o ON l.l_orderkey = o.o_orderkey
 ORDER BY revenue_e4 DESC, o.o_orderkey LIMIT {k}
 """.strip()
+
+
+def events_time_since_last(sf_dir: str):
+    """LAG-window op: per event, microseconds since the same user's
+    previous event (-1 for the user's first) — the inter-arrival-time
+    feature behind sessionization thresholds and engagement decay.
+
+    Scale shape: same as the other per-entity window kernels —
+    hash-partition by user co-locates each user's rows, one sort +
+    vectorized shift/compare per partition, int64 output (timestamp
+    diffs are exact int microseconds, never float).
+    """
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_id": df["event_id"].astype("int64"),
+             "ts_us": _ts_us(df["ts"])})
+
+    def lagged(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        t = df["ts_us"].to_numpy("int64")
+        u = df["user_id"].to_numpy("int64")
+        gap = np.full(len(t), -1, dtype="int64")
+        if len(t) > 1:
+            same = u[1:] == u[:-1]
+            gap[1:][same] = (t[1:] - t[:-1])[same]
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "gap_us": gap})
+
+    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                         ["user_id"], lagged, num_parts=32)
+
+
+EVENTS_TIME_SINCE_LAST_SQL = """
+SELECT event_id,
+       CAST(COALESCE(datediff('microsecond',
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts),
+           -1) AS BIGINT) AS gap_us
+FROM events
+""".strip()
+
+
+def order_priority_antijoin(sf_dir: str) -> pd.DataFrame:
+    """Anti-join sibling of :func:`order_priority_semijoin`: count
+    orders per priority class in the same date window with NO returned
+    lineitem — the NOT EXISTS shape (orders never probed, exceptions
+    reports).  Identical scale plan: probe side collapsed to distinct
+    keys per batch, both sides hash-partitioned by orderkey, the
+    existence test negated in-partition, answer-sized reduce."""
+    from .corpus_ops import _hash_grouped
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1999-01-01")
+
+    def o_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        df = df[(d >= lo) & (d < hi)]
+        return pd.DataFrame(
+            {"orderkey": df["o_orderkey"].astype("int64"),
+             "priority": df["o_orderpriority"].astype(str)})
+
+    def l_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        keys = pd.unique(
+            df.loc[df["l_returnflag"] == "R", "l_orderkey"].astype("int64"))
+        return pd.DataFrame({"orderkey": keys,
+                             "priority": np.full(len(keys), "", dtype=object)})
+
+    def anti_count(df: pd.DataFrame) -> pd.DataFrame:
+        probe = df["priority"] == ""
+        hit = df.loc[~probe, "orderkey"].isin(df.loc[probe, "orderkey"])
+        kept = df.loc[~probe][~hit]
+        out = kept.groupby("priority", as_index=False).size()
+        return pd.DataFrame(
+            {"o_orderpriority": out["priority"].astype(str),
+             "order_count": out["size"].astype("int64")})
+
+    unioned = (orders.map_batches(o_keyed, batch_format="pandas")
+               .union(line.map_batches(l_keyed, batch_format="pandas")))
+    partials = _hash_grouped(unioned, ["orderkey"], anti_count, num_parts=32)
+    g = (partials.to_pandas()
+         .groupby("o_orderpriority", as_index=False)["order_count"].sum())
+    g["order_count"] = g["order_count"].astype("int64")
+    return g.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDER_PRIORITY_ANTIJOIN_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1999-01-01'
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""".strip()

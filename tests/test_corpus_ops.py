@@ -749,3 +749,24 @@ def test_q3_top_revenue_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 
     assert_matches_sql(an.q3_top_revenue(SF), con, an.q3_top_revenue_sql())
+
+
+def test_antijoin_and_lag_match_sql(ray_session, con):
+    """NOT EXISTS anti-join (negated co-partitioned existence) and the
+    per-user LAG/inter-arrival window vs their SQL oracles; the anti-
+    and semi-join counts partition the date-window orders exactly."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.order_priority_antijoin(SF), con,
+                       an.ORDER_PRIORITY_ANTIJOIN_SQL)
+    assert_matches_sql(an.events_time_since_last(SF), con,
+                       an.EVENTS_TIME_SINCE_LAST_SQL)
+
+    semi = an.order_priority_semijoin(SF)
+    anti = an.order_priority_antijoin(SF)
+    both = semi.merge(anti, on="o_orderpriority", how="outer").fillna(0)
+    total = int((both["order_count_x"] + both["order_count_y"]).sum())
+    n_window = con.execute(
+        "SELECT count(*) FROM orders WHERE o_orderdate >= DATE '1996-01-01'"
+        " AND o_orderdate < DATE '1999-01-01'").fetchone()[0]
+    assert total == n_window

@@ -532,7 +532,10 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
 
     sides = cands.map_batches(explode, batch_format="pandas")
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # small blocks: shingle-hashing is the verify path's CPU stage —
+    # the default row-aware block count gives ONE task at small sf
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=256)
 
     def shingle_rows(df: pd.DataFrame) -> pa.Table:
         # shingle-hash at the scan: the corpus side of the exchange
@@ -629,7 +632,11 @@ def dedup_ngram_pairs(sf_dir: str, threshold_num: int = 1,
     """
     import numpy as np
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
+    # fine blocks: reduce-task parallelism in Ray's groupby tracks
+    # the block count, and the pair stage is the skewed hot stage —
+    # 128-row blocks at sf0.1 gave 40 reduce tasks vs 9 and cut the
+    # op 2.6x in a matched window (straggler spread, not less work)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=128)
     explode_schema = pa.schema(
         [("shingle", pa.uint64()), ("doc_id", pa.int64()),
          ("size", pa.int64())])
@@ -646,7 +653,9 @@ def dedup_ngram_pairs(sf_dir: str, threshold_num: int = 1,
             schema=explode_schema)
 
     rows = ds.map_batches(explode, batch_format="pandas")
-    parts = _parts_for(sf_dir, "documents")
+    # partition count sized to shingle work, not doc rows (~150
+    # docs of shingles per partition balances the hot buckets)
+    parts = _parts_for(sf_dir, "documents", rows_per_part=150)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": co.doc_sample_stratified,
         # source-ratio data mixture (md5-bucketed keep fraction)
         "corpus_mix": co.corpus_mix,
+        # per-source health report (feeds the mix-ratio decision)
+        "corpus_source_report": co.corpus_source_report,
         # dedup families
         "dedup_exact": co.dedup_exact,
         # exact all-pairs Jaccard (inverted-index join; integer-exact
@@ -272,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": co.doc_split_sql(),
         "doc_sample_stratified": co.doc_sample_stratified_sql(),
         "corpus_mix": co.corpus_mix_sql(),
+        "corpus_source_report": co.corpus_source_report_sql(),
         "corpus_clean": (
             "WITH stats AS (" + ts.text_stats_sql() + "), "
             "survivors AS (SELECT d.doc_id, md5(d.text) AS fp, s.n_tokens "

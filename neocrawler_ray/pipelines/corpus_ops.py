@@ -1445,3 +1445,53 @@ SELECT doc_id, source FROM
           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) h4 FROM documents)
 WHERE h4 < CASE source {cases} ELSE '{_ratio_hex(default_ratio)}' END
 """.strip()
+
+
+def corpus_source_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus health report: document count, quality-gate
+    pass count, total tokens, and distinct language count — the
+    dashboard a training-data pipeline reads before choosing mix
+    ratios (pairs with :func:`corpus_mix`).
+
+    Scale shape: the text-stats kernel runs where the text lives; each
+    batch collapses to one row per (source, lang) — counts and token
+    sums are additive, and distinct-language needs the (source, lang)
+    key itself, so the long partial IS the minimal exchange (≤ sources
+    × langs × blocks rows).  The driver reduce is answer-sized.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        stats = ts.text_stats_frame(df["text"])
+        tmp = pd.DataFrame(
+            {"source": df["source"].astype(str).to_numpy(),
+             "lang": df["lang"].astype(str).to_numpy(),
+             "n_tokens": stats["n_tokens"].to_numpy(),
+             "ok": stats["quality_ok"].to_numpy().astype("int64")})
+        g = tmp.groupby(["source", "lang"], as_index=False).agg(
+            p_n=("ok", "size"), p_ok=("ok", "sum"),
+            p_tokens=("n_tokens", "sum"))
+        return g.astype({"p_n": "int64", "p_ok": "int64",
+                         "p_tokens": "int64"})
+
+    long = (ds.map_batches(partial, batch_format="pandas")).to_pandas()
+    bylang = long.groupby(["source", "lang"], as_index=False).sum()
+    out = bylang.groupby("source", as_index=False).agg(
+        n_docs=("p_n", "sum"), n_quality_ok=("p_ok", "sum"),
+        sum_tokens=("p_tokens", "sum"), n_langs=("lang", "nunique"))
+    for c in ("n_docs", "n_quality_ok", "sum_tokens", "n_langs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def corpus_source_report_sql() -> str:
+    return f"""
+WITH stats AS ({ts.text_stats_sql()})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (s.quality_ok) AS BIGINT) AS n_quality_ok,
+       CAST(sum(s.n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+FROM documents d JOIN stats s USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+""".strip()

@@ -770,3 +770,12 @@ def test_antijoin_and_lag_match_sql(ray_session, con):
         "SELECT count(*) FROM orders WHERE o_orderdate >= DATE '1996-01-01'"
         " AND o_orderdate < DATE '1999-01-01'").fetchone()[0]
     assert total == n_window
+
+
+def test_corpus_source_report_matches_sql(ray_session, con):
+    """Per-source health report (counts, quality passes, token sums,
+    distinct languages) vs the composed text-stats SQL oracle."""
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.corpus_source_report(SF), con,
+                       co.corpus_source_report_sql())

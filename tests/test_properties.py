@@ -159,3 +159,72 @@ def test_popcount64_matches_bin_count(vals):
     arr = np.array(vals, dtype=np.uint64)
     got = dd.popcount64(arr)
     assert got.tolist() == [bin(v).count("1") for v in vals]
+
+
+# --- speculative vs chained scheduling equivalence ---------------------
+#
+# The speculative pop plan (pipelines/scheduler.py) must be
+# byte-identical to the leftover-chained plan whenever politeness is
+# idle.  Randomize everything the carry algebra depends on: rule count,
+# weights/priorities (serve order and quotas), per-rule queue depths
+# (forcing every carry shape: empty rules, quota-limited rules, deep
+# absorbers), wave quota, FIFO/LIFO, and the shard count (multi-shard
+# exercises per-shard actor-order interleaving in the sync default).
+
+@st.composite
+def _sched_config(draw):
+    n_rules = draw(st.integers(2, 5))
+    rules: dict = {}
+    depths = []
+    for i in range(n_rules):
+        dom = f"site{i}.example"
+        rules[dom] = {
+            "list": {
+                "domain": dom, "alias": "list",
+                "url_pattern": rf"^http://www\.site{i}\.example/item_\d+",
+                "type": "node", "id_parameter": ["id"],
+                "schedule_interval": 3600,
+                "schedule_rule": draw(st.sampled_from(["FIFO", "LIFO"])),
+                "priority": draw(st.integers(1, 3)),
+                "weight": draw(st.integers(0, 20)),
+                "seed": [], "active": True,
+            }
+        }
+        depths.append(draw(st.integers(0, 12)))
+    quota = draw(st.integers(1, 30))
+    shards = draw(st.integers(1, 3))
+    return rules, depths, quota, shards
+
+
+@given(_sched_config())
+@settings(max_examples=40, deadline=None)
+def test_speculative_schedule_equivalence_property(cfg):
+    from neocrawler_ray.config import CrawlSettings, RuleSet
+    from neocrawler_ray.pipelines.scheduler import run_schedule_wave
+    from neocrawler_ray.state.frontier import FrontierShard
+
+    rules, depths, quota, n_shards = cfg
+
+    def run(speculative: bool):
+        settings = CrawlSettings(
+            schedule_quantity_limitation=quota,
+            num_frontier_shards=n_shards,
+            politeness_per_host_per_wave=0,
+        )
+        shards = [FrontierShard(i, rules, settings) for i in range(n_shards)]
+        from neocrawler_ray.pipelines.scheduler import shard_for_domain
+        for di, (dom, depth) in enumerate(zip(sorted(rules), depths)):
+            sid = shard_for_domain(dom, n_shards)
+            key = f"urllib:driller:{dom}:list"
+            for j in range(depth):
+                shards[sid]._save_link(
+                    key, f"http://www.{dom}/item_{j}?id={j}",
+                    "http://ref", "*", 1, now=0)
+        rs = RuleSet(rules)
+        entries = rs.priority_list()
+        for e in entries:
+            e["first_schedule"] = 10**18  # no reseeds: isolate the pops
+        return run_schedule_wave(0, entries, rs.total_rates, shards,
+                                 settings, speculative=speculative)
+
+    assert run(True) == run(False)

@@ -155,13 +155,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.pipelines import doc_extract as de
     from neocrawler_ray.stages import multimodal as mm
 
+    # NOTE (driver contract): the correctness gate checks at most the FIRST
+    # 50 entries of this dict — round 3 had 54 and the last 4 (all
+    # SQL-checkable) silently got no oracle row.  Order is therefore
+    # significant: every oracle_sql()-backed query comes first, then the
+    # rows-only crawl family, then the structurally-no-oracle entries whose
+    # parity lives in pytest equivalence/tolerance tests (those lose least
+    # if the cap truncates them).
     return {
-        # crawl engine (SURVEY.md §2.1-2.4, §3)
-        "crawl_extract": _q_crawl_extract,
-        "crawl_schedule_order": _q_crawl_schedule,
-        "crawl_url_seen": _q_crawl_url_seen,
-        "crawl_report": _q_crawl_report,
-        "crawl_failure_report": _q_crawl_failures,
         # rule-engine extraction with a SQL-checkable envelope (M7-M10)
         "doc_extract": de.doc_extract,
         # text analysis
@@ -191,19 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact all-pairs Jaccard (inverted-index join; integer-exact
         # threshold 1/2 so the DuckDB string-shingle oracle matches)
         "dedup_ngram_pairs": co.dedup_ngram_pairs,
-        "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
-        "dedup_clusters": lambda sf: co.dedup_clusters(sf),
-        "dedup_clusters_dist": lambda sf: co.dedup_clusters_distributed(sf),
-        "dedup_simhash_pairs": lambda sf: co.dedup_simhash_pairs(sf, 7),
-        # threshold matched to the testdata's cosine distribution (near-
-        # random vectors, max ~0.51) so the row is non-empty evidence;
-        # band/bit knobs tuned for ~0.99 recall at 0.4 (p=0.63/plane)
-        "dedup_embedding_lsh": lambda sf: co.dedup_embedding_pairs(
-            sf, 0.4, bands=16, bits=3),
         "embedding_pairs_brute": lambda sf: co.embedding_pairs_brute(sf, 0.4),
         # similarity search
         "ann_brute_topk": lambda sf: co.ann_brute_topk(sf, 5, 10),
-        "ann_ivf_topk": lambda sf: co.ann_ivf_topk(sf, 5, 10),
         # multimodal plumbing
         "multimodal_meta": mm.multimodal_decode_meta,
         "video_frame_sample": mm.video_frame_sample,
@@ -220,10 +211,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": an.events_asof_join,
         "events_value_bands": an.events_value_bands,
         "events_value_quantiles": an.events_value_quantiles,
-        # approximate t-digest variant (unbounded-domain scale path; no
-        # SQL oracle — verified by a rank-error tolerance pytest vs the
-        # exact histogram op)
-        "events_value_quantiles_td": an.events_value_quantiles_tdigest,
         "top_orders_per_priority": an.top_orders_per_priority,
         "order_priority_semijoin": an.order_priority_semijoin,
         # NOT EXISTS sibling (negated co-partitioned existence test)
@@ -233,9 +220,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": an.events_funnel,
         "events_rolling_sum": an.events_rolling_sum,
         "events_distinct_users": an.events_distinct_users,
-        # approximate HLL variant (unbounded-cardinality scale path; no
-        # SQL oracle — verified by a tolerance pytest vs the exact op)
-        "events_distinct_users_hll": an.events_distinct_users_hll,
         "q1_lineitem": an.q1_lineitem,
         "q6_revenue": an.q6_revenue,
         # Q3-shaped three-way join (broadcast dim + tagged orderkey
@@ -243,6 +227,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_revenue": an.q3_top_revenue,
         "revenue_by_nation": an.revenue_by_nation,
         "top_customers": an.top_customers,
+        # ---- rows-only from here down (no oracle_sql entry) ----
+        # crawl engine (SURVEY.md §2.1-2.4, §3): synthetic pages corpus is
+        # not a registered view, so the driver does a rows-only check; full
+        # parity vs the sequential oracle lives in tests/test_crawl_e2e.py
+        "crawl_extract": _q_crawl_extract,
+        "crawl_schedule_order": _q_crawl_schedule,
+        "crawl_url_seen": _q_crawl_url_seen,
+        "crawl_report": _q_crawl_report,
+        "crawl_failure_report": _q_crawl_failures,
+        # sketch/LSH families: non-SQL-expressible; planted-dup +
+        # recall/precision pytest coverage (tests/test_lsh_bench_scale.py)
+        "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
+        "dedup_simhash_pairs": lambda sf: co.dedup_simhash_pairs(sf, 7),
+        # threshold matched to the testdata's cosine distribution (near-
+        # random vectors, max ~0.51) so the row is non-empty evidence;
+        # band/bit knobs tuned for ~0.99 recall at 0.4 (p=0.63/plane)
+        "dedup_embedding_lsh": lambda sf: co.dedup_embedding_pairs(
+            sf, 0.4, bands=16, bits=3),
+        "ann_ivf_topk": lambda sf: co.ann_ivf_topk(sf, 5, 10),
+        # last 4: pytest-equivalence-covered (union-find ≡ distributed CC;
+        # t-digest/HLL tolerance vs their exact siblings) — they lose the
+        # least signal if the driver's 50-query cap truncates the tail
+        "dedup_clusters": lambda sf: co.dedup_clusters(sf),
+        "dedup_clusters_dist": lambda sf: co.dedup_clusters_distributed(sf),
+        # approximate t-digest variant (unbounded-domain scale path; no
+        # SQL oracle — rank-error tolerance pytest vs the exact histogram)
+        "events_value_quantiles_td": an.events_value_quantiles_tdigest,
+        # approximate HLL variant (tolerance pytest vs the exact op)
+        "events_distinct_users_hll": an.events_distinct_users_hll,
     }
 
 

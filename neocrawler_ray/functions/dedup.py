@@ -189,15 +189,24 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 # HALF is evicted (never the whole dict) so steady-state memory stays
 # ~cap/2–cap and the hot Zipf head survives eviction with p=1/2 per
 # round instead of being flushed wholesale (a full clear() caused a
-# periodic rehash spike on large-vocabulary corpora).
+# periodic rehash spike on large-vocabulary corpora).  The eviction
+# predicate bit ROTATES per round (_TOKEN_EVICT_ROUND): str hash is
+# fixed per process, so a fixed `hash(k) & 1` would make even-hash keys
+# permanently unevictable and the cache would converge on ~half the
+# distinct vocabulary regardless of cap, with every over-cap call doing
+# a full scan that deletes nothing.
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 _TOKEN_HASH_CACHE_CAP = 1_000_000
+_TOKEN_EVICT_ROUND = 0
 
 
 def _token_hashes(tokens) -> np.ndarray:
+    global _TOKEN_EVICT_ROUND
     cache = _TOKEN_HASH_CACHE
     if len(cache) > _TOKEN_HASH_CACHE_CAP:
-        for k in [k for k in cache if hash(k) & 1]:
+        _TOKEN_EVICT_ROUND = (_TOKEN_EVICT_ROUND + 1) % 64
+        shift = _TOKEN_EVICT_ROUND
+        for k in [k for k in cache if (hash(k) >> shift) & 1]:
             del cache[k]
     out = np.empty(len(tokens), dtype=np.uint64)
     for i, tk in enumerate(tokens):

@@ -107,6 +107,16 @@ def run_schedule_wave(
     Repairs are issued only for quota-limited rules reached with a
     positive carry; with wave quota sized above the frontier's actual
     yield (the recommended large-cluster setting) they are rare.
+
+    The exactness argument additionally assumes **each url is queued
+    under exactly one rule's queue** (repair pops run AFTER later
+    rules' speculative pops, so a url_info row shared across two rules
+    would see ``_check_url`` outcomes in a different order than the
+    chained plan).  This holds by construction: link routing is
+    first-match per URL (``_save_link`` routes a url_md5 to the first
+    matching urllib key and the seen-filter drops re-routes), and
+    ``FrontierShard._save_link`` carries a debug assertion that a
+    url_md5 never enters a second queue.
     """
     if submit is None:
         def submit(shard, method, *args):

@@ -61,6 +61,13 @@ from ..sources.pages_gen import _host_shard
 # without a JS engine.
 # ---------------------------------------------------------------------------
 
+# CONTRACT: a jsnav block must not contain a nested ``</div>`` — the
+# non-greedy ``.*?</div>`` stops at the FIRST close tag, so nesting would
+# truncate the match (stripping only the block's prefix and leaving
+# over-budget content + dangling markup visible).  The corpus generator
+# upholds this by emitting exactly one flat ``<a>`` per jsnav block
+# (sources/pages_gen.py _render_jsnav); keep that invariant there, or
+# switch both sides to a sentinel close marker (e.g. ``<!--/jsnav-->``).
 _JSNAV_RE = re.compile(rb'<div class="jsnav" data-step="(\d+)">.*?</div>',
                        re.S)
 
@@ -348,15 +355,26 @@ class FetchSim:
 
     # -- per batch ------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized point-lookup fetch: one md5-digest sweep for the
+        batch, then per pages-shard ONE ``np.searchsorted`` + ONE Arrow
+        ``take`` for candidate-url confirmation and ONE ``take`` for the
+        bodies — no per-row md5/searchsorted/as_py in the hot path (the
+        round-3 review's per-row loop).  Per-row Python survives only
+        where it's intrinsic: robots prefix checks, the rare proxy/
+        jshandle rows, and md5-64 collision run-walks (~never)."""
+        import numpy as np
+
         if self.plugin is not None:
             # downloader.js:294-306: plugin download replaces the built-in
             # downloader; None falls through (cb(null, null) semantics)
             res = self.plugin.download_batch(batch)
             if res is not None:
                 return res
-        htmls: list[bytes | None] = []
-        statuses: list[int] = []
-        blocked_flags: list[bool] = []
+        urls: list[str] = batch.column("url").to_pylist()
+        n = len(urls)
+        htmls: list[bytes | None] = [None] * n
+        statuses = np.full(n, 404, dtype=np.int32)
+        blocked_flags = np.zeros(n, dtype=bool)
         # jshandle/proxy dispatch needs the scheduled row's rule key;
         # plain batches (no such rules, or no urllib column) skip it
         has_ulib = "urllib" in batch.schema.names
@@ -368,39 +386,89 @@ class FetchSim:
             batch.column("retry").to_pylist()
             if self.proxy_map and "retry" in batch.schema.names
             else None)
-        for i, url in enumerate(batch.column("url").to_pylist()):
-            host = url_host(url) or ""
+
+        hosts = [url_host(u) or "" for u in urls]
+        shard_of_host: dict[str, int] = {}  # hosts repeat within a batch
+        pending: list[int] = []
+        shard_ids = np.empty(n, dtype=np.int64)
+        for i, url in enumerate(urls):
+            host = hosts[i]
             if self._blocked(url, host):
-                htmls.append(None)
-                statuses.append(999)
-                blocked_flags.append(True)
+                statuses[i] = 999
+                blocked_flags[i] = True
                 continue
-            blocked_flags.append(False)
             if (ulibs is not None and ulibs[i] in self.proxy_map
                     and proxy_fetch_failed(
                         url, int(retries[i] or 0) if retries else 0)):
                 # bad proxy slot → transport failure; the retry loop
                 # re-draws next wave (proxyrouter vote-out semantics)
-                htmls.append(None)
-                statuses.append(503)
+                statuses[i] = 503
                 continue
-            urls_col, htmls_col, rendered_col, hashes = self._partition(
-                _host_shard(host, self.pages_shards))
-            row = self._lookup_row(urls_col, hashes, url)
-            if row is None:
-                htmls.append(None)
-                statuses.append(404)
-            else:
-                body = htmls_col[row].as_py()
-                if ulibs is not None:
-                    steps = self.browser_map.get(ulibs[i])
-                    if steps is not None:  # jshandle rule → browser path
-                        body = apply_browser(
-                            body, rendered_col[row].as_py(), steps)
-                htmls.append(body)
-                statuses.append(200)
+            s = shard_of_host.get(host)
+            if s is None:
+                s = shard_of_host[host] = _host_shard(
+                    host, self.pages_shards)
+            shard_ids[i] = s
+            pending.append(i)
+
+        if pending:
+            pend = np.asarray(pending, dtype=np.int64)
+            qh = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(urls[i].encode()).digest()[:8], "big")
+                 for i in pend),
+                dtype=np.uint64, count=len(pend))
+            pend_shards = shard_ids[pend]
+            for s in np.unique(pend_shards):
+                grp = pend_shards == s
+                bidx = pend[grp]          # batch row indices in this shard
+                q = qh[grp]
+                urls_col, htmls_col, rendered_col, hashes = (
+                    self._partition(int(s)))
+                npart = len(hashes)
+                pos = np.searchsorted(hashes, q)
+                ok = pos < npart
+                ok[ok] = hashes[pos[ok]] == q[ok]
+                if not ok.any():
+                    continue
+                cand_pos = pos[ok]
+                cand_bidx = bidx[ok]
+                cand_urls = urls_col.take(
+                    pa.array(cand_pos, pa.int64())).to_pylist()
+                # confirm string equality; md5-64 collisions fall back to
+                # the per-row equal-hash run walk (effectively never)
+                rows = np.empty(len(cand_pos), dtype=np.int64)
+                keep = np.ones(len(cand_pos), dtype=bool)
+                for j, (bi, r, cu) in enumerate(
+                        zip(cand_bidx, cand_pos, cand_urls)):
+                    if cu == urls[bi]:
+                        rows[j] = r
+                    else:
+                        r2 = self._lookup_row(urls_col, hashes, urls[bi])
+                        if r2 is None:
+                            keep[j] = False
+                        else:
+                            rows[j] = r2
+                rows, cand_bidx = rows[keep], cand_bidx[keep]
+                if not len(rows):
+                    continue
+                bodies = htmls_col.take(
+                    pa.array(rows, pa.int64())).to_pylist()
+                statuses[cand_bidx] = 200
+                if ulibs is None:
+                    for bi, body in zip(cand_bidx, bodies):
+                        htmls[bi] = body
+                else:
+                    for j, (bi, body) in enumerate(zip(cand_bidx, bodies)):
+                        steps = self.browser_map.get(ulibs[bi])
+                        if steps is not None:  # jshandle → browser path
+                            body = apply_browser(
+                                body, rendered_col[int(rows[j])].as_py(),
+                                steps)
+                        htmls[bi] = body
         return (
             batch.append_column("html", pa.array(htmls, pa.binary()))
             .append_column("status", pa.array(statuses, pa.int32()))
-            .append_column("robots_blocked", pa.array(blocked_flags, pa.bool_()))
+            .append_column(
+                "robots_blocked", pa.array(blocked_flags, pa.bool_()))
         )

@@ -470,6 +470,15 @@ class FrontierShard:
             self.seen.add(kk)
             validate = True
         if validate:
+            # speculative-scheduler exactness guard (scheduler.py
+            # run_schedule_wave docstring): every url must be reachable
+            # from exactly ONE rule's queue.  Link routing is first-match
+            # per URL so this holds by construction; the assertion makes
+            # the assumption fail loudly if a rule change ever breaks it.
+            assert info.get("trace") == urllib_key, (
+                f"url_md5 {kk} queued under a second urllib key "
+                f"({info.get('trace')!r} then {urllib_key!r}) — violates "
+                "the speculative scheduler's one-rule-per-url assumption")
             self.queues.setdefault(urllib_key, deque()).append(final_link)
         return validate
 

@@ -74,6 +74,23 @@ def test_simhash_hamming_small_for_near_dups():
     assert set(dd.simhash_bands(ha, 8)) & set(dd.simhash_bands(hb, 8))
 
 
+def test_token_hash_cache_eviction_is_bounded(monkeypatch):
+    """The eviction bit rotates per round: with a fixed `hash(k) & 1`
+    predicate, even-hash keys were permanently unevictable and the cache
+    grew to ~half the distinct vocabulary regardless of cap (ADVICE r3)."""
+    monkeypatch.setattr(dd, "_TOKEN_HASH_CACHE", {})
+    monkeypatch.setattr(dd, "_TOKEN_HASH_CACHE_CAP", 100)
+    for start in range(0, 20_000, 50):
+        toks = [f"w{i}" for i in range(start, start + 50)]
+        out = dd._token_hashes(toks)
+        assert len(out) == 50
+    # steady state must stay within a small constant of the cap — the old
+    # predicate converged on ~10k resident entries here (half of 20k)
+    assert len(dd._TOKEN_HASH_CACHE) <= 2 * 100 + 50
+    # and values stay correct after evictions
+    assert dd._token_hashes(["w1"])[0] == dd._hash64("w1")
+
+
 def test_connected_components_min_representative():
     comp = dd.connected_components([(5, 3), (3, 9), (20, 21)])
     assert comp[5] == comp[3] == comp[9] == 3

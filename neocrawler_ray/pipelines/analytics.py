@@ -633,7 +633,8 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
-def events_rolling_sum(sf_dir: str, window: int = 3):
+def events_rolling_sum(sf_dir: str, window: int = 3,
+                       salt_shift: int | None = None):
     """Per-entity rolling-window aggregate: for each user's events in
     time order, the sum of the last ``window`` fixed-point values (ROWS
     BETWEEN window-1 PRECEDING AND CURRENT ROW) — the moving-average /
@@ -644,7 +645,21 @@ def events_rolling_sum(sf_dir: str, window: int = 3):
     users); inside a partition one ``groupby(...).rolling(...)`` C
     kernel computes every frame.  Values ride as int64 e4 fixed-point so
     the rolling sums are exact, not float-order-dependent.  Ties on ts
-    break by event_id — the same total order the SQL oracle declares."""
+    break by event_id — the same total order the SQL oracle declares.
+
+    **Whale-entity salt path** (``salt_shift`` set): sub-partitions each
+    user by time bucket ``ts_us >> salt_shift``.  The rolling sum is
+    prefix-decomposable: pass A computes frames inside each (user,
+    bucket); a bucket's first ``window-1`` rows are incomplete (their
+    frame reaches into earlier buckets), so pass A also ships each
+    bucket's last ``min(len, window-1)`` rows as tail rows.  Pass B —
+    keyed by user over heads+tails only (≤ 2(window-1)/bucket, never the
+    whale's full row set) — completes each head from the tail rows
+    strictly before its bucket: those are exactly the last global rows
+    before the boundary (a sparse bucket ships ALL its rows as tails, so
+    the chain never has a hole).  Bit-identical to the single-pass
+    answer; costs a materialize barrier + a boundary-sized exchange, so
+    it's opt-in."""
     from .corpus_ops import _hash_grouped
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
@@ -656,27 +671,127 @@ def events_rolling_sum(sf_dir: str, window: int = 3):
              "ts_us": _ts_us(df["ts"]),
              "value_e4": _e4(df["value"])})
 
-    def roll(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts_us", "event_id"],
-                            kind="mergesort")
+    def _kback_same(grp_start: np.ndarray, k: int) -> np.ndarray:
         # window-1 shifted int64 adds masked at group boundaries —
         # unlike groupby.rolling().sum() (float64 internally, inexact
-        # past 2^53) this stays integer-exact at any magnitude
+        # past 2^53) the shifted-add loop below stays integer-exact.
+        # True where the row k back belongs to the same group, given the
+        # per-row group-start marker: no group boundary in (i-k, i]
+        n = len(grp_start)
+        ok = np.zeros(n, dtype=bool)
+        if n > k:
+            csum = np.cumsum(grp_start.astype("int64"))
+            ok[k:] = csum[k:] == csum[:-k]
+        return ok
+
+    if salt_shift is None:
+        def roll(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["user_id", "ts_us", "event_id"],
+                                kind="mergesort")
+            v = df["value_e4"].to_numpy("int64")
+            u = df["user_id"].to_numpy("int64")
+            start = np.ones(len(u), dtype=bool)
+            start[1:] = u[1:] != u[:-1]
+            out = v.copy()
+            for k in range(1, window):
+                shifted = np.zeros_like(v)
+                shifted[k:] = v[:-k]
+                out += np.where(_kback_same(start, k), shifted, 0)
+            return pd.DataFrame(
+                {"event_id": df["event_id"].to_numpy(),
+                 "roll_sum_e4": out})
+
+        return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                             ["user_id"], roll, num_parts=32)
+
+    shift = int(salt_shift)
+
+    def keyed_salt(df: pd.DataFrame) -> pd.DataFrame:
+        out = keyed(df)
+        out["bucket"] = out["ts_us"].to_numpy("int64") >> shift
+        return out
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "bucket", "ts_us", "event_id"],
+                            kind="mergesort")
         v = df["value_e4"].to_numpy("int64")
         u = df["user_id"].to_numpy("int64")
+        b = df["bucket"].to_numpy("int64")
+        e = df["event_id"].to_numpy("int64")
+        t = df["ts_us"].to_numpy("int64")
+        n = len(v)
+        start = np.ones(n, dtype=bool)
+        start[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
         out = v.copy()
         for k in range(1, window):
             shifted = np.zeros_like(v)
             shifted[k:] = v[:-k]
-            same = np.zeros(len(v), dtype=bool)
-            same[k:] = u[k:] == u[:-k]
-            out += np.where(same, shifted, 0)
-        return pd.DataFrame(
-            {"event_id": df["event_id"].to_numpy(),
-             "roll_sum_e4": out})
+            out += np.where(_kback_same(start, k), shifted, 0)
+        # position within (user, bucket)
+        grp_id = np.cumsum(start) - 1
+        first_idx = np.flatnonzero(start)
+        pos = np.arange(n, dtype="int64") - first_idx[grp_id]
+        grp_len = np.diff(np.r_[first_idx, n])[grp_id]
+        head = pos < (window - 1)
+        tail = (grp_len - 1 - pos) < (window - 1)
 
-    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
-                         ["user_id"], roll, num_parts=32)
+        def rows(mask, kind):
+            return pd.DataFrame(
+                {"kind": np.full(int(mask.sum()), kind, dtype="int64"),
+                 "event_id": e[mask], "roll_sum_e4": out[mask],
+                 "user_id": u[mask], "bucket": b[mask],
+                 "ts_us": t[mask], "pos": pos[mask],
+                 "value_e4": v[mask]})
+
+        return pd.concat(
+            [rows(~head, 0), rows(head, 1), rows(tail, 2)],
+            ignore_index=True)
+
+    a = _hash_grouped(ds.map_batches(keyed_salt, batch_format="pandas"),
+                      ["user_id", "bucket"], local,
+                      num_parts=32).materialize()
+    import pyarrow.compute as pc
+
+    def _only(kind):
+        def f(tb: pa.Table) -> pa.Table:
+            return tb.filter(pc.equal(tb.column("kind"), kind))
+        return f
+
+    complete = (a.map_batches(_only(0), batch_format="pyarrow")
+                .select_columns(["event_id", "roll_sum_e4"]))
+    boundary = a.map_batches(
+        lambda tb: tb.filter(pc.not_equal(tb.column("kind"), 0)),
+        batch_format="pyarrow")
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        out_e, out_s = [], []
+        for _, g in df.groupby("user_id", sort=False):
+            tails = (g[g["kind"] == 2]
+                     .sort_values(["bucket", "ts_us", "event_id"],
+                                  kind="mergesort"))
+            heads = g[g["kind"] == 1]
+            tb = tails["bucket"].to_numpy("int64")
+            tv = tails["value_e4"].to_numpy("int64")
+            prefix = np.r_[0, np.cumsum(tv)]
+            hb = heads["bucket"].to_numpy("int64")
+            hp = heads["pos"].to_numpy("int64")
+            hs = heads["roll_sum_e4"].to_numpy("int64")
+            idx = np.searchsorted(tb, hb, side="left")
+            need = (window - 1) - hp
+            take = np.minimum(need, idx)
+            corr = prefix[idx] - prefix[idx - take]
+            out_e.append(heads["event_id"].to_numpy("int64"))
+            out_s.append(hs + corr)
+        if not out_e:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "roll_sum_e4": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"event_id": np.concatenate(out_e),
+             "roll_sum_e4": np.concatenate(out_s)})
+
+    fixed = _hash_grouped(boundary, ["user_id"], fix, num_parts=32)
+    return complete.union(fixed)
 
 
 def events_rolling_sum_sql(window: int = 3) -> str:
@@ -1050,7 +1165,7 @@ ORDER BY revenue_e4 DESC, o.o_orderkey LIMIT {k}
 """.strip()
 
 
-def events_time_since_last(sf_dir: str):
+def events_time_since_last(sf_dir: str, salt_shift: int | None = None):
     """LAG-window op: per event, microseconds since the same user's
     previous event (-1 for the user's first) — the inter-arrival-time
     feature behind sessionization thresholds and engagement decay.
@@ -1059,7 +1174,18 @@ def events_time_since_last(sf_dir: str):
     hash-partition by user co-locates each user's rows, one sort +
     vectorized shift/compare per partition, int64 output (timestamp
     diffs are exact int microseconds, never float).
-    """
+
+    **Whale-entity salt path** (``salt_shift`` set): when one entity's
+    rows outgrow a partition, pass ``salt_shift`` to sub-partition each
+    user by time bucket ``ts_us >> salt_shift``.  LAG is
+    prefix-decomposable: pass A computes gaps inside each (user, bucket)
+    and emits one boundary row per bucket (first event + last ts); pass
+    B — keyed by user over the BOUNDARY rows only, 1/bucket, never the
+    whale's full row set — stitches the first gap of each bucket from
+    the previous non-empty bucket's last ts.  Exactly the single-pass
+    answer (ties (ts, event_id) can't cross buckets: same ts → same
+    bucket).  Costs one materialize barrier + a boundary-sized second
+    exchange, so it's opt-in, not the default."""
     from .corpus_ops import _hash_grouped
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -1070,20 +1196,88 @@ def events_time_since_last(sf_dir: str):
              "event_id": df["event_id"].astype("int64"),
              "ts_us": _ts_us(df["ts"])})
 
-    def lagged(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts_us", "event_id"],
+    if salt_shift is None:
+        def lagged(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["user_id", "ts_us", "event_id"],
+                                kind="mergesort")
+            t = df["ts_us"].to_numpy("int64")
+            u = df["user_id"].to_numpy("int64")
+            gap = np.full(len(t), -1, dtype="int64")
+            if len(t) > 1:
+                same = u[1:] == u[:-1]
+                gap[1:][same] = (t[1:] - t[:-1])[same]
+            return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                                 "gap_us": gap})
+
+        return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                             ["user_id"], lagged, num_parts=32)
+
+    shift = int(salt_shift)
+
+    def keyed_salt(df: pd.DataFrame) -> pd.DataFrame:
+        out = keyed(df)
+        out["bucket"] = out["ts_us"].to_numpy("int64") >> shift
+        return out
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "bucket", "ts_us", "event_id"],
                             kind="mergesort")
         t = df["ts_us"].to_numpy("int64")
         u = df["user_id"].to_numpy("int64")
-        gap = np.full(len(t), -1, dtype="int64")
-        if len(t) > 1:
-            same = u[1:] == u[:-1]
+        b = df["bucket"].to_numpy("int64")
+        e = df["event_id"].to_numpy("int64")
+        n = len(t)
+        gap = np.full(n, -1, dtype="int64")
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            same = (u[1:] == u[:-1]) & (b[1:] == b[:-1])
             gap[1:][same] = (t[1:] - t[:-1])[same]
+            first[1:] = ~same
+        idx_first = np.flatnonzero(first)
+        idx_last = np.r_[idx_first[1:] - 1, n - 1] if n else idx_first
+        done = pd.DataFrame(
+            {"kind": np.zeros((~first).sum(), dtype="int64"),
+             "event_id": e[~first], "gap_us": gap[~first],
+             "user_id": np.zeros((~first).sum(), dtype="int64"),
+             "bucket": np.zeros((~first).sum(), dtype="int64"),
+             "ts_a": np.zeros((~first).sum(), dtype="int64"),
+             "ts_b": np.zeros((~first).sum(), dtype="int64")})
+        bound = pd.DataFrame(
+            {"kind": np.ones(len(idx_first), dtype="int64"),
+             "event_id": e[idx_first],
+             "gap_us": np.full(len(idx_first), -1, dtype="int64"),
+             "user_id": u[idx_first], "bucket": b[idx_first],
+             "ts_a": t[idx_first], "ts_b": t[idx_last]})
+        return pd.concat([done, bound], ignore_index=True)
+
+    a = _hash_grouped(ds.map_batches(keyed_salt, batch_format="pandas"),
+                      ["user_id", "bucket"], local,
+                      num_parts=32).materialize()
+    import pyarrow.compute as pc
+
+    def _only(kind):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind))
+        return f
+
+    complete = (a.map_batches(_only(0), batch_format="pyarrow")
+                .select_columns(["event_id", "gap_us"]))
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "bucket"], kind="mergesort")
+        u = df["user_id"].to_numpy("int64")
+        ts_a = df["ts_a"].to_numpy("int64")
+        ts_b = df["ts_b"].to_numpy("int64")
+        gap = np.full(len(u), -1, dtype="int64")
+        if len(u) > 1:
+            same = u[1:] == u[:-1]
+            gap[1:][same] = (ts_a[1:] - ts_b[:-1])[same]
         return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
                              "gap_us": gap})
 
-    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
-                         ["user_id"], lagged, num_parts=32)
+    bounds = a.map_batches(_only(1), batch_format="pyarrow")
+    fixed = _hash_grouped(bounds, ["user_id"], fix, num_parts=32)
+    return complete.union(fixed)
 
 
 EVENTS_TIME_SINCE_LAST_SQL = """

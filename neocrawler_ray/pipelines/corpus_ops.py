@@ -390,12 +390,18 @@ def dedup_exact(sf_dir: str):
     )
 
 
-def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
+def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7,
+                        collapse: bool = True):
     """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
 
     shingle → 128-perm signature → 16 band keys (map_batches, ~1 KB/doc
     emitted) → groupby(band_key) → per-bucket pair generation → global
     pair dedup (a pair found in several bands collapses to one row).
+
+    ``collapse=False`` skips the final pair-dedup exchange and returns
+    the raw per-band pairs (a pair may appear once per agreeing band) —
+    for consumers that group by pair downstream anyway
+    (:func:`dedup_minhash_verified`), saving one all-to-all round.
     """
     import numpy as np
 
@@ -477,6 +483,12 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7):
 
     parts = _parts_for(sf_dir, "documents")
     pairs = _bucketed_pairs(ds, "band_key", bucket_pairs, num_parts=parts)
+    if not collapse:
+        # cheap local dedup only (same pair from two bands usually sits
+        # in different partitions; the consumer's pair-group dedupes)
+        return pairs.map_batches(
+            lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+            batch_format="pandas")
     # same pair surfaces once per agreeing band → collapse
     return _hash_grouped(
         pairs, ["doc_a", "doc_b"],
@@ -510,7 +522,10 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
     frame (doc_a, doc_b, jaccard) ∝ the answer."""
     import numpy as np
 
-    cands = dedup_minhash_pairs(sf_dir, lsh_threshold)
+    # uncollapsed band pairs: verify's pair-key group dedupes them, so
+    # the LSH stage's pair-collapse all-to-all round is pure overhead
+    # here (round-3 advice: the op's cost was exchange-count-bound)
+    cands = dedup_minhash_pairs(sf_dir, lsh_threshold, collapse=False)
 
     # explicit Arrow schemas: empty pandas object columns would map to
     # null type and break union / emit schema-change warnings
@@ -564,11 +579,18 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
                          for i in pr["doc_id"]]},
             schema=attach_schema)
 
-    parts = _parts_for(sf_dir, "documents")
+    # verify exchanges move (doc_id → payload) rows + candidate-volume
+    # pair rows — far fewer than corpus shingle rows, so size the
+    # all-to-all to that, not to corpus row count (the shingle CPU runs
+    # before the exchange, parallel by block count)
+    parts = _parts_for(sf_dir, "documents", rows_per_part=600, lo=8)
     co_located = _hash_grouped(unioned, ["doc_id"], attach_shingles,
                                num_parts=parts)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # a pair found by k bands carries k duplicate rows per side
+        # (collapse=False upstream) — first row per side wins
+        df = df.drop_duplicates(["pair_key", "side"])
         out_a, out_b, out_j = [], [], []
         for pk, g in df.groupby("pair_key", sort=False):
             if len(g) < 2:
@@ -600,8 +622,61 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
             [["doc_a", "doc_b", "jaccard"]])
 
 
+def _ngram_hot_shingles(sf_dir: str, df_block: int,
+                        sample_mod: int) -> dict[int, int]:
+    """Sampled document-frequency prepass for the hot-shingle guard.
+
+    Reads 1-in-``sample_mod`` docs (deterministic multiplicative hash of
+    doc_id) and counts shingle occurrences; a shingle whose *estimated*
+    df (= sample count × mod) exceeds ``df_block`` is "hot" and gets its
+    postings split into ``nb = ceil(est_df / df_block)`` blocks by the
+    router.  Correctness does NOT depend on the estimate: every posting
+    consults the same broadcast map, so block membership is globally
+    consistent — a missed borderline shingle just stays unsplit (old
+    behavior, ≤ ~few×df_block² task work), an over-split one only adds
+    routing copies.  A df≫df_block shingle cannot hide from a uniform
+    1/mod sample (P[0 hits] = (1−1/mod)^df).  Cost: one extra pass over
+    the text column with 1/mod of the shingle CPU and a (distinct-
+    sampled-shingle, count) exchange — the price of bounding the
+    pair-stage's per-task work at scale."""
+    import numpy as np
+
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
+
+    def sample_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64").astype(np.uint64)
+        with np.errstate(over="ignore"):
+            keep = ((ids * gold) >> np.uint64(33)) % np.uint64(
+                sample_mod) == 0
+        sub = df[keep]
+        sets = [dd.shingle_hashes(str(t)) for t in sub["text"].fillna("")]
+        all_sh = (np.concatenate(sets) if sets
+                  else np.empty(0, dtype=np.uint64))
+        uh, c = np.unique(all_sh, return_counts=True)
+        return pd.DataFrame({"shingle": uh, "c": c.astype("int64")})
+
+    counts = ds.map_batches(sample_counts, batch_format="pandas")
+
+    def reduce_hot(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("shingle", as_index=False)["c"].sum()
+        return g[g["c"] * sample_mod > df_block].astype({"c": "int64"})
+
+    hot = _hash_grouped(counts, ["shingle"], reduce_hot,
+                        num_parts=8).to_pandas()
+    if hot.empty:
+        return {}
+    nb = np.minimum(
+        np.ceil(hot["c"].to_numpy(dtype="float64") * sample_mod / df_block),
+        65535).astype("int64")
+    return dict(zip(
+        (int(s) for s in hot["shingle"].to_numpy(dtype=np.uint64)),
+        (int(x) for x in nb)))
+
+
 def dedup_ngram_pairs(sf_dir: str, threshold_num: int = 1,
-                      threshold_den: int = 2):
+                      threshold_den: int = 2, df_block: int | None = 1024,
+                      df_sample_mod: int = 50):
     """EXACT all-pairs n-gram Jaccard ≥ threshold via a distributed
     shingle inverted-index join (no LSH, no candidates missed).
 
@@ -625,10 +700,23 @@ def dedup_ngram_pairs(sf_dir: str, threshold_num: int = 1,
     All output columns are int64 (intersection/union sizes, not a float
     ratio) so the equality with the DuckDB string-shingle oracle is
     exact — the hashed-shingle and string-shingle Jaccards agree barring
-    a 64-bit collision.  Cost: Σ df(shingle)² pair emissions; hot
-    shingles come from near-identical documents, whose pairs are the
-    answer itself.  Run ``dedup_exact`` first on exact-dup-heavy corpora
-    so d identical docs don't contribute s·d² rows here.
+    a 64-bit collision.  Cost: Σ df(shingle)² pair emissions.  Run
+    ``dedup_exact`` first on exact-dup-heavy corpora so d identical docs
+    don't contribute s·d² rows here.
+
+    **Hot-shingle guard** (template/stop shingles — the round-3 scale
+    hole): a shingle shared by d documents would emit d²/2 pairs inside
+    ONE partition task (5×10⁹ for d=10⁵).  A sampled df prepass
+    (:func:`_ngram_hot_shingles`) finds shingles with estimated
+    df > ``df_block``; the router splits their postings into
+    ``nb = ceil(df/df_block)`` blocks by a doc_id hash and replicates
+    each posting to its ``nb`` block-pair groups keyed
+    ``(shingle, bi, bj)`` — the d²/2 pairs spread over nb(nb+1)/2 tasks
+    of ≤ df_block² pair emissions each, with replication cost
+    d·nb ≈ d²/df_block rows (∝ pairs/df_block).  Exactness preserved: a
+    pair sharing a hot shingle lands in exactly one (bi, bj) group (its
+    blocks are fixed functions of the doc_ids).  ``df_block=None``
+    disables the guard (and the prepass scan).
     """
     import numpy as np
 
@@ -657,11 +745,73 @@ def dedup_ngram_pairs(sf_dir: str, threshold_num: int = 1,
     # docs of shingles per partition balances the hot buckets)
     parts = _parts_for(sf_dir, "documents", rows_per_part=150)
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["part"] = (df["shingle"].to_numpy(dtype=np.uint64)
-                      % np.uint64(parts)).astype("int64")
-        return df
+    hot_map = ({} if df_block is None
+               else _ngram_hot_shingles(sf_dir, df_block, df_sample_mod))
+    if hot_map:
+        import ray
+
+        hot_keys = np.sort(np.fromiter(hot_map.keys(), dtype=np.uint64,
+                                       count=len(hot_map)))
+        hot_nbs = np.fromiter((hot_map[int(k)] for k in hot_keys),
+                              dtype=np.int64, count=len(hot_map))
+        # broadcast once: the hot set is small (shingles with df >
+        # df_block), read zero-copy by every route task
+        hot_ref = ray.put((hot_keys, hot_nbs))
+    else:
+        hot_ref = None
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        """Partition postings: cold shingles by shingle hash; hot ones
+        replicated to their (shingle, bi, bj) block-pair groups.  bpack
+        = blk<<32 | bi<<16 | bj (0 for cold rows)."""
+        sh = df["shingle"].to_numpy(dtype=np.uint64)
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        szs = df["size"].to_numpy(dtype="int64")
+        if hot_ref is not None and len(sh):
+            import ray
+
+            hk, hn = ray.get(hot_ref)
+            pos = np.searchsorted(hk, sh)
+            pos[pos == len(hk)] = 0
+            is_hot = hk[pos] == sh
+        else:
+            is_hot = np.zeros(len(sh), dtype=bool)
+        cold = ~is_hot
+        nc = int(cold.sum())
+        frames = [pd.DataFrame(
+            {"shingle": sh[cold], "doc_id": ids[cold], "size": szs[cold],
+             "bpack": np.zeros(nc, dtype="int64"),
+             "part": (sh[cold] % np.uint64(parts)).astype("int64")})]
+        if nc < len(sh):
+            hs, hid, hsz = sh[is_hot], ids[is_hot], szs[is_hot]
+            nbs = hn[pos[is_hot]]
+            with np.errstate(over="ignore"):
+                blk = ((hid.astype(np.uint64) * gold) >> np.uint64(33)
+                       ) % nbs.astype(np.uint64)
+            blk = blk.astype(np.int64)
+            reps = nbs
+            starts = np.cumsum(reps) - reps
+            total = int(reps.sum())
+            j = np.arange(total, dtype=np.int64) - np.repeat(starts, reps)
+            r_blk = np.repeat(blk, reps)
+            bi = np.minimum(r_blk, j)
+            bj = np.maximum(r_blk, j)
+            r_sh = np.repeat(hs, reps)
+            with np.errstate(over="ignore"):
+                mix = (r_sh
+                       ^ (bi.astype(np.uint64)
+                          * np.uint64(0xFF51AFD7ED558CCD))
+                       ^ (bj.astype(np.uint64)
+                          * np.uint64(0xC4CEB9FE1A85EC53)))
+            frames.append(pd.DataFrame(
+                {"shingle": r_sh,
+                 "doc_id": np.repeat(hid, reps),
+                 "size": np.repeat(hsz, reps),
+                 "bpack": (r_blk << 32) | (bi << 16) | bj,
+                 "part": (mix % np.uint64(parts)).astype("int64")}))
+        return (pd.concat(frames, ignore_index=True)
+                if len(frames) > 1 else frames[0])
 
     def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -673,22 +823,49 @@ def dedup_ngram_pairs(sf_dir: str, threshold_num: int = 1,
         if len(df) < 2:
             return empty
         sh = df["shingle"].to_numpy(dtype=np.uint64)
-        order = np.lexsort((df["doc_id"].to_numpy(), sh))
-        sh = sh[order]
+        bp = df["bpack"].to_numpy(dtype="int64")
+        gk = bp & 0xFFFFFFFF          # (bi<<16 | bj) — the subgroup key
+        blk = bp >> 32
+        order = np.lexsort((df["doc_id"].to_numpy(), gk, sh))
+        sh, gk, blk = sh[order], gk[order], blk[order]
         ids = df["doc_id"].to_numpy(dtype="int64")[order]
         szs = df["size"].to_numpy(dtype="int64")[order]
-        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        newgrp = np.r_[True, (sh[1:] != sh[:-1]) | (gk[1:] != gk[:-1])]
+        starts = np.flatnonzero(newgrp)
         counts = np.diff(np.r_[starts, len(sh)])
         out_a, out_b, out_sa, out_sb = [], [], [], []
-        two = starts[counts == 2]
+        # fast path: cold size-2 groups (ids ascending per group)
+        two = starts[(counts == 2) & (gk[starts] == 0)]
         if len(two):
             out_a.append(ids[two]); out_b.append(ids[two + 1])
             out_sa.append(szs[two]); out_sb.append(szs[two + 1])
-        for s, c in zip(starts[counts > 2], counts[counts > 2]):
+        rest = (counts > 2) | ((counts == 2) & (gk[starts] != 0))
+        for s, c in zip(starts[rest], counts[rest]):
+            c = int(c)
             gi, gs = ids[s:s + c], szs[s:s + c]
-            ii, jj = np.triu_indices(int(c), k=1)
-            out_a.append(gi[ii]); out_b.append(gi[jj])
-            out_sa.append(gs[ii]); out_sb.append(gs[jj])
+            g_gk = int(gk[s])
+            b_i, b_j = (g_gk >> 16) & 0xFFFF, g_gk & 0xFFFF
+            if b_i == b_j:
+                # cold group, or a hot shingle's intra-block pairs
+                ii, jj = np.triu_indices(c, k=1)
+                out_a.append(gi[ii]); out_b.append(gi[jj])
+                out_sa.append(gs[ii]); out_sb.append(gs[jj])
+            else:
+                # hot cross-block group: side-bi rows × side-bj rows
+                am = blk[s:s + c] == b_i
+                a_ids, a_szs = gi[am], gs[am]
+                b_ids, b_szs = gi[~am], gs[~am]
+                if not (len(a_ids) and len(b_ids)):
+                    continue
+                aa = np.repeat(a_ids, len(b_ids))
+                asz = np.repeat(a_szs, len(b_ids))
+                bb = np.tile(b_ids, len(a_ids))
+                bsz = np.tile(b_szs, len(a_ids))
+                lo = aa < bb  # blocks are disjoint doc sets → aa != bb
+                out_a.append(np.where(lo, aa, bb))
+                out_b.append(np.where(lo, bb, aa))
+                out_sa.append(np.where(lo, asz, bsz))
+                out_sb.append(np.where(lo, bsz, asz))
         if not out_a:
             return empty
         part = pd.DataFrame(
@@ -705,7 +882,7 @@ def dedup_ngram_pairs(sf_dir: str, threshold_num: int = 1,
     def drop_part(df: pd.DataFrame) -> pd.DataFrame:
         return partition_pairs(df.drop(columns=["part"]))
 
-    partial = (rows.map_batches(add_part, batch_format="pandas")
+    partial = (rows.map_batches(route, batch_format="pandas")
                .groupby("part")
                .map_groups(drop_part, batch_format="pandas"))
 

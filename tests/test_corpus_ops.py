@@ -459,6 +459,59 @@ def test_ngram_pairs_exact_vs_brute(ray_session, tmp_path):
         zip(out["doc_a"], out["doc_b"]))
 
 
+def test_ngram_hot_shingle_guard(ray_session, tmp_path):
+    """A stop shingle planted in EVERY doc (the template-boilerplate
+    case that made round-3's pair stage quadratic in one partition) must
+    be detected by the sampled df prepass, split into block-pair groups,
+    and still produce the exact unguarded answer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(500)]
+    n = 300
+    texts, ids = [], []
+    for i in range(n):
+        body = " ".join(vocab[rng.randint(0, 500)] for _ in range(40))
+        # the same 3-gram opens every document → df = 300 ≫ df_block
+        texts.append("copyright footer boilerplate " + body)
+        ids.append(i)
+    for j in range(4):  # planted near-dups of 0..3
+        w = texts[j].split()
+        w[10] = "EDITED"
+        texts.append(" ".join(w))
+        ids.append(1000 + j)
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet")
+
+    # prepass (exact sample, mod=1) must flag the stop shingle with
+    # nb = ceil(304/48) blocks
+    hot = co._ngram_hot_shingles(str(d), df_block=48, sample_mod=1)
+    stop = dd.shingle_hashes("copyright footer boilerplate")
+    assert len(stop) == 1 and int(stop[0]) in hot
+    assert hot[int(stop[0])] == -(-len(ids) // 48)
+
+    guarded = (co.dedup_ngram_pairs(str(d), df_block=48, df_sample_mod=1)
+               .to_pandas().sort_values(["doc_a", "doc_b"])
+               .reset_index(drop=True))
+    unguarded = (co.dedup_ngram_pairs(str(d), df_block=None)
+                 .to_pandas().sort_values(["doc_a", "doc_b"])
+                 .reset_index(drop=True))
+    pd.testing.assert_frame_equal(guarded, unguarded)
+    assert {(j, 1000 + j) for j in range(4)} <= set(
+        zip(guarded["doc_a"], guarded["doc_b"]))
+    # sampled prepass (the production default) also catches an
+    # every-doc shingle at mod≪n
+    hot_sampled = co._ngram_hot_shingles(str(d), df_block=48, sample_mod=4)
+    assert int(stop[0]) in hot_sampled
+
+
 def test_ngram_pairs_match_sql(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 
@@ -787,6 +840,73 @@ def test_antijoin_and_lag_match_sql(ray_session, con):
         "SELECT count(*) FROM orders WHERE o_orderdate >= DATE '1996-01-01'"
         " AND o_orderdate < DATE '1999-01-01'").fetchone()[0]
     assert total == n_window
+
+
+def test_whale_entity_salted_windows(ray_session, tmp_path):
+    """The salt_shift path of the LAG and rolling-sum windows must be
+    bit-identical to the single-pass kernels when one user's events span
+    many time buckets (the whale-entity seam the round-3 verdict
+    flagged).  The corpus plants a whale (one user, 600 events across
+    ~40 buckets at shift=33, incl. ts ties and sparse single-event
+    buckets so rolling frames chain across multiple buckets) plus two
+    small users."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    rng = np.random.RandomState(3)
+    base = np.int64(1_700_000_000_000_000)  # epoch us
+    ts, uid = [], []
+    # whale: bursts + long gaps → some buckets dense, some single-event
+    t = base
+    for i in range(600):
+        t += int(rng.choice([0, 1_000, 50_000_000, 30_000_000_000],
+                            p=[0.05, 0.55, 0.3, 0.1]))
+        ts.append(t)
+        uid.append(7)
+    for u in (1, 2):  # small users inside the same time range
+        t = base + u * 123_456
+        for _ in range(20):
+            t += int(rng.randint(1, 10_000_000_000))
+            ts.append(t)
+            uid.append(u)
+    n = len(ts)
+    d = tmp_path / "whale"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+            "value": pa.array(rng.uniform(0, 100, n), pa.float64()),
+        }),
+        d / "events.parquet")
+    shift = 33  # ~8.6 s buckets → the whale spans many buckets
+
+    def got(ds):
+        return (ds.to_pandas().sort_values("event_id")
+                .reset_index(drop=True))
+
+    lag_plain = got(an.events_time_since_last(str(d)))
+    lag_salt = got(an.events_time_since_last(str(d), salt_shift=shift))
+    pd.testing.assert_frame_equal(lag_salt, lag_plain)
+
+    for w in (3, 7):  # w=7 forces head corrections chained across
+        # multiple sparse buckets
+        r_plain = got(an.events_rolling_sum(str(d), window=w))
+        r_salt = got(an.events_rolling_sum(str(d), window=w,
+                                           salt_shift=shift))
+        pd.testing.assert_frame_equal(r_salt, r_plain)
+
+    # sanity vs an independent pandas oracle (not just self-consistency)
+    ev = pd.DataFrame({"event_id": range(n), "user_id": uid,
+                       "ts_us": np.array(ts, dtype="int64")})
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    exp_gap = ev.groupby("user_id")["ts_us"].diff().fillna(-1).astype("int64")
+    expected = (pd.DataFrame({"event_id": ev["event_id"], "gap_us": exp_gap})
+                .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(lag_salt, expected)
 
 
 def test_corpus_source_report_matches_sql(ray_session, con):

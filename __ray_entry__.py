@@ -20,7 +20,9 @@ from typing import Any
 
 # bump when crawl output semantics/schema change so a stale /tmp cache
 # from an older code version is never served to the driver's gate
-_RUN_SCHEMA_VERSION = 7  # v7: corpus gen v4 (simulated-proxy domain)
+_RUN_SCHEMA_VERSION = 8  # v8: S6 per-navigation-round result rows
+#     (nav_round/nav_last columns; jshandle list urls emit one extracted
+#     row per click round, reference phantomjs-bridge.js:157-236)
 _RUN_CACHE_ROOT = f"/tmp/neocrawler_ray_runs/v{_RUN_SCHEMA_VERSION}"
 
 
@@ -73,10 +75,10 @@ def _q_crawl_extract(sf_dir: str):
     out = _crawl_out_dir(sf_dir)
     ds = ray.data.read_parquet(
         os.path.join(out, "extracted"),
-        columns=["url", "status", "valid", "final_state", "text",
-                 "drill_relation", "n_links"],
+        columns=["url", "nav_round", "status", "valid", "final_state",
+                 "text", "drill_relation", "n_links"],
     )
-    return ds.sort("url")
+    return ds.sort(["url", "nav_round"])
 
 
 def _q_crawl_schedule(sf_dir: str):

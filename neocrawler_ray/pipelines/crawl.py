@@ -48,8 +48,8 @@ from ..sources.pages_gen import _host_shard
 from ..stages.extract_stage import (extract_batch_task, route_feedback,
                                     route_feedback_files)
 from ..stages.fetch import (browser_rules_map, build_robots_map,
-                            fetch_sim_batch, load_partition_refs,
-                            proxy_rules_map)
+                            cookie_rules_map, fetch_sim_batch,
+                            load_partition_refs, proxy_rules_map)
 from ..state.frontier import FrontierShard
 from .scheduler import run_schedule_wave, shard_for_url
 
@@ -57,14 +57,14 @@ from .scheduler import run_schedule_wave, shard_for_url
 def fused_fetch_extract(batch, *, run_token, corpus_dir, robots_map,
                         pages_shards, rules_ref, settings, frontier_shards,
                         rules_version=0, partition_refs=None, plugin=None,
-                        browser_map=None, proxy_map=None):
+                        browser_map=None, proxy_map=None, cookie_map=None):
     """fetch-sim → extract in one task (html stays in-process)."""
     fetched = fetch_sim_batch(
         batch, run_token=run_token, corpus_dir=corpus_dir,
         robots_map=robots_map, pages_shards=pages_shards,
         partition_refs=partition_refs, plugin=plugin,
         browser_map=browser_map, proxy_map=proxy_map,
-        rules_version=rules_version,
+        cookie_map=cookie_map, rules_version=rules_version,
     )
     return extract_batch_task(
         fetched, run_token=run_token, rules_ref=rules_ref, settings=settings,
@@ -150,6 +150,7 @@ class CrawlJob:
         # simulated-proxy rule set
         self.browser_map = browser_rules_map(self.rules)
         self.proxy_map = proxy_rules_map(self.rules)
+        self.cookie_map = cookie_rules_map(self.rules)
         # uuid, not pid+id(): id() reuse after GC could hand a new job the
         # previous job's worker-global fetch/extract singletons
         self.run_token = uuid.uuid4().hex
@@ -254,6 +255,7 @@ class CrawlJob:
         self.rules_ref = ray.put(self.rules)
         self.browser_map = browser_rules_map(self.rules)
         self.proxy_map = proxy_rules_map(self.rules)
+        self.cookie_map = cookie_rules_map(self.rules)
         self.rules_version += 1
         ray.get([sh.update_rules.remote(self.rules) for sh in self.shards])
         return True
@@ -460,6 +462,7 @@ class CrawlJob:
                     plugin=self.plugin,
                     browser_map=self.browser_map,
                     proxy_map=self.proxy_map,
+                    cookie_map=self.cookie_map,
                 ),
                 batch_format="numpy",
                 batch_size=None,

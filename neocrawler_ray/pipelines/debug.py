@@ -19,7 +19,7 @@ from ..config import CrawlSettings, RuleSet
 from ..functions.extract import detect_link
 from ..stages.extract_stage import ExtractBatch
 from ..stages.fetch import (FetchSim, browser_rules_map, build_robots_map,
-                            proxy_rules_map)
+                            cookie_rules_map, proxy_rules_map)
 
 
 def test_single_url(corpus_dir: str, url: str, out_dir: str,
@@ -54,7 +54,8 @@ def test_single_url(corpus_dir: str, url: str, out_dir: str,
     fetch = FetchSim(corpus_dir, build_robots_map(corpus_dir),
                      meta.get("pages_shards", 16),
                      browser_map=browser_rules_map(rules),
-                     proxy_map=proxy_rules_map(rules))
+                     proxy_map=proxy_rules_map(rules),
+                     cookie_map=cookie_rules_map(rules))
     extract = ExtractBatch(rules, settings, frontier_shards=[],
                            push_to_frontier=False)
     # retryCrawl inline (spider/spider.js:350-362): a transient transport

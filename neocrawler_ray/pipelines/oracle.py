@@ -26,8 +26,10 @@ import pyarrow.dataset as pads
 
 from ..config import CrawlSettings, RuleSet
 from ..stages.extract_stage import ExtractBatch
-from ..stages.fetch import (apply_browser, navigate_steps, parse_robots,
-                            proxy_fetch_failed)
+from ..stages.fetch import (apply_browser, apply_cookie_gate,
+                            navigate_steps, parse_robots,
+                            proxy_fetch_failed, rule_cookie_header,
+                            rule_script_key)
 from ..state.frontier import FrontierShard
 from ..functions.extract import decode_body, extract_page, validate_content
 from ..functions.urls import url_host, url_tld
@@ -109,6 +111,10 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
                     blocked = bool(res.column("robots_blocked")[0].as_py()) \
                         if "robots_blocked" in res.schema.names else False
                     handled = True
+            # per-round bodies (S6, phantomjs-bridge.js:157-236: a full
+            # crawled result after EVERY navigation round) — default one
+            # final round; jshandle rules with navigation budget expand
+            rounds: list[tuple[int, "bytes | None"]] = []
             if not handled:
                 prefixes = robots.get(host) or []
                 path = url.split(host, 1)[-1]
@@ -121,68 +127,88 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
                     html, status = None, 503
                 else:
                     raw, rendered = pages.get(url, (None, None))
+                    if not blocked and raw is not None:
+                        # M15 cookie gate — same dispatch as FetchSim
+                        # (cookie check precedes browser rendering)
+                        raw = apply_cookie_gate(
+                            raw, rule_cookie_header(rule)
+                            if rule.get("cookie") else "")
                     if (not blocked and raw is not None
                             and rule.get("jshandle")):
                         # S6 browser path — same dispatch as FetchSim
-                        raw = apply_browser(raw, rendered,
-                                            navigate_steps(rule))
+                        steps = navigate_steps(rule)
+                        skey = rule_script_key(rule)
+                        if steps > 0 and rendered is not None:
+                            rounds = [
+                                (r, apply_browser(raw, rendered, r, skey))
+                                for r in range(steps)]
+                        raw = apply_browser(raw, rendered, steps, skey)
                     html = None if blocked else raw
                     status = (999 if blocked
                               else (200 if html is not None else 404))
             fmt = rule.get("format", "html")
             is_binary = fmt == "binary"
+            rounds.append((rounds[-1][0] + 1 if rounds else 0, html))
 
-            final_state = "crawled_failure"
-            text = ""
-            valid = False
-            links = {}
-            relation = row["drill_relation"] or "*"
             act_retry = int(row.get("retry") or 0)
-            if not blocked:
-                if status == 200 and html is not None and not is_binary:
-                    content = decode_body(html, rule)
-                else:
-                    content = html if html is not None else b""
-                valid = validate_content(
-                    len(content), status, is_binary, content,
-                    rule.get("validation_keywords"),
-                )
-                if valid:
-                    final_state = "crawled_finish"
-                    if not is_binary:
-                        links, relation, data, _lacks = extract_page(
-                            url, content, rule, row["drill_relation"],
-                            settings.keep_link_relation, rules,
-                        )
-                        text = data.get("text_main") or ""
-                elif act_retry < settings.download_retry:
-                    # T6 retryCrawl, mirrored (spider/spider.js:350-372)
-                    final_state = "crawl_retry"
-
-            # frontier feedback, buffered exactly like the engine
             buf = []
-            gidx = 0
-            for ulib, ls in links.items():
-                for lidx, dst in enumerate(ls):
-                    buf.append(
-                        (row["seq"], "link",
-                         (gidx, lidx, ulib, dst, url, relation, row["version"]))
+            for nav_round, body in rounds:
+                nav_last = nav_round == rounds[-1][0]
+                final_state = "crawled_failure"
+                text = ""
+                valid = False
+                links = {}
+                relation = row["drill_relation"] or "*"
+                if not blocked:
+                    if status == 200 and body is not None and not is_binary:
+                        content = decode_body(body, rule)
+                    else:
+                        content = body if body is not None else b""
+                    valid = validate_content(
+                        len(content), status, is_binary, content,
+                        rule.get("validation_keywords"),
                     )
-                gidx += 1
-            if final_state == "crawl_retry":
-                buf.append((row["seq"], "retry",
-                            (url, row["urllib"], act_retry + 1)))
-            else:
-                buf.append((row["seq"], "state", (url, final_state)))
+                    if valid:
+                        final_state = "crawled_finish"
+                        if not is_binary:
+                            links, relation, data, _lacks = extract_page(
+                                url, content, rule, row["drill_relation"],
+                                settings.keep_link_relation, rules,
+                            )
+                            text = data.get("text_main") or ""
+                    elif act_retry < settings.download_retry:
+                        # T6 retryCrawl, mirrored (spider/spider.js:350-372)
+                        final_state = "crawl_retry"
+
+                # frontier feedback, buffered exactly like the engine
+                # (per-round gidx offset = extract_stage's base_g)
+                gidx = nav_round * 1_000_000
+                for ulib, ls in links.items():
+                    for lidx, dst in enumerate(ls):
+                        buf.append(
+                            (row["seq"], "link",
+                             (gidx, lidx, ulib, dst, url, relation,
+                              row["version"]))
+                        )
+                    gidx += 1
+                if nav_last:
+                    # one state/retry transition per attempt — the
+                    # final round row carries it (extract_stage parity)
+                    if final_state == "crawl_retry":
+                        buf.append((row["seq"], "retry",
+                                    (url, row["urllib"], act_retry + 1)))
+                    else:
+                        buf.append((row["seq"], "state", (url, final_state)))
+                extracted.append(
+                    {
+                        "seq": row["seq"], "wave": wave, "url": url,
+                        "status": status, "valid": valid,
+                        "final_state": final_state, "text": text,
+                        "retries": act_retry, "nav_round": nav_round,
+                        "nav_last": nav_last,
+                    }
+                )
             shard.buffer_results(buf)
-            extracted.append(
-                {
-                    "seq": row["seq"], "wave": wave, "url": url,
-                    "status": status, "valid": valid,
-                    "final_state": final_state, "text": text,
-                    "retries": act_retry,
-                }
-            )
         shard.commit_wave(version)
         wave += 1
 

@@ -57,8 +57,18 @@ import pyarrow.parquet as pq
 # navigate links, and the zh domain declares its charset via
 # <meta charset="gbk"> while its RULE encoding is deliberately wrong;
 # v4: domain 3 routes through the simulated proxy pool (use_proxy —
-# deterministic transient 503s that the retry loop re-draws past))
-GEN_VERSION = 4
+# deterministic transient 503s that the retry loop re-draws past);
+# v5: jshandle list rule carries an injected `script` whose md5-keyed
+# jsinject block reveals one extra item per list page (README.md:181-195
+# script hook made observable), and domain 3 detail pages require the
+# rule's cookie via a require-cookie marker (downloader.js:117-123))
+GEN_VERSION = 5
+
+# the jshandle list rule's injected JS (README.md:181-195): its md5
+# prefix keys the jsinject blocks the "browser" reveals when this exact
+# script ran in the page
+INJECT_SCRIPT = "document.querySelectorAll('.more').forEach(a=>a.click());"
+INJECT_KEY = hashlib.md5(INJECT_SCRIPT.encode()).hexdigest()[:8]
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -287,6 +297,15 @@ def generate_corpus(
                             f'<a class="item" href="item_{k}.html?id={k}&utm=js">'
                             f"Item {k}</a></div>"
                         )
+                    # script-injected content: revealed only when the
+                    # rule's `script` hashes to the block's data-key
+                    # (flat single <a> — the no-nested-div contract)
+                    kinj = 900000 + c * 1000 + p
+                    extras += (
+                        f'<div class="jsinject" data-key="{INJECT_KEY}">'
+                        f'<a class="item" href="item_{kinj}.html?id={kinj}'
+                        f'&utm=inj">Item {kinj}</a></div>'
+                    )
                 if p % 3 == 0:
                     dead = 1_000_000 + p
                     extras += f'<a class="dead" href="item_{dead}.html?id={dead}">gone</a>'
@@ -310,13 +329,30 @@ def generate_corpus(
                     title,
                 )
 
-                for k in range(k_lo, k_lo + items_per_list):
+                item_ks = list(range(k_lo, k_lo + items_per_list))
+                if jsd:
+                    # the jsinject-revealed detail page (same product
+                    # machinery → text-parity invariant holds for it)
+                    item_ks.append(900000 + c * 1000 + p)
+                for k in item_ks:
+                    # the proxied domain's detail pages additionally
+                    # require the rule's cookie (M15 gate): the marker
+                    # comment is invisible to the DOM tokenizer, so text
+                    # parity holds.  Every 7th≡3 item demands a cookie
+                    # the rule does NOT carry → deterministic login-stub
+                    # failures that make the gate observable in e2e
+                    # parity (like the zh domain's wrong rule encoding)
+                    ck = ""
+                    if proxied:
+                        ck = ("<!--require-cookie:premium=gold-->"
+                              if k % 7 == 3
+                              else f"<!--require-cookie:auth=tok{d}-->")
                     item_url = f"{base}/cat_{c}/item_{k}.html?id={k}"
                     if k % 97 == 13:  # deliberately short → fails validation
                         title = f"Item {k}"
                         page(
                             item_url,
-                            f'<html><body><div class="product">'
+                            f'{ck}<html><body><div class="product">'
                             f'<h1 class="title">{title}</h1></div></body></html>',
                             title,
                         )
@@ -337,7 +373,7 @@ def generate_corpus(
                     filler = _para(rng, 70 * page_weight, zh)
                     page(
                         item_url,
-                        f"<html><head>{meta_tag}<title>{title} - {domain}"
+                        f"{ck}<html><head>{meta_tag}<title>{title} - {domain}"
                         f"</title></head><body>\n"
                         f'<div id="crumb">cat_{c}</div>\n{product}\n'
                         f'<div class="related"><a class="item" '
@@ -378,6 +414,7 @@ def generate_corpus(
                 jshandle=jsd,
                 navigate_rule=["a.more"] if jsd else None,
                 stoppage=3 if jsd else -1,
+                script=INJECT_SCRIPT if jsd else None,
                 seed=(
                     [f"{base}/cat_0/list_#.html#1#2#1"] if d == 0 else []
                 ),
@@ -391,6 +428,8 @@ def generate_corpus(
                 "node", drill=[] if jsd else ["a.item"], priority=2, weight=5,
                 id_parameter=["id"], encoding=rule_encoding, jshandle=jsd,
                 use_proxy=proxied,
+                cookie=([{"name": "auth", "value": f"tok{d}"}]
+                        if proxied else None),
                 validation_keywords=["product"],
                 extract_rule={
                     "category": "product",
@@ -466,7 +505,7 @@ def _rule(domain, alias, url_pattern, type_, *, drill=None, seed=None,
           priority=1, weight=0, id_parameter=None, validation_keywords=None,
           extract_rule=None, fmt="html", encoding="utf-8",
           schedule_rule="FIFO", jshandle=False, navigate_rule=None,
-          stoppage=-1, use_proxy=False) -> dict:
+          stoppage=-1, use_proxy=False, script=None, cookie=None) -> dict:
     """A driller rule in the reference's config schema (README.md:164-250;
     jshandle/navigate_rule/stoppage defaults per
     webconfig/controllers/rule.js:13-30)."""
@@ -482,6 +521,10 @@ def _rule(domain, alias, url_pattern, type_, *, drill=None, seed=None,
         "navigate_rule": navigate_rule or [],
         "stoppage": stoppage,
         "use_proxy": use_proxy,
+        # injected-JS hook (README.md:181-195) and request cookies
+        # (downloader.js:117-123) — both observable in the corpus model
+        "script": script or "",
+        "cookie": cookie or [],
         "drill_rules": drill or [],
         "drill_relation": {"base": "content", "mode": "css",
                             "expression": "#crumb", "pick": "text", "index": 1},

@@ -58,6 +58,12 @@ OUT_SCHEMA = pa.schema(
         ("n_links", pa.int32()),
         ("feedback_json", pa.string()),
         ("content_bin", pa.binary()),
+        # S6 per-round results (phantomjs-bridge.js:157-236): round
+        # number of this result row, and whether it is the url's final
+        # round (only the final row carries the url's state/retry
+        # transition — the frontier sees one outcome per attempt)
+        ("nav_round", pa.int32()),
+        ("nav_last", pa.bool_()),
     ]
 )
 
@@ -115,6 +121,12 @@ class ExtractBatch:
         cols["retry"] = (
             batch.column("retry").to_pylist()
             if "retry" in batch.schema.names else [0] * batch.num_rows)
+        cols["nav_round"] = (
+            batch.column("nav_round").to_pylist()
+            if "nav_round" in batch.schema.names else [0] * batch.num_rows)
+        cols["nav_last"] = (
+            batch.column("nav_last").to_pylist()
+            if "nav_last" in batch.schema.names else [True] * batch.num_rows)
         # html stays an Arrow array: per-row as_py() materializes one
         # page's bytes at a time instead of copying the whole batch's
         # payloads out of the object store up front
@@ -182,8 +194,12 @@ class ExtractBatch:
                             content_bin = html
 
             # --- frontier feedback column ------------------------------
+            # gidx offset: per-round rows share a seq, so the commit
+            # sort key (seq, gidx, lidx) orders round-r links after all
+            # round-(r-1) links — the bridge's per-round result order
+            base_g = int(cols["nav_round"][i]) * 1_000_000
             feedback = [
-                [gidx, lidx, ulib, dst]
+                [base_g + gidx, lidx, ulib, dst]
                 for gidx, (ulib, links) in enumerate(links_for_shards.items())
                 for lidx, dst in enumerate(links)
             ]
@@ -207,6 +223,8 @@ class ExtractBatch:
             out["drill_relation"].append(relation)
             out["n_links"].append(n_links)
             out["content_bin"].append(content_bin)
+            out["nav_round"].append(int(cols["nav_round"][i]))
+            out["nav_last"].append(bool(cols["nav_last"][i]))
 
         result = pa.Table.from_pydict(out, schema=OUT_SCHEMA)
         if self.plugin is not None:
@@ -216,7 +234,8 @@ class ExtractBatch:
 
 
 FEEDBACK_COLUMNS = ["seq", "url", "urllib", "domain", "final_state",
-                    "drill_relation", "version", "retries", "feedback_json"]
+                    "drill_relation", "version", "retries", "feedback_json",
+                    "nav_last"]
 
 
 def _route_files_task(paths: list[str], shards: list) -> dict:
@@ -242,7 +261,9 @@ def _route_files_task(paths: list[str], shards: list) -> dict:
     if buffers:
         ray.get([shards[sid].buffer_results.remote(rows)
                  for sid, rows in buffers.items()])
-    st = tbl.column("final_state")
+    # breaker tallies count ATTEMPTS (one per url per wave), so only the
+    # final navigation-round row of each url contributes
+    st = tbl.filter(tbl.column("nav_last")).column("final_state")
     n_fail = int(pc.sum(pc.cast(pc.is_in(
         st, pa.array(["crawled_failure", "crawl_retry"])), pa.int64())).as_py() or 0)
     n_ok = int(pc.sum(pc.cast(pc.equal(
@@ -319,6 +340,10 @@ def route_feedback(table: pa.Table, num_shards: int) -> dict[int, list[tuple]]:
                 shard_buffers.setdefault(_lsid(dst), []).append(
                     (seq, "link", (gidx, lidx, ulib, dst, url, relation, version))
                 )
+        if not cols["nav_last"][i]:
+            # non-final navigation-round result: content + links only;
+            # the url's state/retry transition rides the final round row
+            continue
         state = cols["final_state"][i]
         if state == "crawl_retry":
             # T6: re-admit on the RULE's shard (its retry queue lives

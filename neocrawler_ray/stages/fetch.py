@@ -61,15 +61,71 @@ from ..sources.pages_gen import _host_shard
 # without a JS engine.
 # ---------------------------------------------------------------------------
 
-# CONTRACT: a jsnav block must not contain a nested ``</div>`` — the
-# non-greedy ``.*?</div>`` stops at the FIRST close tag, so nesting would
-# truncate the match (stripping only the block's prefix and leaving
+# CONTRACT: a jsnav/jsinject block must not contain a nested ``</div>`` —
+# the non-greedy ``.*?</div>`` stops at the FIRST close tag, so nesting
+# would truncate the match (stripping only the block's prefix and leaving
 # over-budget content + dangling markup visible).  The corpus generator
-# upholds this by emitting exactly one flat ``<a>`` per jsnav block
-# (sources/pages_gen.py _render_jsnav); keep that invariant there, or
-# switch both sides to a sentinel close marker (e.g. ``<!--/jsnav-->``).
+# upholds this by emitting exactly one flat ``<a>`` per block
+# (sources/pages_gen.py); keep that invariant there, or switch both
+# sides to a sentinel close marker (e.g. ``<!--/jsnav-->``).
 _JSNAV_RE = re.compile(rb'<div class="jsnav" data-step="(\d+)">.*?</div>',
                        re.S)
+# injected-script content (reference README.md:181-195 jshandle `script`
+# hook: custom JS injected into the page before navigation): the corpus
+# marks script-revealed content with the md5-prefix of the EXPECTED
+# script, and the engine keeps the block only when the rule's script
+# hashes to the same key — so a missing/changed script is observable
+_JSINJECT_RE = re.compile(
+    rb'<div class="jsinject" data-key="([0-9a-f]{8})">.*?</div>', re.S)
+
+# cookie gate (M15 made observable — reference downloader.js:117-123
+# sends the rule's cookies with the request): a corpus page whose body
+# starts with ``<!--require-cookie:k=v-->`` is served only to rules whose
+# cookie header carries that exact pair; otherwise the "server" answers
+# with a login stub (status 200, <500 bytes → fails validateContent)
+COOKIE_MARKER = b"<!--require-cookie:"
+LOGIN_STUB = b'<html><body><div id="login">login required</div></body></html>'
+
+
+def rule_script_key(rule: dict) -> str | None:
+    """md5-prefix key of a jshandle rule's injected ``script`` — the
+    corpus-model handle for 'this exact script ran in the page'."""
+    script = rule.get("script") or ""
+    if not script:
+        return None
+    return hashlib.md5(script.encode()).hexdigest()[:8]
+
+
+def rule_cookie_header(rule: dict) -> str:
+    """The rule's cookies as the ``k=v;k=v`` request header string
+    (downloader.js:117-123 via functions.urls.trans_cookie_kv_pair)."""
+    from ..functions.urls import trans_cookie_kv_pair
+
+    return trans_cookie_kv_pair(rule.get("cookie") or None)
+
+
+def apply_cookie_gate(body: bytes | None, cookie_header: str) -> bytes | None:
+    """Serve ``body`` only if its require-cookie marker (when present)
+    is satisfied by the request's cookie header; else the login stub."""
+    if body is None or not body.startswith(COOKIE_MARKER):
+        return body
+    end = body.find(b"-->")
+    if end < 0:
+        return body
+    required = body[len(COOKIE_MARKER):end].decode("utf-8", "replace")
+    sent = set((cookie_header or "").split(";"))
+    return body if required in sent else LOGIN_STUB
+
+
+def cookie_rules_map(rules: dict) -> dict[str, str]:
+    """{urllib key: cookie header} for rules that declare cookies —
+    tiny, shipped to fetch workers like the browser/proxy maps."""
+    out: dict[str, str] = {}
+    for domain, drillers in (rules or {}).items():
+        for alias, r in (drillers or {}).items():
+            if isinstance(r, dict) and r.get("cookie"):
+                out[f"urllib:driller:{domain}:{alias}"] = rule_cookie_header(r)
+    return out
 
 
 def navigate_steps(rule: dict) -> int:
@@ -85,17 +141,19 @@ def navigate_steps(rule: dict) -> int:
     return max(0, int(rule.get("stoppage", -1)) - 1)
 
 
-def browser_rules_map(rules: dict) -> dict[str, int]:
-    """{urllib key: allowed navigate steps} for every ``jshandle`` rule —
-    the downloader's dispatch table (downloader.js:113: ``if
-    urlinfo['jshandle'] browseIt``), tiny and shipped to fetch workers."""
-    out: dict[str, int] = {}
+def browser_rules_map(rules: dict) -> dict[str, tuple[int, str | None]]:
+    """{urllib key: (allowed navigate steps, script key)} for every
+    ``jshandle`` rule — the downloader's dispatch table
+    (downloader.js:113: ``if urlinfo['jshandle'] browseIt``), tiny and
+    shipped to fetch workers."""
+    out: dict[str, tuple[int, str | None]] = {}
     for domain, drillers in (rules or {}).items():
         for alias, r in (drillers or {}).items():
             if isinstance(r, dict) and r.get("jshandle"):
                 # scheduled rows carry 'urllib:driller:domain:alias'
                 # (state/frontier.py trace format)
-                out[f"urllib:driller:{domain}:{alias}"] = navigate_steps(r)
+                out[f"urllib:driller:{domain}:{alias}"] = (
+                    navigate_steps(r), rule_script_key(r))
     return out
 
 
@@ -132,21 +190,31 @@ def proxy_fetch_failed(url: str, retry: int) -> bool:
 
 
 def apply_browser(raw: bytes | None, rendered: bytes | None,
-                  allowed_steps: int) -> bytes | None:
+                  allowed_steps: int,
+                  script_key: str | None = None) -> bytes | None:
     """Serve the browser-rendered DOM for a jshandle fetch, keeping only
     the click-revealed ``jsnav`` blocks within the rule's navigation
-    budget.  ``rendered is None`` (non-browser corpus rows, binaries)
-    falls back to the raw body — mirroring phantomjs handing back
-    ``page.content`` only when the render succeeded."""
+    budget and the ``jsinject`` blocks whose data-key matches the rule's
+    injected-script hash (README.md:181-195 `script` hook — injected JS
+    runs at page load, so its blocks are step-independent).  ``rendered
+    is None`` (non-browser corpus rows, binaries) falls back to the raw
+    body — mirroring phantomjs handing back ``page.content`` only when
+    the render succeeded."""
     if rendered is None:
         return raw
-    if allowed_steps <= 0:
-        return _JSNAV_RE.sub(b"", rendered)
 
     def _keep(m: "re.Match[bytes]") -> bytes:
-        return m.group(0) if int(m.group(1)) <= allowed_steps else b""
+        return (m.group(0)
+                if allowed_steps > 0 and int(m.group(1)) <= allowed_steps
+                else b"")
 
-    return _JSNAV_RE.sub(_keep, rendered)
+    out = _JSNAV_RE.sub(_keep, rendered)
+    sk = (script_key or "").encode()
+
+    def _keep_inject(m: "re.Match[bytes]") -> bytes:
+        return m.group(0) if m.group(1) == sk else b""
+
+    return _JSINJECT_RE.sub(_keep_inject, out)
 
 
 def parse_robots(robots_bytes: bytes) -> list[str]:
@@ -243,7 +311,7 @@ _WORKER_FETCHERS: "OrderedDict[tuple, FetchSim]" = OrderedDict()
 def fetch_sim_batch(batch: pa.Table, *, run_token: str, corpus_dir: str,
                     robots_map, pages_shards: int, partition_refs=None,
                     plugin=None, browser_map=None, proxy_map=None,
-                    rules_version: int = 0) -> pa.Table:
+                    cookie_map=None, rules_version: int = 0) -> pa.Table:
     """Task-mode fetch-sim: ``map_batches(fetch_sim_batch, fn_kwargs=...)``.
 
     Ray reuses worker *processes* across tasks and across the wave loop's
@@ -264,7 +332,8 @@ def fetch_sim_batch(batch: pa.Table, *, run_token: str, corpus_dir: str,
     if fs is None:
         fs = FetchSim(corpus_dir, robots_map, pages_shards,
                       partition_refs=partition_refs, plugin=plugin,
-                      browser_map=browser_map, proxy_map=proxy_map)
+                      browser_map=browser_map, proxy_map=proxy_map,
+                      cookie_map=cookie_map)
         _WORKER_FETCHERS[key] = fs
         while len(_WORKER_FETCHERS) > 2:  # bound worker memory across runs
             _WORKER_FETCHERS.popitem(last=False)
@@ -276,8 +345,9 @@ class FetchSim:
 
     def __init__(self, corpus_dir: str, robots_map, pages_shards: int,
                  cache_partitions: int = 16, plugin=None, partition_refs=None,
-                 browser_map: dict[str, int] | None = None,
-                 proxy_map: frozenset[str] | None = None):
+                 browser_map: "dict[str, tuple[int, str | None]] | None" = None,
+                 proxy_map: frozenset[str] | None = None,
+                 cookie_map: dict[str, str] | None = None):
         try:
             import ray
 
@@ -289,11 +359,13 @@ class FetchSim:
         self.robots = ray.get(robots_map) if _is_ref else robots_map
         self.cache_partitions = cache_partitions
         self.partition_refs = partition_refs or {}
-        # urllib key → allowed navigate steps for jshandle rules (S6
-        # browser dispatch, downloader.js:113); empty → plain path only
+        # urllib key → (allowed navigate steps, script key) for jshandle
+        # rules (S6 browser dispatch, downloader.js:113); empty → plain
         self.browser_map = browser_map or {}
         # urllib keys routed through the simulated proxy pool (T8/J5)
         self.proxy_map = proxy_map or frozenset()
+        # urllib key → cookie header (M15 gate, downloader.js:117-123)
+        self.cookie_map = cookie_map or {}
         # shard → (url StringArray, html BinaryArray, html_rendered
         # BinaryArray, url_hash ndarray) —
         # ALL views into the shared object-store copy (the uint64 hash
@@ -375,13 +447,19 @@ class FetchSim:
         htmls: list[bytes | None] = [None] * n
         statuses = np.full(n, 404, dtype=np.int32)
         blocked_flags = np.zeros(n, dtype=bool)
+        # S6 per-round emission (phantomjs-bridge.js:157-236: a full
+        # crawled result after EVERY navigation round): a jshandle rule
+        # with stoppage s yields rows for rounds 0..s-1 — extras holds
+        # the non-final rounds, nav_round_arr the final round number
+        nav_round_arr = np.zeros(n, dtype=np.int32)
+        extras: list[tuple[int, int, bytes | None]] = []
         # jshandle/proxy dispatch needs the scheduled row's rule key;
         # plain batches (no such rules, or no urllib column) skip it
         has_ulib = "urllib" in batch.schema.names
         ulibs = (
             batch.column("urllib").to_pylist()
-            if (self.browser_map or self.proxy_map) and has_ulib
-            else None)
+            if (self.browser_map or self.proxy_map or self.cookie_map)
+            and has_ulib else None)
         retries = (
             batch.column("retry").to_pylist()
             if self.proxy_map and "retry" in batch.schema.names
@@ -457,18 +535,63 @@ class FetchSim:
                 statuses[cand_bidx] = 200
                 if ulibs is None:
                     for bi, body in zip(cand_bidx, bodies):
-                        htmls[bi] = body
+                        htmls[bi] = apply_cookie_gate(body, "")
                 else:
                     for j, (bi, body) in enumerate(zip(cand_bidx, bodies)):
-                        steps = self.browser_map.get(ulibs[bi])
-                        if steps is not None:  # jshandle → browser path
-                            body = apply_browser(
-                                body, rendered_col[int(rows[j])].as_py(),
-                                steps)
+                        body = apply_cookie_gate(
+                            body, self.cookie_map.get(ulibs[bi], ""))
+                        bm = self.browser_map.get(ulibs[bi])
+                        if bm is not None:  # jshandle → browser path
+                            steps, skey = bm
+                            rend = rendered_col[int(rows[j])].as_py()
+                            if steps > 0 and rend is not None:
+                                # one result per navigation round, the
+                                # round-r DOM gated at step ≤ r
+                                for r in range(steps):
+                                    extras.append(
+                                        (bi, r, apply_browser(
+                                            body, rend, r, skey)))
+                                nav_round_arr[bi] = steps
+                            body = apply_browser(body, rend, steps, skey)
                         htmls[bi] = body
+        if not extras:
+            return (
+                batch.append_column("html", pa.array(htmls, pa.binary()))
+                .append_column("status", pa.array(statuses, pa.int32()))
+                .append_column(
+                    "robots_blocked", pa.array(blocked_flags, pa.bool_()))
+                .append_column("nav_round", pa.array(nav_round_arr,
+                                                     pa.int32()))
+                .append_column(
+                    "nav_last", pa.array(np.ones(n, dtype=bool), pa.bool_()))
+            )
+        # row expansion: keep input order, rounds ascending, final last
+        from collections import defaultdict
+
+        by_b: dict[int, list[tuple[int, bytes | None]]] = defaultdict(list)
+        for bi, r, body in sorted(extras, key=lambda x: (x[0], x[1])):
+            by_b[bi].append((r, body))
+        out_idx: list[int] = []
+        out_html: list[bytes | None] = []
+        out_round: list[int] = []
+        out_last: list[bool] = []
+        for i in range(n):
+            for r, body in by_b.get(i, ()):
+                out_idx.append(i)
+                out_html.append(body)
+                out_round.append(r)
+                out_last.append(False)
+            out_idx.append(i)
+            out_html.append(htmls[i])
+            out_round.append(int(nav_round_arr[i]))
+            out_last.append(True)
+        idx = np.asarray(out_idx, dtype=np.int64)
         return (
-            batch.append_column("html", pa.array(htmls, pa.binary()))
-            .append_column("status", pa.array(statuses, pa.int32()))
+            batch.take(pa.array(idx, pa.int64()))
+            .append_column("html", pa.array(out_html, pa.binary()))
+            .append_column("status", pa.array(statuses[idx], pa.int32()))
             .append_column(
-                "robots_blocked", pa.array(blocked_flags, pa.bool_()))
+                "robots_blocked", pa.array(blocked_flags[idx], pa.bool_()))
+            .append_column("nav_round", pa.array(out_round, pa.int32()))
+            .append_column("nav_last", pa.array(out_last, pa.bool_()))
         )

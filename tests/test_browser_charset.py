@@ -58,6 +58,49 @@ def test_apply_browser_step_gating():
     assert apply_browser(b"shell", RENDERED, 9) == both
 
 
+def test_apply_browser_script_injection_gating():
+    """README.md:181-195 `script` hook: a jsinject block is revealed only
+    when the rule's script hashes to the block's data-key."""
+    import hashlib
+
+    from neocrawler_ray.stages.fetch import rule_script_key
+
+    script = "window.__nc = 1;"
+    key = hashlib.md5(script.encode()).hexdigest()[:8]
+    rendered = RENDERED.replace(
+        b"</body>",
+        f'<div class="jsinject" data-key="{key}">'
+        f'<a class="item" href="item_inj.html">inj</a></div></body>'
+        .encode())
+    assert rule_script_key({"script": script}) == key
+    assert rule_script_key({}) is None
+    with_script = apply_browser(b"shell", rendered, 2, key)
+    assert b"item_inj" in with_script and b"item_3" in with_script
+    # no script / wrong script → block stripped (steps unaffected)
+    assert b"item_inj" not in apply_browser(b"shell", rendered, 2, None)
+    assert b"item_inj" not in apply_browser(b"shell", rendered, 2, "deadbeef")
+    assert b"item_3" in apply_browser(b"shell", rendered, 2, None)
+
+
+def test_cookie_gate():
+    """M15 made observable (downloader.js:117-123): a require-cookie page
+    is served only when the rule's cookie header carries the pair."""
+    from neocrawler_ray.stages.fetch import (LOGIN_STUB, apply_cookie_gate,
+                                             rule_cookie_header)
+
+    body = b"<!--require-cookie:auth=tok3--><html><body>secret</body></html>"
+    rule = {"cookie": [{"name": "auth", "value": "tok3"}]}
+    hdr = rule_cookie_header(rule)
+    assert hdr == "auth=tok3"
+    assert apply_cookie_gate(body, hdr) == body
+    assert apply_cookie_gate(body, "") == LOGIN_STUB
+    assert apply_cookie_gate(body, "auth=wrong") == LOGIN_STUB
+    assert apply_cookie_gate(body, "a=b;auth=tok3") == body
+    # unmarked pages pass through untouched
+    assert apply_cookie_gate(b"<html>x</html>", "") == b"<html>x</html>"
+    assert apply_cookie_gate(None, hdr) is None
+
+
 def test_navigate_steps_defaults():
     # reference defaults (webconfig/controllers/rule.js:29-30):
     # navigate_rule [] + stoppage -1 → no navigation rounds
@@ -82,8 +125,8 @@ def test_browser_rules_map_keys_and_steps():
     }
     m = browser_rules_map(rules)
     assert m == {
-        "urllib:driller:site.example:list": 2,
-        "urllib:driller:site.example:detail": 0,
+        "urllib:driller:site.example:list": (2, None),
+        "urllib:driller:site.example:detail": (0, None),
     }
 
 

@@ -78,20 +78,104 @@ def test_url_seen_parity(engine_out, oracle_result):
 def test_text_and_state_parity(engine_out, oracle_result):
     out, _ = engine_out
     ext = pads.dataset(f"{out}/extracted").to_table(
-        columns=["url", "retries", "text", "final_state", "status"]
+        columns=["url", "retries", "nav_round", "text", "final_state",
+                 "status"]
     ).to_pylist()
-    # one output row per ATTEMPT (T6 retry loop): key rows by
-    # (url, attempt#) — unique on both sides
-    by_key = {(e["url"], e["retries"]): e for e in oracle_result["extracted"]}
+    # one output row per ATTEMPT (T6 retry loop) per NAVIGATION ROUND
+    # (S6 per-round results): key rows by (url, attempt#, round) —
+    # unique on both sides
+    by_key = {(e["url"], e["retries"], e["nav_round"]): e
+              for e in oracle_result["extracted"]}
     assert len(ext) == len(by_key)
     for r in ext:
-        o = by_key[(r["url"], r["retries"])]
+        o = by_key[(r["url"], r["retries"], r["nav_round"])]
         assert r["text"] == o["text"], r["url"]          # byte-identical
         assert r["final_state"] == o["final_state"]
         assert r["status"] == o["status"]
     # coverage: every non-robots corpus page was crawled successfully or
     # deliberately failed (short/dead/robots fixtures)
     assert sum(1 for r in ext if r["final_state"] == "crawled_finish") > 300
+
+
+def test_per_round_results_for_jshandle(engine_out, oracle_result):
+    """S6 per-click-round emission (phantomjs-bridge.js:157-236): a
+    stoppage-3 jshandle rule emits one crawled result per navigation
+    round — 3 rows per list url on the browser domain, with the jsnav
+    links appearing cumulatively round by round."""
+    out, _ = engine_out
+    ext = pads.dataset(f"{out}/extracted").to_table(
+        columns=["url", "retries", "nav_round", "final_state", "n_links"]
+    ).to_pylist()
+    list_rows = [r for r in ext if "site2.example/cat_" in r["url"]
+                 and "/list_" in r["url"]]
+    assert list_rows, "browser-domain list pages missing from the run"
+    by_url: dict[str, list[dict]] = {}
+    for r in list_rows:
+        by_url.setdefault(r["url"], []).append(r)
+    for url, rows in by_url.items():
+        rounds = sorted(r["nav_round"] for r in rows)
+        assert rounds == [0, 1, 2], (url, rounds)  # stoppage=3 → 3 rows
+        links = [r["n_links"] for r in
+                 sorted(rows, key=lambda x: x["nav_round"])]
+        # each click round reveals one more jsnav item link
+        assert links[0] + 1 == links[1] == links[2] - 1, (url, links)
+    # the oracle produced the identical per-round row multiset
+    ora = [e for e in oracle_result["extracted"]
+           if "site2.example/cat_" in e["url"] and "/list_" in e["url"]]
+    assert sorted((e["url"], e["nav_round"]) for e in ora) == sorted(
+        (r["url"], r["nav_round"]) for r in list_rows)
+
+
+def test_script_and_cookie_gates_observable(corpus, tmp_path_factory,
+                                            oracle_result):
+    """README.md:181-195 `script` hook + downloader.js:117-123 cookies,
+    both observable: the jshandle list rule's injected script reveals
+    item_9xxxxx detail pages (absent when the script is stripped), and
+    the proxied domain's every-7th≡3 item demands a cookie the rule
+    lacks → deterministic login-stub failures.  Engine parity rides the
+    main e2e tests (engine ≡ oracle on this corpus); here the ORACLE
+    semantics themselves are pinned, incl. the negative paths."""
+    import json
+    import re
+    import shutil
+
+    from neocrawler_ray.pipelines.oracle import run_oracle
+
+    inj = [e for e in oracle_result["extracted"]
+           if re.search(r"item_9\d{5}\.html", e["url"])]
+    assert inj, "script-injected detail pages were not crawled"
+    assert all(e["final_state"] == "crawled_finish" for e in inj
+               if e["retries"] == 0 and e["status"] == 200)
+
+    d3_items = [e for e in oracle_result["extracted"]
+                if "site3.example/cat_" in e["url"] and "item_" in e["url"]
+                and e["status"] == 200]
+    assert d3_items
+    gated = [e for e in d3_items
+             if int(re.search(r"id=(\d+)", e["url"]).group(1)) % 7 == 3]
+    ungated = [e for e in d3_items
+               if int(re.search(r"id=(\d+)", e["url"]).group(1)) % 7 != 3
+               and int(re.search(r"id=(\d+)", e["url"]).group(1)) % 97 != 13]
+    assert gated and ungated
+    # missing-cookie pages serve the login stub → never valid
+    assert all(not e["valid"] and e["text"] == "" for e in gated)
+    assert any(e["final_state"] == "crawled_finish" for e in ungated)
+
+    # negative control: stripping the script removes the injected pages
+    alt = str(tmp_path_factory.mktemp("noscript_corpus"))
+    shutil.rmtree(alt)
+    shutil.copytree(corpus, alt)
+    rules = json.load(open(f"{alt}/rules.json"))
+    rules["site2.example"]["list"]["script"] = ""
+    with open(f"{alt}/rules.json", "w") as f:
+        json.dump(rules, f)
+    res = run_oracle(alt, _settings())
+    assert not any(re.search(r"item_9\d{5}\.html", e["url"])
+                   for e in res["extracted"])
+    # jsnav navigation still works without the script
+    assert any("utm=js" not in e["url"]
+               and "site2.example/cat_" in e["url"]
+               and e["nav_round"] > 0 for e in res["extracted"])
 
 
 def test_resume_from_checkpoint(corpus, tmp_path_factory, ray_session,

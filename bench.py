@@ -93,6 +93,14 @@ def run_crawl(sf_dir: str, num_cpus: int) -> dict:
         import neocrawler_ray.stages.extract_stage  # noqa: F401
         import neocrawler_ray.stages.fetch  # noqa: F401
         import neocrawler_ray.functions.extract  # noqa: F401
+        # query-path kernels too: the first dedup_minhash call was
+        # paying ~3-4 s of per-worker import/JIT that is warm-up, not
+        # operator cost (measured 9.2 s cold-first vs 4.1-5.0 s warm)
+        import neocrawler_ray.functions.dedup as dd
+        import neocrawler_ray.functions.similarity  # noqa: F401
+        import neocrawler_ray.functions.text_stats  # noqa: F401
+        import pandas as pd
+        dd.minhash_batch(pd.DataFrame({"doc_id": [1], "text": ["warm up"]}))
         return b
 
     ray.data.range(num_cpus * 4).map_batches(
@@ -138,11 +146,19 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_tfidf_top": lambda: consume(co.doc_tfidf_top(sf_dir)),
         "q3_top_revenue": lambda: consume(an.q3_top_revenue(sf_dir)),
     }
+    # best-of-R per query (default 2): like the headline crawl, a single
+    # sample records host steal + first-call worker warm-up, not the
+    # operator (dedup_minhash measured 6.8 s cold-first vs 4.3-4.7 s on
+    # the immediately following run of the same code)
+    reps = int(os.environ.get("GRAFT_QUERY_REPEATS", "2"))
     out = {}
     for name, fn in timed.items():
-        t0 = time.perf_counter()
-        fn()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     return out
 
 
@@ -225,7 +241,10 @@ def scaling_main(sf_dir: str, n_lo: int = 4, n_hi: int = 16,
 
     # warm the corpus cache outside the timed runs
     corpus_for_sf(sf_dir, page_weight=BENCH_PAGE_WEIGHT)
-    env = dict(os.environ, GRAFT_PIN_CPUS="1")
+    # one crawl per leg: steal-robustness comes from the interleaved
+    # matched-pair protocol (quietest window_cost pair), not from
+    # best-of-R inside a leg — R>1 would triple the ladder's wall time
+    env = dict(os.environ, GRAFT_PIN_CPUS="1", GRAFT_CRAWL_REPEATS="1")
 
     def leg(n: int) -> dict:
         proc = subprocess.run(

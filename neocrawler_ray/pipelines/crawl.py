@@ -101,7 +101,27 @@ SCHED_SCHEMA = pa.schema(
 )
 
 
-def _scheduled_to_table(scheduled: list[dict]) -> pa.Table:
+def _scheduled_to_table(scheduled) -> pa.Table:
+    if isinstance(scheduled, dict):  # columnar fast path (scheduler emit)
+        n = len(scheduled["url"])
+        return pa.table(
+            {
+                "seq": pa.array(range(n), pa.int64()),
+                "wave": pa.array([scheduled["wave"]] * n, pa.int32()),
+                "url": pa.array(scheduled["url"], pa.string()),
+                "urllib": pa.array(scheduled["urllib"], pa.string()),
+                "version": pa.array(
+                    (int(v) for v in scheduled["version"]), pa.int64()),
+                "referer": pa.array(
+                    (r or "" for r in scheduled["referer"]), pa.string()),
+                "drill_relation": pa.array(
+                    (r or "*" for r in scheduled["drill_relation"]),
+                    pa.string()),
+                "retry": pa.array(
+                    (int(r or 0) for r in scheduled["retry"]), pa.int32()),
+            },
+            schema=SCHED_SCHEMA,
+        )
     return pa.Table.from_pylist(
         [
             {
@@ -374,12 +394,12 @@ class CrawlJob:
                 wave, self.entries, self.total_rates, self.shards, s,
                 backlog_len=0, submit=self._submit, resolve=self._resolve,
                 submit2=self._submit2, cast=self._cast,
-                speculative=spec_ok,
+                speculative=spec_ok, columnar=True,
             )
             t = _tick("schedule", t)
             _harvest()
             t = _tick("harvest", t)
-            if not scheduled:
+            if not scheduled["url"]:
                 break
             version = s.wave_version(wave)
             # 'crawling' pickup marks are folded into the pop/seed RPCs

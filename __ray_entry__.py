@@ -219,8 +219,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_antijoin": an.order_priority_antijoin,
         # LAG window: per-user inter-arrival microseconds
         "events_time_since_last": an.events_time_since_last,
+        # whale-entity salt path (time-bucket sub-partition + boundary
+        # stitch) — same answer, hence the same SQL oracle row
+        "events_time_since_last_salted":
+            lambda sf: an.events_time_since_last(sf, salt_shift=33),
         "events_funnel": an.events_funnel,
         "events_rolling_sum": an.events_rolling_sum,
+        "events_rolling_sum_salted":
+            lambda sf: an.events_rolling_sum(sf, salt_shift=33),
         "events_distinct_users": an.events_distinct_users,
         "q1_lineitem": an.q1_lineitem,
         "q6_revenue": an.q6_revenue,
@@ -335,6 +341,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "order_priority_semijoin": an.ORDER_PRIORITY_SEMIJOIN_SQL,
         "order_priority_antijoin": an.ORDER_PRIORITY_ANTIJOIN_SQL,
         "events_time_since_last": an.EVENTS_TIME_SINCE_LAST_SQL,
+        "events_time_since_last_salted": an.EVENTS_TIME_SINCE_LAST_SQL,
+        "events_rolling_sum_salted": an.events_rolling_sum_sql(),
         "events_distinct_users": an.EVENTS_DISTINCT_USERS_SQL,
         "events_funnel": an.EVENTS_FUNNEL_SQL,
         "events_rolling_sum": an.events_rolling_sum_sql(),

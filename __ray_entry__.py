@@ -160,10 +160,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE (driver contract): the correctness gate checks at most the FIRST
     # 50 entries of this dict — round 3 had 54 and the last 4 (all
     # SQL-checkable) silently got no oracle row.  Order is therefore
-    # significant: every oracle_sql()-backed query comes first, then the
-    # rows-only crawl family, then the structurally-no-oracle entries whose
-    # parity lives in pytest equivalence/tolerance tests (those lose least
-    # if the cap truncates them).
+    # significant: every oracle_sql()-backed query comes first (43 of 56),
+    # then the rows-only crawl family, then the structurally-no-oracle
+    # entries whose parity lives in pytest equivalence/tolerance tests.
+    # The 6 entries past the cap (emb-LSH, IVF, clusters ×2, t-digest,
+    # HLL) are a deliberate trade: each is recall/equivalence/tolerance-
+    # tested in pytest, and their rows-only driver check carries less
+    # signal than the oracle rows and crawl evidence kept inside the cap.
     return {
         # rule-engine extraction with a SQL-checkable envelope (M7-M10)
         "doc_extract": de.doc_extract,

@@ -570,6 +570,11 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
         pr = df[df["side"] >= 0]
         if pr.empty:
             return attach_schema.empty_table()
+        # collapse=False upstream: a pair found by k bands arrives k
+        # times, and all copies of a (pair_key, side) co-locate here (the
+        # exchange keys on doc_id) — dedupe BEFORE attaching payloads so
+        # the pair_key exchange doesn't ship each shingle set k times
+        pr = pr.drop_duplicates(["pair_key", "side"])
         sh = df[df["side"] < 0]
         payloads = dict(zip(sh["doc_id"], sh["payload"]))
         return pa.Table.from_pydict(
@@ -745,7 +750,12 @@ def dedup_ngram_pairs(sf_dir: str, threshold_num: int = 1,
     # docs of shingles per partition balances the hot buckets)
     parts = _parts_for(sf_dir, "documents", rows_per_part=150)
 
+    from ..sources.tables import table_rows
+
+    # a shingle's df cannot exceed the doc count, so corpora smaller than
+    # df_block provably have no hot shingles — skip the prepass scan
     hot_map = ({} if df_block is None
+               or table_rows(sf_dir, "documents") <= df_block
                else _ngram_hot_shingles(sf_dir, df_block, df_sample_mod))
     if hot_map:
         import ray

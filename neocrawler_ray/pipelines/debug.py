@@ -67,10 +67,14 @@ def test_single_url(corpus_dir: str, url: str, out_dir: str,
         fetched = fetch(batch_for(attempt))
         if fetched.column("status")[0].as_py() != 503:
             break
-    result = extract(fetched).to_pylist()[0]
+    # a jshandle url expands to one row per navigation round (S6); the
+    # debug tool shows the FINAL round — the page after the full click
+    # budget, like the reference's phantomjs debug dump — which is the
+    # last row of the expansion (nav_last=True)
+    result = extract(fetched).to_pylist()[-1]
     result["attempts"] = attempt + 1
 
-    html = fetched.column("html")[0].as_py()
+    html = fetched.column("html")[-1].as_py()
     if html is not None:  # debug-page.html (pipeline.js:523-527)
         with open(os.path.join(out_dir, "debug-page.html"), "wb") as f:
             f.write(html)

@@ -473,12 +473,18 @@ class FrontierShard:
             # speculative-scheduler exactness guard (scheduler.py
             # run_schedule_wave docstring): every url must be reachable
             # from exactly ONE rule's queue.  Link routing is first-match
-            # per URL so this holds by construction; the assertion makes
-            # the assumption fail loudly if a rule change ever breaks it.
-            assert info.get("trace") == urllib_key, (
-                f"url_md5 {kk} queued under a second urllib key "
-                f"({info.get('trace')!r} then {urllib_key!r}) — violates "
-                "the speculative scheduler's one-rule-per-url assumption")
+            # per URL so this holds by construction — EXCEPT after a T5
+            # rules hot-reload reroutes an existing url to a different
+            # rule, which is legitimate (and tolerated by the reference's
+            # scheduler), so a mismatch is counted, not asserted: the
+            # re-queued url sits in only the NEW rule's queue (its old
+            # entry was consumed, and schedule/crawling lock states block
+            # re-queue while one is pending), so spec-pop disjointness
+            # still holds; the counter makes any other source of
+            # multi-rule traffic visible in stats() instead of killing
+            # the actor mid-commit.
+            if info.get("trace") != urllib_key:
+                self._bump("trace_reroutes", 1)
             self.queues.setdefault(urllib_key, deque()).append(final_link)
         return validate
 

@@ -98,6 +98,24 @@ def test_save_link_crawling_10min_lock_and_failure_readmit():
     assert _save(shard, now=10**12 + 1)
 
 
+def test_save_link_tolerates_hot_reload_reroute():
+    """A T5 rules hot-reload can legitimately reroute an existing url to
+    a different rule (url_pattern change) while its stored trace still
+    points at the old rule; _save_link must queue it under the NEW key
+    and count the reroute, not crash the actor (round-4 review)."""
+    shard, s = mk_shard()
+    _save(shard, now=0)
+    info = shard.url_info[url_md5(LINK)]
+    assert info["trace"] == URLLIB
+    # url finished a failed crawl → re-admittable immediately
+    info["status"] = "crawled_failure"
+    info["last"] = 10**12
+    other = f"urllib:driller:{DOMAIN}:list"
+    assert shard._save_link(other, LINK, "http://ref/", "*", 2, 10**12 + 1)
+    assert shard.queue_len(other) == 1
+    assert shard.stats().get("trace_reroutes") == 1
+
+
 def test_save_link_id_parameter_canonicalization():
     shard, _ = mk_shard()
     assert _save(shard, 0, link="http://www.site0.example/item_2?id=2&utm=x")

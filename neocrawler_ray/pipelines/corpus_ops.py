@@ -576,12 +576,22 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
         # the pair_key exchange doesn't ship each shingle set k times
         pr = pr.drop_duplicates(["pair_key", "side"])
         sh = df[df["side"] < 0]
-        payloads = dict(zip(sh["doc_id"], sh["payload"]))
+        # sorted-array merge instead of a per-partition {doc_id: payload}
+        # Python dict (O(partition) heap + build per task — the same
+        # shape as the round-2 fetch index, flagged in the r3 review)
+        sh_ids = sh["doc_id"].to_numpy(dtype="int64")
+        order = np.argsort(sh_ids, kind="stable")
+        sh_ids = sh_ids[order]
+        sh_pay = sh["payload"].to_numpy()[order]
+        q = pr["doc_id"].to_numpy(dtype="int64")
+        pos = np.searchsorted(sh_ids, q)
+        ok = pos < len(sh_ids)
+        ok[ok] = sh_ids[pos[ok]] == q[ok]
         return pa.Table.from_pydict(
             {"pair_key": pr["pair_key"].tolist(),
              "side": pr["side"].tolist(),
-             "payload": [bytes(payloads.get(i, b""))
-                         for i in pr["doc_id"]]},
+             "payload": [bytes(sh_pay[p]) if o else b""
+                         for p, o in zip(pos, ok)]},
             schema=attach_schema)
 
     # verify exchanges move (doc_id → payload) rows + candidate-volume

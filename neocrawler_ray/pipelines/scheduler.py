@@ -255,7 +255,10 @@ def run_schedule_wave(
     # known carry as ``delta``) — no driver round trip per repair, one
     # resolve for all of them.  A repair whose true carry turns out 0
     # degenerates to pop(0): a no-op, so maybe-zero submissions are
-    # safe.
+    # safe.  (A pre-submitted hop-per-rule chain was tried and measured
+    # SLOWER: chain depth grows from the ~2-3 actual repairs to #rules
+    # per wave, and at ~10 ms per cross-actor dataflow hop the longer
+    # chain costs more than the post-resolve round trip it hides.)
     repair_for_step: dict[int, int] = {}
     repair_out: list = []
     if speculative:
@@ -281,6 +284,8 @@ def run_schedule_wave(
                 PHASES["sched_repairs_n"] = (
                     PHASES.get("sched_repairs_n", 0) + 1)
         repair_out = resolve(repair_out) if repair_out else []
+    _p3 = _time.perf_counter()
+    PHASES["sched_repair"] = PHASES.get("sched_repair", 0.0) + (_p3 - _p2)
 
     # --- emit the schedule log in serve order --------------------------
     # columnar accumulation (6 list appends/row beats a dict alloc — the
@@ -301,11 +306,11 @@ def run_schedule_wave(
         c_rel.append(relation or "*")
         c_retry.append(retry)
 
-    def _emit_many(rows, urllib_key):
-        # bulk path for pop results (list of (url, ver, referer,
-        # relation) tuples): one zip transpose + extends instead of a
-        # per-row Python call — the emit loop is driver-serial
-        u, v, rf, rl = zip(*rows)
+    def _emit_many(cols, urllib_key):
+        # bulk path for pop results — already COLUMNAR from the shard
+        # (4 parallel lists), so the emit is pure list.extend with no
+        # per-row transpose; the emit loop is driver-serial
+        u, v, rf, rl = cols
         c_url.extend(u)
         c_ulib.extend([urllib_key] * len(u))
         c_ver.extend(v)
@@ -333,15 +338,16 @@ def run_schedule_wave(
             _, ti, urllib_key, sid, lifo, interval = step
             accepted, _left = results[ti]
             if si in repair_for_step:
-                accepted = (list(accepted)
-                            + list(repair_out[repair_for_step[si]][0]))
-            if accepted:
+                rep = repair_out[repair_for_step[si]][0]
+                accepted = tuple(list(a) + list(b)
+                                 for a, b in zip(accepted, rep))
+            if accepted[0]:
                 _emit_many(accepted, urllib_key)
         else:
             _, ti, keys = step
             out = results[ti]
             for urllib_key, accepted in zip(keys, out):
-                if accepted:
+                if accepted[0]:
                     _emit_many(accepted, urllib_key)
     if columnar:
         scheduled = {"wave": wave, "url": c_url, "urllib": c_ulib,
@@ -355,5 +361,5 @@ def run_schedule_wave(
                 zip(c_url, c_ulib, c_ver, c_ref, c_rel, c_retry))
         ]
     PHASES["sched_emit"] = (PHASES.get("sched_emit", 0.0)
-                            + (_time.perf_counter() - _p2))
+                            + (_time.perf_counter() - _p3))
     return scheduled

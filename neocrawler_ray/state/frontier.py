@@ -228,16 +228,22 @@ class FrontierShard:
                      now: int):
         """Pop up to ``ct`` admissible urls from one rule's queue.
 
-        Returns ``(accepted, left)`` where ``accepted`` is a list of
-        ``(url, version, referer, drill_relation)`` and ``left`` the unmet
-        quota carried to the next rule (leftover-carry parity).
+        Returns ``(accepted, left)`` where ``accepted`` is COLUMNAR —
+        four parallel lists ``(urls, versions, referers, drill_relations)``
+        — and ``left`` the unmet quota carried to the next rule
+        (leftover-carry parity).  The columnar shape keeps the driver's
+        emit loop a plain ``list.extend`` (no per-row tuple transpose) and
+        pickles as 4 primitive lists instead of O(rows) tuple objects.
         Urls failing checkURL are dropped from the queue exactly as the
         reference pops-without-requeue does.  When the head url's host has
         exhausted its politeness budget this wave, draining stops and the
         queue keeps its remaining urls (deterministic wave politeness).
         """
         q = self.queues.get(urllib_key)
-        accepted: list[tuple] = []
+        a_url: list = []
+        a_ver: list = []
+        a_ref: list = []
+        a_rel: list = []
         count = 0
         budget = self.settings.politeness_per_host_per_wave
         host_budget = self._host_counts
@@ -253,14 +259,10 @@ class FrontierShard:
             if ok_kk is not None:
                 ok, kk = ok_kk
                 info = self.url_info[kk]
-                accepted.append(
-                    (
-                        ok,
-                        int(info.get("version") or 0),
-                        info.get("referer", ""),
-                        info.get("drill_relation", "*"),
-                    )
-                )
+                a_url.append(ok)
+                a_ver.append(int(info.get("version") or 0))
+                a_ref.append(info.get("referer", ""))
+                a_rel.append(info.get("drill_relation", "*"))
                 # spider pickup mark folded into the pop (see push_seeds)
                 self.update_link_state(ok, "crawling", False, now, kk=kk)
                 count += 1
@@ -269,7 +271,7 @@ class FrontierShard:
             else:
                 self._bump("check_rejected")
         left = ct - count if count < ct else 0
-        return accepted, left
+        return (a_url, a_ver, a_ref, a_rel), left
 
     def schedule_pop_run(self, reqs: list[tuple], left_in: int, now: int):
         """A run of consecutive same-shard ``schedule_pop``s in one RPC,

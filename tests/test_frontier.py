@@ -141,7 +141,7 @@ def test_schedule_pop_60min_lock_and_hit_bypass():
     _save(shard, now=0)
     # status 'hit' bypasses the interval check (scheduler/index.js:379)
     acc, left = shard.schedule_pop(URLLIB, 5, False, 3600, now=1)
-    assert [a[0] for a in acc] == [LINK] and left == 4
+    assert acc[0] == [LINK] and left == 4
     info = shard.url_info[url_md5(LINK)]
     # pop folds the spider pickup mark (spider/index.js:55-59) in — the url
     # leaves the pop already 'crawling'; both states hit the same 60-min
@@ -150,7 +150,7 @@ def test_schedule_pop_60min_lock_and_hit_bypass():
     # re-queue while locked: 60-min scheduler lock
     shard.queues.setdefault(URLLIB, __import__("collections").deque()).append(LINK)
     acc, _ = shard.schedule_pop(URLLIB, 5, False, 3600, now=1 + s.scheduler_lock_ms - 1)
-    assert acc == []  # dropped, not re-queued (pop-without-requeue parity)
+    assert acc[0] == []  # dropped, not re-queued (pop-without-requeue parity)
     assert shard.queue_len(URLLIB) == 0
 
 
@@ -164,10 +164,10 @@ def test_schedule_pop_crawled_finish_interval():
     shard.queues[URLLIB] = deque([LINK])
     # within rule schedule_interval → dropped
     acc, _ = shard.schedule_pop(URLLIB, 5, False, 3600, now=3600 * 1000 - 1)
-    assert acc == []
+    assert acc[0] == []
     shard.queues[URLLIB] = deque([LINK])
     acc, _ = shard.schedule_pop(URLLIB, 5, False, 3600, now=3600 * 1000)
-    assert [a[0] for a in acc] == [LINK]
+    assert acc[0] == [LINK]
 
 
 def test_schedule_pop_fifo_lifo_and_politeness():
@@ -178,13 +178,13 @@ def test_schedule_pop_fifo_lifo_and_politeness():
         shard._save_link(URLLIB, u, "http://ref", "*", 1, now=i)
     # FIFO pop, politeness budget 2/host/wave → only 2 accepted, rest kept
     acc, left = shard.schedule_pop(URLLIB, 10, False, 3600, now=100)
-    assert [a[0] for a in acc] == urls[:2]
+    assert acc[0] == urls[:2]
     assert left == 8
     assert shard.queue_len(URLLIB) == 3
     # next wave: budget resets; LIFO pops from the tail
     shard.begin_wave()
     acc, _ = shard.schedule_pop(URLLIB, 2, True, 3600, now=200)
-    assert [a[0] for a in acc] == [urls[4], urls[3]]
+    assert acc[0] == [urls[4], urls[3]]
 
 
 # --------------------------- wave quota loop ------------------------------

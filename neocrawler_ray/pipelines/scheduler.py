@@ -339,8 +339,7 @@ def run_schedule_wave(
             accepted, _left = results[ti]
             if si in repair_for_step:
                 rep = repair_out[repair_for_step[si]][0]
-                accepted = tuple(list(a) + list(b)
-                                 for a, b in zip(accepted, rep))
+                accepted = tuple(a + b for a, b in zip(accepted, rep))
             if accepted[0]:
                 _emit_many(accepted, urllib_key)
         else:

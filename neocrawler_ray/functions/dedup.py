@@ -220,26 +220,36 @@ def _token_hashes(tokens) -> np.ndarray:
 def simhash64_batch(texts) -> np.ndarray:
     """Vectorized 64-bit SimHash (Charikar sketch) for a batch of docs.
 
-    Per doc: C-regex tokenize → hash-based value_counts → unpackbits on
-    the uint64 byte view → one (U×64) weighted bit-vote matmul — no
-    python loop over tokens×bits, and token hashing amortizes through
-    the worker-global memo.  Bit-identical to the scalar ``simhash64``.
+    ONE flat pass over every token instance of the batch: the classic
+    per-token-TYPE weighted vote ``counts @ (2*bits-1)`` equals summing
+    each INSTANCE's ±1 bit vector, i.e. ``votes = 2*bitsum - n_inst``
+    — so no per-doc value_counts / Series machinery is needed.  Steps:
+    tokenize per doc (C regex, intrinsic), hash the whole batch's
+    instances through the worker-global memo, unpackbits once on the
+    uint64 byte view, and ``np.add.reduceat`` over doc boundaries.
+    Bit-identical to the scalar ``simhash64``.
     """
-    res = np.empty(len(texts), dtype=np.uint64)
-    for n, text in enumerate(texts):
-        toks = _WORD_RE.findall(str(text).lower())
-        if not toks:
-            res[n] = 0
-            continue
-        vc = pd.Series(toks).value_counts(sort=False)
-        hashes = _token_hashes(vc.index.tolist())
-        # little-endian byte view + bitorder="little" ⇒ column i == bit i
-        bits = np.unpackbits(
-            hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int64)
-        votes = vc.to_numpy(dtype=np.int64) @ (2 * bits - 1)
-        res[n] = np.packbits(
-            (votes > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+    res = np.zeros(len(texts), dtype=np.uint64)
+    tok_lists = [_WORD_RE.findall(str(t).lower()) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    nonempty = np.nonzero(lens)[0]
+    if len(nonempty) == 0:
+        return res
+    flat: list[str] = []
+    for i in nonempty:
+        flat.extend(tok_lists[i])
+    hashes = _token_hashes(flat)
+    # little-endian byte view + bitorder="little" ⇒ column i == bit i
+    bits = np.unpackbits(
+        hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    ne_lens = lens[nonempty]
+    starts = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
+    bitsum = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    votes = 2 * bitsum - ne_lens[:, None]
+    res[nonempty] = np.packbits(
+        (votes > 0).astype(np.uint8), axis=1, bitorder="little"
+    ).view(np.uint64)[:, 0]
     return res
 
 

@@ -1205,11 +1205,14 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
     parts = _parts_for(sf_dir, "documents")
     pairs = _bucketed_pairs(ds, "band_key", bucket_pairs, num_parts=parts)
+    # the pair stream is candidate-sized (≪ corpus rows): a corpus-sized
+    # partition count here only multiplies fixed shuffle-task overhead —
+    # same sizing rule that recovered dedup_minhash_verified in round 4
     return _hash_grouped(
         pairs, ["doc_a", "doc_b"],
         lambda df: df.groupby(["doc_a", "doc_b"], as_index=False, sort=True)
         ["hamming"].min().astype({"hamming": "int64"}),
-        num_parts=parts,
+        num_parts=max(2, min(parts, 8)),
     )
 
 

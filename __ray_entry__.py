@@ -160,13 +160,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE (driver contract): the correctness gate checks at most the FIRST
     # 50 entries of this dict — round 3 had 54 and the last 4 (all
     # SQL-checkable) silently got no oracle row.  Order is therefore
-    # significant: every oracle_sql()-backed query comes first (43 of 56),
+    # significant: every oracle_sql()-backed query comes first (46 of 59),
     # then the rows-only crawl family, then the structurally-no-oracle
     # entries whose parity lives in pytest equivalence/tolerance tests.
-    # The 6 entries past the cap (emb-LSH, IVF, clusters ×2, t-digest,
-    # HLL) are a deliberate trade: each is recall/equivalence/tolerance-
-    # tested in pytest, and their rows-only driver check carries less
-    # signal than the oracle rows and crawl evidence kept inside the cap.
+    # The 9 entries past the cap (crawl_failure_report, minhash, simhash,
+    # emb-LSH, IVF, clusters ×2, t-digest, HLL) are a deliberate trade:
+    # each is parity/recall/equivalence/tolerance-tested in pytest, and
+    # their rows-only driver check carries less signal than the oracle
+    # rows and crawl evidence kept inside the cap.
     return {
         # rule-engine extraction with a SQL-checkable envelope (M7-M10)
         "doc_extract": de.doc_extract,
@@ -182,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # overlapping training-window chunking (window 128 / stride 96)
         "doc_chunks": co.doc_chunks,
         "doc_term_df": co.doc_term_df,
+        # bigram LM count table (top-k corpus bigrams by occurrence)
+        "doc_bigram_counts": co.doc_bigram_counts,
         # per-doc salient terms (log-free TF-IDF, two-exchange join)
         "doc_tfidf_top": co.doc_tfidf_top,
         # deterministic 80/10/10 hash split (train/val/test)
@@ -236,8 +239,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q3-shaped three-way join (broadcast dim + tagged orderkey
         # exchange + per-partition top-k)
         "q3_top_revenue": an.q3_top_revenue,
+        # Q5-shaped five-way join (region-filtered broadcast dims +
+        # tagged orderkey exchange deciding the local-supplier filter)
+        "q5_local_supplier_volume": an.q5_local_supplier_volume,
         "revenue_by_nation": an.revenue_by_nation,
         "top_customers": an.top_customers,
+        # cohort retention matrix (distinct-day combiner + user exchange)
+        "events_retention": an.events_retention,
         # ---- rows-only from here down (no oracle_sql entry) ----
         # crawl engine (SURVEY.md §2.1-2.4, §3): synthetic pages corpus is
         # not a registered view, so the driver does a rows-only check; full
@@ -293,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": co.dedup_ngram_pairs_sql(),
         "doc_chunks": co.doc_chunks_sql(),
         "doc_term_df": co.doc_term_df_sql(),
+        "doc_bigram_counts": co.doc_bigram_counts_sql(),
         "doc_tfidf_top": co.doc_tfidf_top_sql(),
         "doc_stats_resumable": ts.text_stats_sql(),
         "doc_split": co.doc_split_sql(),
@@ -364,6 +373,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         ),
         "q6_revenue": an.Q6_SQL,
         "q3_top_revenue": an.q3_top_revenue_sql(),
+        "q5_local_supplier_volume": an.Q5_SQL,
+        "events_retention": an.EVENTS_RETENTION_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

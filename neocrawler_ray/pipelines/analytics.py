@@ -1344,3 +1344,208 @@ WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1999-01-01'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """.strip()
+
+
+# --- TPC-H Q5-shaped local-supplier volume ---------------------------------
+
+Q5_REGION = "ASIA"
+Q5_LO = "1996-01-01"
+Q5_HI = "1997-01-01"
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-shaped five-way join: revenue per nation from line items
+    whose supplier sits in the CUSTOMER's nation, customers restricted to
+    one region, orders to one year — customer ⋈ orders ⋈ lineitem ⋈
+    supplier ⋈ nation (⋈ region).
+
+    Scale shape, one join strategy per size class:
+
+    - region ⋈ nation resolves driver-side (both ≤ a few dozen rows)
+      into the admissible nationkey set;
+    - customer and supplier are REGION-FILTERED then broadcast once via
+      ``ray.put`` as hash-sorted (key, nationkey) column pairs — tasks
+      do a zero-copy ``ray.get`` + ``np.searchsorted`` per batch, never
+      a shuffle.  (If the filtered customer dimension ever outgrows
+      broadcast, the tagged orderkey exchange below absorbs a third
+      side the same way Q3's docstring describes.)
+    - orders (date-windowed) emit (orderkey, customer-nation) survivor
+      rows; lineitem — the 100-TB side — looks up its supplier's nation
+      at the batch and collapses to per-(orderkey, supplier-nation)
+      fixed-point partial sums BEFORE the exchange;
+    - both sides meet in ONE tagged hash exchange on orderkey: the
+      in-partition merge keeps line partials whose supplier nation
+      equals the order's customer nation (the "local supplier" filter
+      is decided per partition, no second shuffle), and each partition
+      emits per-nation partial sums — the driver reduces ≤ nations ×
+      parts rows and stitches nation names from the driver-side dim.
+    """
+    import ray
+
+    from .corpus_ops import _hash_grouped
+
+    lo = np.datetime64(Q5_LO)
+    hi = np.datetime64(Q5_HI)
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    keep = nat.merge(reg[reg["r_name"] == Q5_REGION], left_on="n_regionkey",
+                     right_on="r_regionkey")
+    keep_keys = set(keep["n_nationkey"].astype(int).tolist())
+
+    def _broadcast_dim(table: str, key: str, nkey: str):
+        df = _read(sf_dir, table, [key, nkey]).to_pandas()
+        df = df[df[nkey].astype("int64").isin(keep_keys)]
+        order = np.argsort(df[key].to_numpy("int64"), kind="stable")
+        return ray.put((df[key].to_numpy("int64")[order],
+                        df[nkey].to_numpy("int64")[order]))
+
+    cust_ref = _broadcast_dim("customer", "c_custkey", "c_nationkey")
+    supp_ref = _broadcast_dim("supplier", "s_suppkey", "s_nationkey")
+
+    def _lookup(ref, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(hit mask, nationkey per hit position) via binary search on
+        the broadcast sorted key column — misses are region-filtered."""
+        keys, nk = ray.get(ref)
+        if len(keys) == 0:
+            return np.zeros(len(q), dtype=bool), np.empty(0, dtype="int64")
+        pos = np.searchsorted(keys, q)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == q)
+        return hit, nk[pos[hit]]
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"])
+
+    def o_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        win = df[(d >= lo) & (d < hi)]
+        hit, cn = _lookup(cust_ref, win["o_custkey"].to_numpy("int64"))
+        kept = win[hit]
+        z = np.zeros(len(kept), dtype="int64")
+        return pd.DataFrame(
+            {"orderkey": kept["o_orderkey"].to_numpy("int64"),
+             "nation": cn, "rev": z, "n": z,
+             "side": np.zeros(len(kept), dtype="int8")})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        hit, sn = _lookup(supp_ref, df["l_suppkey"].to_numpy("int64"))
+        kept = df[hit]
+        rev = np.floor(
+            kept["l_extendedprice"].to_numpy("float64")
+            * (1.0 - kept["l_discount"].to_numpy("float64"))
+            * 10000.0).astype("int64")
+        part = (pd.DataFrame({"orderkey": kept["l_orderkey"].astype("int64"),
+                              "nation": sn, "rev": rev})
+                .groupby(["orderkey", "nation"], as_index=False)
+                .agg(rev=("rev", "sum"), n=("rev", "size")))
+        part["rev"] = part["rev"].astype("int64")
+        part["n"] = part["n"].astype("int64")
+        part["side"] = np.ones(len(part), dtype="int8")
+        return part[["orderkey", "nation", "rev", "n", "side"]]
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        l = df[df["side"] == 1]
+        m = l.merge(o[["orderkey", "nation"]].rename(
+            columns={"nation": "c_nat"}), on="orderkey")
+        m = m[m["nation"] == m["c_nat"]]
+        g = m.groupby("nation", as_index=False).agg(
+            p_rev=("rev", "sum"), p_n=("n", "sum"))
+        return g.astype({"nation": "int64", "p_rev": "int64",
+                         "p_n": "int64"})
+
+    unioned = (orders.map_batches(o_keyed, batch_format="pandas")
+               .union(line.map_batches(l_partial, batch_format="pandas")))
+    fin = _finish_small(_hash_grouped(unioned, ["orderkey"], join_part,
+                                      num_parts=32),
+                        ["nation"], {"p_rev": "revenue_e4", "p_n": "n_items"})
+    names = nat.set_index(nat["n_nationkey"].astype("int64"))["n_name"]
+    out = pd.DataFrame({"n_name": fin["nation"].map(names).astype(str),
+                        "revenue_e4": fin["revenue_e4"],
+                        "n_items": fin["n_items"]})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+Q5_SQL = f"""
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000)
+            AS BIGINT)) AS BIGINT) AS revenue_e4,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q5_HI}'
+GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+# --- cohort retention -------------------------------------------------------
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST active day
+    (the cohort), counted on each later day they return — the standard
+    product-analytics / training-data freshness table.
+
+    Scale shape: batches collapse to distinct (user, day) rows (a
+    combiner — the exchange carries at most users × active-days rows,
+    never per-event rows); ONE hash exchange on user_id co-locates each
+    user's history, so the partition derives the user's cohort (min
+    day), re-dedups (user, day) exactly, and emits answer-sized
+    (cohort, offset) partial counts; the driver sums ≤ cohorts ×
+    offsets × parts rows.  Day arithmetic is integer days since epoch —
+    no timezone/float seams between engines."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def distinct_days(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy(dtype="datetime64[D]")
+               .astype("int64"))
+        return (pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                              "day": day})
+                .drop_duplicates())
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # exact: the user's rows all live here
+        cohort = df.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame({"cohort_day": cohort.astype("int64"),
+                            "day_offset": (df["day"] - cohort)
+                            .astype("int64")})
+        g = out.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return g.rename(columns={"size": "p_n"}).astype({"p_n": "int64"})
+
+    partials = _hash_grouped(
+        ds.map_batches(distinct_days, batch_format="pandas"),
+        ["user_id"], per_user, num_parts=32)
+    fin = _finish_small(partials, ["cohort_day", "day_offset"],
+                        {"p_n": "n_users"})
+    out = pd.DataFrame(
+        {"cohort_date": fin["cohort_day"].to_numpy("datetime64[D]")
+         .astype(str),
+         "day_offset": fin["day_offset"].astype("int64"),
+         "n_users": fin["n_users"]})
+    return out.sort_values(["cohort_date", "day_offset"]).reset_index(
+        drop=True)
+
+
+EVENTS_RETENTION_SQL = """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+           FROM events GROUP BY 1),
+ a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_date,
+       CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

@@ -229,6 +229,69 @@ GROUP BY term ORDER BY df DESC, term LIMIT {k}
 """.strip()
 
 
+BIGRAM_TOP_K = 100
+
+
+def doc_bigram_counts(sf_dir: str, k: int = BIGRAM_TOP_K) -> pd.DataFrame:
+    """N-gram language-model count table: the top-``k`` corpus bigrams
+    by OCCURRENCE count (not document frequency) — the building block
+    of count-based LM statistics, contamination probes, and boilerplate
+    detection over a training corpus.
+
+    Scale shape (mirrors :func:`doc_term_df`): per batch, one explode →
+    drop empty tokens → vectorized adjacent-pair join within each doc →
+    ``value_counts`` partial, so the exchange carries one row per
+    (bigram, block) — bounded by bigram-vocabulary growth, never corpus
+    tokens; a bigram-hash partition sums exactly; each partition emits
+    only its own top-``k`` candidates (a global winner must win its
+    partition) and the driver reduces ≤ k × parts rows.  Ties break
+    lexicographically for determinism."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # astype("string").fillna("") — see doc_term_df (NULL → no tokens)
+        s = (df["text"].astype("string").fillna("")
+             .astype(str).str.split(" ").explode())
+        s = s[s != ""]
+        vals = s.to_numpy(dtype=object)
+        idx = s.index.to_numpy()
+        if len(vals) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                                 "c": pd.Series([], dtype="int64")})
+        same_doc = idx[:-1] == idx[1:]
+        left = pd.Series(vals[:-1][same_doc])
+        big = left.str.cat(pd.Series(vals[1:][same_doc]), sep=" ")
+        vc = big.value_counts(sort=False)
+        return pd.DataFrame({"bigram": vc.index.astype(str),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", as_index=False)["c"].sum()
+        g = g.sort_values(["c", "bigram"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    cands = _hash_grouped(ds.map_batches(partial, batch_format="pandas"),
+                          ["bigram"], topk_part, num_parts=32).to_pandas()
+    out = (cands.sort_values(["c", "bigram"], ascending=[False, True],
+                             kind="mergesort").head(k)
+           .reset_index(drop=True)
+           .rename(columns={"c": "n"}))
+    out["n"] = out["n"].astype("int64")
+    return out[["bigram", "n"]]
+
+
+def doc_bigram_counts_sql(k: int = BIGRAM_TOP_K) -> str:
+    return f"""
+WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+ b AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t)
+SELECT ts[i] || ' ' || ts[i + 1] AS bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT {k}
+""".strip()
+
+
 CHUNK_WINDOW = 128   # tokens per training window
 CHUNK_STRIDE = 96    # window - overlap (32-token overlap)
 

@@ -23,7 +23,7 @@ SF = "/root/testdata/sf0.001"
 def con():
     c = duckdb.connect()
     for t in ("documents", "embeddings", "events", "lineitem", "orders",
-              "customer", "nation"):
+              "customer", "nation", "supplier", "region"):
         c.execute(
             f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
         )
@@ -296,6 +296,80 @@ def test_doc_term_df_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 
     assert_matches_sql(co.doc_term_df(SF), con, co.doc_term_df_sql())
+
+
+def test_doc_bigram_counts_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_bigram_counts(SF), con,
+                       co.doc_bigram_counts_sql())
+
+
+def test_doc_bigram_counts_edge_texts(ray_session, tmp_path):
+    """Multi-space runs, NULL text, single-token and empty docs must
+    neither crash nor fabricate bigrams across the dropped gaps —
+    adjacency is over the non-empty token stream (the SQL contract:
+    list_filter before pairing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["a  b   c", None, "", "solo", "a b"],
+                         type=pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = co.doc_bigram_counts(str(tmp_path))
+    got = dict(zip(out["bigram"], out["n"]))
+    assert got == {"a b": 2, "b c": 1}
+
+
+def test_q5_local_supplier_volume_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q5_local_supplier_volume(SF), con, an.Q5_SQL)
+
+
+def test_events_retention_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_retention(SF), con,
+                       an.EVENTS_RETENTION_SQL)
+
+
+def test_events_retention_counts_each_user_once_per_day(ray_session,
+                                                        tmp_path):
+    """Two events by one user on the same day are ONE retained user;
+    cohort day is the user's first active day even when events arrive
+    out of order across blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pa.array([
+        # user 1: two events day 0, one day 2 (out of order)
+        pd.Timestamp("2024-03-03 09:00"), pd.Timestamp("2024-03-01 08:00"),
+        pd.Timestamp("2024-03-01 23:59"),
+        # user 2: only day 1
+        pd.Timestamp("2024-03-02 12:00"),
+    ], type=pa.timestamp("us"))
+    events = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["view"] * 4),
+        "value": pa.array([0.0] * 4),
+        "props": pa.array(["{}"] * 4),
+    })
+    pq.write_table(events, tmp_path / "events.parquet")
+    from neocrawler_ray.pipelines import analytics as an
+
+    out = an.events_retention(str(tmp_path))
+    rows = {(r.cohort_date, r.day_offset): r.n_users
+            for r in out.itertuples()}
+    assert rows == {("2024-03-01", 0): 1, ("2024-03-01", 2): 1,
+                    ("2024-03-02", 0): 1}
 
 
 def test_hll_sketch_accuracy_bands():

@@ -145,6 +145,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             lambda: consume(an.order_priority_semijoin(sf_dir)),
         "doc_tfidf_top": lambda: consume(co.doc_tfidf_top(sf_dir)),
         "q3_top_revenue": lambda: consume(an.q3_top_revenue(sf_dir)),
+        "q5_local_supplier": lambda: consume(
+            an.q5_local_supplier_volume(sf_dir)),
+        "events_retention": lambda: consume(an.events_retention(sf_dir)),
+        "doc_bigram_counts": lambda: consume(co.doc_bigram_counts(sf_dir)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

@@ -1014,6 +1014,120 @@ ORDER BY doc_a, doc_b
 """.strip()
 
 
+DECON_BENCH_MOD = 50     # every 50th doc_id stands in for the eval set
+DECON_MIN_OVERLAP = 1
+
+
+def doc_decontaminate(sf_dir: str, bench_mod: int = DECON_BENCH_MOD,
+                      min_overlap: int = DECON_MIN_OVERLAP):
+    """Benchmark decontamination scan: corpus documents sharing ≥
+    ``min_overlap`` distinct 3-word shingles with the evaluation set —
+    the standard pre-training hygiene pass that keeps test data out of
+    the training corpus.
+
+    The "benchmark" here is carved from ``documents`` by id
+    (``doc_id % bench_mod == 0``) so the op is deterministic and
+    SQL-checkable; in production it is its own small table and the
+    first pass reads that instead.
+
+    Scale shape — ZERO shuffles on the corpus side:
+
+    - pass 1 reduces the benchmark to its distinct shingle-hash union
+      (eval sets are tiny by construction; per-batch ``np.unique``
+      partials, one driver union) and broadcasts it once via
+      ``ray.put`` as a sorted uint64 array;
+    - pass 2 streams the corpus: each batch computes per-doc sorted
+      unique shingle hashes and counts membership against the broadcast
+      set with one ``np.searchsorted`` per doc — no exchange, output is
+      flagged docs only.
+
+    Equality of overlap COUNTS with the string-shingle SQL oracle rides
+    on 64-bit shingle-hash injectivity over the observed vocabulary —
+    the same assumption the green ``dedup_ngram_pairs`` oracle row
+    already banks on (a collision would merge two distinct shingles).
+    """
+    import numpy as np
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
+
+    def bench_partial(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = df["doc_id"].to_numpy("int64")
+        m = (ids % bench_mod) == 0
+        hs = [dd.shingle_hashes(str(t))
+              for t in df.loc[m, "text"].astype("string").fillna("")]
+        u = (np.unique(np.concatenate(hs)) if hs
+             else np.empty(0, dtype=np.uint64))
+        # uint64 carried as its int64 bit pattern (Arrow-safe); order is
+        # preserved because we only re-unique on the driver
+        return pd.DataFrame({"h": u.view(np.int64)})
+
+    bench_h = (ds.map_batches(bench_partial, batch_format="pandas")
+               .to_pandas()["h"].to_numpy("int64").view(np.uint64))
+    bench_ref = ray.put(np.unique(bench_h))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        keys = ray.get(bench_ref)  # zero-copy view of the shared array
+        ids = df["doc_id"].to_numpy("int64")
+        sel = np.nonzero(ids % bench_mod != 0)[0]
+        texts = df["text"].astype("string").fillna("")
+        # per-doc tokenize+hash (intrinsic, like the minhash scan), then
+        # ONE searchsorted over the batch's concatenated shingles and a
+        # reduceat segment-sum of hits per doc — no per-doc membership
+        hs_list = [dd.shingle_hashes(str(texts.iloc[i])) for i in sel]
+        lens = np.fromiter((len(h) for h in hs_list), dtype=np.int64,
+                           count=len(hs_list))
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "n_shared": pd.Series([], dtype="int64")})
+        if len(keys) == 0 or lens.sum() == 0:
+            return empty
+        flat = np.concatenate([h for h in hs_list if len(h)])
+        pos = np.searchsorted(keys, flat)
+        hit = ((pos < len(keys))
+               & (keys[np.minimum(pos, len(keys) - 1)] == flat))
+        ne = np.nonzero(lens)[0]
+        starts = np.concatenate(([0], np.cumsum(lens[ne])[:-1]))
+        n_shared = np.add.reduceat(hit, starts, dtype=np.int64)
+        keep = n_shared >= min_overlap
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids[sel[ne[keep]]], dtype="int64"),
+             "n_shared": pd.Series(n_shared[keep], dtype="int64")})
+
+    return ds.map_batches(scan, batch_format="pandas")
+
+
+def doc_decontaminate_sql(bench_mod: int = DECON_BENCH_MOD,
+                          min_overlap: int = DECON_MIN_OVERLAP) -> str:
+    """String-shingle oracle — same tokenization/edge semantics as
+    :func:`dedup_ngram_pairs_sql`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE
+           WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+           WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE list_transform(generate_series(1, len(t) - 2),
+                               i -> array_to_string(t[i:i+2], ' '))
+         END) AS s
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {bench_mod} = 0
+), corpus AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % {bench_mod} <> 0
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM corpus c JOIN bench b USING (g)
+GROUP BY 1 HAVING count(*) >= {min_overlap}
+ORDER BY 1
+""".strip()
+
+
 def dedup_clusters(sf_dir: str, lsh_threshold: float = 0.7,
                    jaccard_threshold: float = 0.8) -> pd.DataFrame:
     """Near-dup cluster assignment: union-find over verified pairs.

@@ -372,6 +372,42 @@ def test_events_retention_counts_each_user_once_per_day(ray_session,
                     ("2024-03-02", 0): 1}
 
 
+def test_doc_decontaminate_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_decontaminate(SF), con,
+                       co.doc_decontaminate_sql())
+
+
+def test_doc_decontaminate_planted_overlap(ray_session, tmp_path):
+    """A doc sharing exactly one 3-gram with the benchmark is flagged
+    with n_shared=1; disjoint docs and the benchmark docs themselves
+    are not emitted; short (<3-token) docs match on the whole-doc
+    shingle only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 50], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta",     # benchmark (id 0)
+            "x alpha beta gamma y",       # shares 1 shingle with doc 0
+            "nothing in common here",     # disjoint
+            "tiny doc",                   # short: whole-doc shingle
+            "alpha beta gamma delta",     # exact dup of a bench doc
+            "tiny doc",                   # benchmark (id 50), short
+        ], type=pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = co.doc_decontaminate(str(tmp_path)).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_shared"]))
+    # doc 1: "alpha beta gamma" only; doc 3: whole-doc "tiny doc" from
+    # bench doc 50; doc 4: both shingles of the 4-token bench doc 0
+    assert got == {1: 1, 3: 1, 4: 2}
+
+
 def test_hll_sketch_accuracy_bands():
     """Function-level HLL across regimes: linear-counting range, the
     crossover, and deep register-saturation cardinalities the pipeline

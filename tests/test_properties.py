@@ -228,3 +228,20 @@ def test_speculative_schedule_equivalence_property(cfg):
                                  settings, speculative=speculative)
 
     assert run(True) == run(False)
+
+
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8",
+                                               exclude_categories=("Cs",)),
+                        max_size=60),
+                min_size=0, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_simhash_batch_matches_scalar(texts):
+    """The flat instance-level batch sketch (unpackbits + reduceat) is
+    bit-identical to the per-doc scalar path for arbitrary unicode,
+    empty, and whitespace-only inputs, in any batch composition."""
+    import numpy as np
+
+    batch = dd.simhash64_batch(texts)
+    assert batch.dtype == np.uint64
+    for t, h in zip(texts, batch):
+        assert int(h) == dd.simhash64(t)

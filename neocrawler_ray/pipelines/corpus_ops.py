@@ -229,6 +229,88 @@ GROUP BY term ORDER BY df DESC, term LIMIT {k}
 """.strip()
 
 
+HH_DENOM = 30
+
+
+def doc_term_heavy_hitters(sf_dir: str, denom: int = HH_DENOM) -> pd.DataFrame:
+    """EXACT φ-heavy-hitters over corpus token instances: every term
+    whose occurrence count exceeds ``1/denom`` of all token instances —
+    the stopword/boilerplate detector for a training corpus, and the
+    third member of the sketch family (HLL, t-digest, heavy hitters).
+
+    Scale shape — two passes, ZERO shuffles:
+
+    - pass 1 emits each block's LOCAL heavy hitters (``count_b · denom
+      > |block|``).  Pigeonhole guarantee: a term with global count ·
+      denom > n must exceed the threshold in at least one block (if it
+      trailed in every block, summing gives count · denom ≤ n) — so
+      the union of local candidates is a SUPERSET of the true answer,
+      ≤ denom candidates per block, collected once on the driver.
+      (Per-block counts are exact ``value_counts`` here; a block whose
+      own vocabulary outgrew memory would swap in a streaming
+      Misra–Gries summary with the same guarantee.)
+    - pass 2 broadcasts the candidate set once via ``ray.put`` and
+      re-counts ONLY candidates per block (plus each block's instance
+      total under a sentinel key) — partials are candidate-sized, the
+      driver reduce is answer-sized, and the integer threshold
+      ``count · denom > n`` is decided exactly, no float ratio.
+    """
+    import numpy as np
+    import ray
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _tokens(df: pd.DataFrame) -> pd.Series:
+        s = (df["text"].astype("string").fillna("")
+             .astype(str).str.split(" ").explode())
+        return s[s != ""]
+
+    def cand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = _tokens(df)
+        vc = s.value_counts(sort=False)
+        keep = vc.index[vc.to_numpy(dtype="int64") * denom > len(s)]
+        return pd.DataFrame({"term": pd.Series(keep, dtype=object)
+                             .astype(str)})
+
+    cands = np.unique(
+        ds.map_batches(cand_partial, batch_format="pandas")
+        .to_pandas()["term"].to_numpy(dtype=object))
+    cand_ref = ray.put(cands)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cand_ref)  # zero-copy view of the shared array
+        s = _tokens(df)
+        vc = s.value_counts(sort=False)
+        m = vc.index.isin(cs)
+        # "" is unreachable as a term (empties filtered) — it carries
+        # each block's instance total through the same partial stream
+        return pd.DataFrame(
+            {"term": np.concatenate((vc.index[m].to_numpy(dtype=object),
+                                     np.array([""], dtype=object))),
+             "c": np.concatenate((vc.to_numpy(dtype="int64")[m],
+                                  np.array([len(s)], dtype="int64")))})
+
+    part = (ds.map_batches(recount, batch_format="pandas").to_pandas()
+            .groupby("term", as_index=False)["c"].sum())
+    n_total = int(part.loc[part["term"] == "", "c"].sum())
+    out = part[(part["term"] != "")
+               & (part["c"].to_numpy(dtype="int64") * denom > n_total)]
+    out = out.rename(columns={"c": "n_occ"}).sort_values("term")
+    out["n_occ"] = out["n_occ"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def doc_term_heavy_hitters_sql(denom: int = HH_DENOM) -> str:
+    return f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+ nz AS (SELECT term FROM t WHERE term <> ''),
+ tot AS (SELECT count(*) AS n FROM nz)
+SELECT term, CAST(count(*) AS BIGINT) AS n_occ
+FROM nz, tot GROUP BY term, tot.n HAVING count(*) * {denom} > tot.n
+ORDER BY term
+""".strip()
+
+
 BIGRAM_TOP_K = 100
 
 

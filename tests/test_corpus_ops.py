@@ -408,6 +408,44 @@ def test_doc_decontaminate_planted_overlap(ray_session, tmp_path):
     assert got == {1: 1, 3: 1, 4: 2}
 
 
+def test_doc_term_heavy_hitters_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    out = co.doc_term_heavy_hitters(SF)
+    assert 0 < len(out) < 31  # nontrivial split at denom=30
+    assert_matches_sql(out, con, co.doc_term_heavy_hitters_sql())
+
+
+def test_doc_term_heavy_hitters_cross_block_candidate(ray_session,
+                                                      tmp_path):
+    """The candidate union must catch a term that is a GLOBAL heavy
+    hitter while trailing the local threshold in most blocks — the
+    pigeonhole guarantee the two-pass design rides on (it only needs
+    ONE block where the term clears count_b*denom > |block|)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    # 40 docs of 10 unique filler tokens each; "hot" appears once per
+    # doc (10% of a doc's 10 tokens locally... spread thin) plus one
+    # doc where it dominates.  denom=6: global threshold ~1/6 of
+    # instances — "hot" qualifies only via its dense doc's block.
+    filler = [" ".join(f"w{d}_{i}" for i in range(9)) + " hot"
+              for d in range(40)]
+    dense = " ".join(["hot"] * 60)
+    texts = filler + [dense]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = co.doc_term_heavy_hitters(str(tmp_path), denom=6)
+    # n = 40*10 + 60 = 460; hot = 100 occurrences; 100*6 > 460 → heavy
+    got = dict(zip(out["term"], out["n_occ"]))
+    assert got == {"hot": 100}
+
+
 def test_hll_sketch_accuracy_bands():
     """Function-level HLL across regimes: linear-counting range, the
     crossover, and deep register-saturation cardinalities the pipeline

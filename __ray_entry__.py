@@ -260,6 +260,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_seen": _q_crawl_url_seen,
         "crawl_report": _q_crawl_report,
         "crawl_failure_report": _q_crawl_failures,
+        # salted sessionization (boundary-mergeable chains across time
+        # cuts) — oracle_sql-backed; sits past the driver's 50-query cap
+        # by the ordering note above, so its driver row is rows-only:
+        # SQL parity runs in tools/check_correctness.py + pytest instead
+        "events_sessions_salted":
+            lambda sf: an.events_sessions(sf, salt_shift=33),
         # sketch/LSH families: non-SQL-expressible; planted-dup +
         # recall/precision pytest coverage (tests/test_lsh_bench_scale.py)
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -353,6 +359,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         ),
         "events_props_stats": an.EVENTS_PROPS_SQL,
         "events_sessions": an.EVENTS_SESSIONS_SQL,
+        "events_sessions_salted": an.EVENTS_SESSIONS_SQL,
         "events_asof_join": an.EVENTS_ASOF_SQL,
         "events_value_bands": an.events_value_bands_sql(),
         "events_value_quantiles": an.EVENTS_QUANTILES_SQL,

@@ -149,6 +149,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             an.q5_local_supplier_volume(sf_dir)),
         "events_retention": lambda: consume(an.events_retention(sf_dir)),
         "doc_bigram_counts": lambda: consume(co.doc_bigram_counts(sf_dir)),
+        "doc_decontaminate": lambda: consume(co.doc_decontaminate(sf_dir)),
+        "doc_term_heavy_hitters": lambda: consume(
+            co.doc_term_heavy_hitters(sf_dir)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

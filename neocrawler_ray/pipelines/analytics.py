@@ -299,14 +299,31 @@ def _ts_us(ts: pd.Series) -> np.ndarray:
     return ts.to_numpy(dtype="datetime64[us]").astype("int64")
 
 
-def events_sessions(sf_dir: str):
+def events_sessions(sf_dir: str, salt_shift: int | None = None):
     """Sessionize the event stream: per user, a new session starts when
     the gap to the previous event exceeds 30 min.  The canonical
     streaming-window aggregate, expressed as hash-partition-by-user →
     vectorized per-partition window kernel (diff/cumsum — no Python row
-    loop).  Partitioning assumption: one user's events fit one partition
-    (true at any scale where one user ≪ one worker's heap; salt the
-    user key if a single entity ever outgrows that)."""
+    loop).  Partitioning assumption (default path): one user's events
+    fit one partition.
+
+    **Whale-entity salt path** (``salt_shift`` set): sub-partitions each
+    user by time bucket ``ts_us >> salt_shift`` — same knob as the
+    rolling/LAG salted variants.  Sessionization is boundary-mergeable:
+    bucket edges are time cuts, so only each bucket's FIRST and LAST
+    local session can join a neighbor (two sessions merge iff the gap
+    between the last event before the cut and the first after it is ≤
+    the session gap — exactly the single-pass rule).  Pass A
+    sessionizes inside each (user, bucket) and ships per bucket only
+    its two boundary sessions (+ the bucket's session count); interior
+    sessions never re-shuffle.  Pass B — keyed by user over
+    boundary-sized rows — walks buckets in time order, merging chains
+    (a sparse bucket's single session chains straight through) and
+    assigning GLOBAL per-user session ordinals; it also emits one
+    ordinal offset per bucket with interior sessions, which reaches
+    them as a broadcast merge (answer-small: one row per bucket, never
+    per event).  Byte-identical to the single-pass answer, so it shares
+    the same SQL oracle."""
     from .corpus_ops import _hash_grouped
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -317,26 +334,152 @@ def events_sessions(sf_dir: str):
              "event_id": df["event_id"].astype("int64"),
              "ts_us": _ts_us(df["ts"])})
 
-    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts_us", "event_id"],
+    def _local_sessions(df: pd.DataFrame,
+                        also_bucket: bool) -> pd.DataFrame:
+        """Vectorized sessionize with breaks at user (and bucket)
+        changes; returns one row per local session with its 1-based
+        local ordinal."""
+        keys = ["user_id", "bucket"] if also_bucket else ["user_id"]
+        df = df.sort_values(keys + ["ts_us", "event_id"],
                             kind="mergesort").reset_index(drop=True)
         u = df["user_id"].to_numpy()
         t = df["ts_us"].to_numpy()
-        brk = np.empty(len(df), dtype="int64")
-        brk[0] = 1
+        brk = np.ones(len(df), dtype="int64")
         if len(df) > 1:
-            brk[1:] = ((u[1:] != u[:-1]) |
-                       (t[1:] - t[:-1] > SESSION_GAP_US)).astype("int64")
-        df["session_no"] = (pd.Series(brk).groupby(df["user_id"])
-                            .cumsum().astype("int64"))
-        g = df.groupby(["user_id", "session_no"], as_index=False).agg(
+            same = u[1:] == u[:-1]
+            if also_bucket:
+                b = df["bucket"].to_numpy()
+                same &= b[1:] == b[:-1]
+            brk[1:] = (~same | (t[1:] - t[:-1] > SESSION_GAP_US)
+                       ).astype("int64")
+        df["session_no"] = (pd.Series(brk).groupby(
+            [df[k] for k in keys]).cumsum().astype("int64"))
+        g = df.groupby(keys + ["session_no"], as_index=False).agg(
             n_events=("event_id", "size"),
             start_us=("ts_us", "min"), end_us=("ts_us", "max"))
         return g.astype({"n_events": "int64", "start_us": "int64",
-                         "end_us": "int64"})
+                         "end_us": "int64", "session_no": "int64"})
 
-    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
-                         ["user_id"], sessionize, num_parts=32)
+    if salt_shift is None:
+        def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+            return _local_sessions(df, also_bucket=False)
+
+        return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                             ["user_id"], sessionize, num_parts=32)
+
+    shift = int(salt_shift)
+
+    def keyed_salt(df: pd.DataFrame) -> pd.DataFrame:
+        out = keyed(df)
+        out["bucket"] = out["ts_us"].to_numpy("int64") >> shift
+        return out
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = _local_sessions(df, also_bucket=True)
+        s_count = g.groupby(["user_id", "bucket"])["session_no"] \
+            .transform("max")
+        boundary = (g["session_no"] == 1) | (g["session_no"] == s_count)
+        g["s_count"] = s_count.astype("int64")
+        # kind 1 = boundary session (pass B input), 0 = interior (final
+        # except its ordinal offset)
+        g["kind"] = boundary.astype("int64")
+        return g
+
+    a = _hash_grouped(ds.map_batches(keyed_salt, batch_format="pandas"),
+                      ["user_id", "bucket"], local,
+                      num_parts=32).materialize()
+    import pyarrow.compute as pc
+
+    import ray
+
+    boundary = a.map_batches(
+        lambda tb: tb.filter(pc.equal(tb.column("kind"), 1)),
+        batch_format="pyarrow")
+
+    def stitch(df: pd.DataFrame) -> pd.DataFrame:
+        """Per user: walk buckets in time order, merge boundary-session
+        chains across cuts, assign global ordinals, emit final boundary
+        sessions (kind 0) + interior ordinal offsets (kind 1, one per
+        bucket with ≥3 local sessions).  Boundary-sized input only."""
+        out = {"kind": [], "user_id": [], "session_no": [],
+               "n_events": [], "start_us": [], "end_us": [], "bucket": []}
+
+        def emit(kind, uid, no, n, start, end, bucket=0):
+            out["kind"].append(kind)
+            out["user_id"].append(uid)
+            out["session_no"].append(no)
+            out["n_events"].append(n)
+            out["start_us"].append(start)
+            out["end_us"].append(end)
+            out["bucket"].append(bucket)
+
+        for uid, gu in df.groupby("user_id", sort=False):
+            gu = gu.sort_values(["bucket", "session_no"], kind="mergesort")
+            next_no = 1
+            chain = None  # open chain: [no, n, start, end]
+            for b, gb in gu.groupby("bucket", sort=True):
+                s_count = int(gb["s_count"].iloc[0])
+                first = gb.iloc[0]
+                last = gb.iloc[-1]
+                if (chain is not None
+                        and int(first["start_us"]) - chain[3]
+                        <= SESSION_GAP_US):
+                    chain[1] += int(first["n_events"])
+                    chain[3] = int(first["end_us"])
+                else:
+                    if chain is not None:
+                        emit(0, uid, *chain)
+                    chain = [next_no, int(first["n_events"]),
+                             int(first["start_us"]), int(first["end_us"])]
+                    next_no += 1
+                if s_count == 1:
+                    continue  # single session: chain may continue onward
+                emit(0, uid, *chain)  # a local gap follows session 1
+                chain = None
+                if s_count > 2:
+                    emit(1, uid, next_no - 2, 0, 0, 0, bucket=int(b))
+                    next_no += s_count - 2
+                chain = [next_no, int(last["n_events"]),
+                         int(last["start_us"]), int(last["end_us"])]
+                next_no += 1
+            if chain is not None:
+                emit(0, uid, *chain)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                             for k, v in out.items()})
+
+    stitched = _hash_grouped(boundary, ["user_id"], stitch,
+                             num_parts=32).materialize()
+    final_boundary = (stitched.map_batches(
+        lambda tb: tb.filter(pc.equal(tb.column("kind"), 0)),
+        batch_format="pyarrow")
+        .select_columns(["user_id", "session_no", "n_events",
+                         "start_us", "end_us"]))
+    offsets = (stitched.map_batches(
+        lambda tb: tb.filter(pc.equal(tb.column("kind"), 1)),
+        batch_format="pyarrow")
+        .select_columns(["user_id", "bucket", "session_no"])
+        .to_pandas()
+        .rename(columns={"session_no": "offset"}))
+    off_ref = ray.put(offsets)
+
+    def apply_offset(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        m = df.merge(off, on=["user_id", "bucket"], how="left")
+        # every interior row's bucket emitted an offset (s_count > 2);
+        # a miss would be a stitch bug — fail loud via the int cast
+        return pd.DataFrame(
+            {"user_id": m["user_id"].astype("int64"),
+             "session_no": (m["session_no"].to_numpy("int64")
+                            + m["offset"].to_numpy("int64")),
+             "n_events": m["n_events"].astype("int64"),
+             "start_us": m["start_us"].astype("int64"),
+             "end_us": m["end_us"].astype("int64")})
+
+    interior = (a.map_batches(
+        lambda tb: tb.filter(pc.equal(tb.column("kind"), 0)),
+        batch_format="pyarrow")
+        .map_batches(apply_offset, batch_format="pandas"))
+    return interior.union(final_boundary)
 
 
 EVENTS_SESSIONS_SQL = f"""

@@ -511,6 +511,67 @@ def test_session_gap_boundary(ray_session, tmp_path):
     assert list(asof["prior_click_ts_us"]) == [base, base, -1]
 
 
+def test_events_sessions_salted_matches_sql_and_unsalted(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    salted = an.events_sessions(SF, salt_shift=33)
+    assert_matches_sql(salted, con, an.EVENTS_SESSIONS_SQL)
+    plain = an.events_sessions(SF).to_pandas()
+    pd.testing.assert_frame_equal(_norm(salted.to_pandas()), _norm(plain))
+
+
+def test_events_sessions_salted_whale_chains(ray_session, tmp_path):
+    """The salted path must reproduce the single-pass answer when
+    sessions span bucket cuts: a long session chaining through several
+    buckets, a cross-cut merge (gap < G over the boundary), a cross-cut
+    split (gap > G), and a 3-session bucket whose interior session
+    takes the ordinal-offset path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    B = 1 << 33          # bucket width at salt_shift=33 (~143 min)
+    MIN = 60_000_000     # one minute in µs
+    ts, uid = [], []
+    # user 1: 25 events every 20 min → ONE session across ~3.4 buckets
+    for k in range(25):
+        ts.append(200 * B + 10 * MIN + k * 20 * MIN)
+        uid.append(1)
+    # user 2, bucket 100: s1 = {0, 1 min}, s2 = {32 min} (interior),
+    # s3 = {63, 64 min}; bucket 101: s4 = {150, 151, 152 min} — the
+    # 86-min gap over the cut splits
+    for m in (0, 1, 32, 63, 64, 150, 151, 152):
+        ts.append(100 * B + m * MIN)
+        uid.append(2)
+    # user 3: 140 min (bucket 100) + 155 min (bucket 101) — the 15-min
+    # gap over the cut merges
+    for m in (140, 155):
+        ts.append(100 * B + m * MIN)
+        uid.append(3)
+    rows = {
+        "event_id": list(range(1, len(ts) + 1)),
+        "user_id": uid,
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_type": ["click"] * len(ts),
+        "value": [1.0] * len(ts),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+
+    salted = (an.events_sessions(str(tmp_path), salt_shift=33).to_pandas()
+              .sort_values(["user_id", "session_no"])
+              .reset_index(drop=True))
+    plain = (an.events_sessions(str(tmp_path)).to_pandas()
+             .sort_values(["user_id", "session_no"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(salted, plain)
+    got = [(r.user_id, r.session_no, r.n_events)
+           for r in salted.itertuples()]
+    assert got == [(1, 1, 25),
+                   (2, 1, 2), (2, 2, 1), (2, 3, 2), (2, 4, 3),
+                   (3, 1, 2)]
+
+
 def test_minhash_pipeline_finds_planted_dups(ray_session, tmp_path):
     """Plant near-duplicates in a parquet table; LSH must find exactly
     the planted pairs and no cross-pairs."""

@@ -160,11 +160,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE (driver contract): the correctness gate checks at most the FIRST
     # 50 entries of this dict — round 3 had 54 and the last 4 (all
     # SQL-checkable) silently got no oracle row.  Order is therefore
-    # significant: every oracle_sql()-backed query comes first (48 of 61),
-    # then the rows-only crawl family, then the structurally-no-oracle
-    # entries whose parity lives in pytest equivalence/tolerance tests.
-    # The 11 entries past the cap (crawl_url_seen, crawl_report,
-    # crawl_failure_report, minhash, simhash, emb-LSH, IVF, clusters ×2,
+    # significant: every oracle_sql()-backed query comes first (48 of the
+    # 62 entries; events_sessions_salted is a 49th oracle-backed entry
+    # deliberately placed past the cap — its SQL parity runs in
+    # tools/check_correctness.py + pytest), then the rows-only crawl
+    # family, then the structurally-no-oracle entries whose parity lives
+    # in pytest equivalence/tolerance tests.  The 12 entries past the cap
+    # (crawl_url_seen, crawl_report, crawl_failure_report,
+    # sessions_salted, minhash, simhash, emb-LSH, IVF, clusters ×2,
     # t-digest, HLL) are a deliberate trade: each is parity/recall/
     # equivalence/tolerance-tested in pytest (the crawl trio also by
     # e2e-vs-oracle artifacts), and their rows-only driver check carries

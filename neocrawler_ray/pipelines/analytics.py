@@ -323,7 +323,15 @@ def events_sessions(sf_dir: str, salt_shift: int | None = None):
     ordinal offset per bucket with interior sessions, which reaches
     them as a broadcast merge (answer-small: one row per bucket, never
     per event).  Byte-identical to the single-pass answer, so it shares
-    the same SQL oracle."""
+    the same SQL oracle.
+
+    Sizing rule: pick ``salt_shift`` so ONE bucket holds roughly a
+    partition's worth of one entity's events (the knob exists for
+    entities that outgrow a partition).  A too-fine bucket makes every
+    session a boundary session and pushes the whole corpus into the
+    per-user pass-B walk — measured 4× slower than the unsalted kernel
+    at sf0.1 with ~2 events/bucket, vs within noise at ~50
+    events/bucket."""
     from .corpus_ops import _hash_grouped
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -447,22 +455,21 @@ def events_sessions(sf_dir: str, salt_shift: int | None = None):
         return pd.DataFrame({k: pd.Series(v, dtype="int64")
                              for k, v in out.items()})
 
-    stitched = _hash_grouped(boundary, ["user_id"], stitch,
-                             num_parts=32).materialize()
-    final_boundary = (stitched.map_batches(
-        lambda tb: tb.filter(pc.equal(tb.column("kind"), 0)),
-        batch_format="pyarrow")
-        .select_columns(["user_id", "session_no", "n_events",
-                         "start_us", "end_us"]))
-    offsets = (stitched.map_batches(
-        lambda tb: tb.filter(pc.equal(tb.column("kind"), 1)),
-        batch_format="pyarrow")
-        .select_columns(["user_id", "bucket", "session_no"])
-        .to_pandas()
-        .rename(columns={"session_no": "offset"}))
+    # the stitch output is BOUNDARY-sized (≤ 2 sessions + 1 offset per
+    # (user, bucket)) — pulling it once driver-side costs the same order
+    # as the offsets pull alone and saves three fixed-overhead stages
+    # (a second materialize + two filter passes), which dominate this op
+    # at small scale (each Ray stage ≈ 0.5-1.5 s on this host)
+    out_cols = ["user_id", "session_no", "n_events", "start_us", "end_us"]
+    st = (_hash_grouped(boundary, ["user_id"], stitch, num_parts=32)
+          .to_pandas())
+    final_boundary = st.loc[st["kind"] == 0, out_cols].reset_index(drop=True)
+    offsets = (st.loc[st["kind"] == 1, ["user_id", "bucket", "session_no"]]
+               .rename(columns={"session_no": "offset"}))
     off_ref = ray.put(offsets)
 
-    def apply_offset(df: pd.DataFrame) -> pd.DataFrame:
+    def interior_fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"] == 0]
         off = ray.get(off_ref)
         m = df.merge(off, on=["user_id", "bucket"], how="left")
         # every interior row's bucket emitted an offset (s_count > 2);
@@ -475,11 +482,10 @@ def events_sessions(sf_dir: str, salt_shift: int | None = None):
              "start_us": m["start_us"].astype("int64"),
              "end_us": m["end_us"].astype("int64")})
 
-    interior = (a.map_batches(
-        lambda tb: tb.filter(pc.equal(tb.column("kind"), 0)),
-        batch_format="pyarrow")
-        .map_batches(apply_offset, batch_format="pandas"))
-    return interior.union(final_boundary)
+    import ray.data as rd
+
+    interior = a.map_batches(interior_fix, batch_format="pandas")
+    return interior.union(rd.from_pandas(final_boundary))
 
 
 EVENTS_SESSIONS_SQL = f"""

@@ -160,16 +160,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE (driver contract): the correctness gate checks at most the FIRST
     # 50 entries of this dict — round 3 had 54 and the last 4 (all
     # SQL-checkable) silently got no oracle row.  Order is therefore
-    # significant: every oracle_sql()-backed query comes first (48 of the
-    # 62 entries; events_sessions_salted is a 49th oracle-backed entry
-    # deliberately placed past the cap — its SQL parity runs in
-    # tools/check_correctness.py + pytest), then the rows-only crawl
-    # family, then the structurally-no-oracle entries whose parity lives
-    # in pytest equivalence/tolerance tests.  The 12 entries past the cap
-    # (crawl_url_seen, crawl_report, crawl_failure_report,
+    # significant: the first 50 entries are ALL oracle_sql()-backed
+    # (q18/q14 displaced the two rows-only crawl entries in round 4);
+    # then the rows-only crawl family, then the structurally-no-oracle
+    # entries whose parity lives in pytest equivalence/tolerance tests.
+    # events_sessions_salted is an oracle-backed entry deliberately
+    # placed past the cap — its SQL parity runs in
+    # tools/check_correctness.py + pytest (the committed
+    # CORRECTNESS_LOCAL_r04 artifact records the full >50-entry gate
+    # green at sf0.01).  The entries past the cap (crawl family ×5,
     # sessions_salted, minhash, simhash, emb-LSH, IVF, clusters ×2,
     # t-digest, HLL) are a deliberate trade: each is parity/recall/
-    # equivalence/tolerance-tested in pytest (the crawl trio also by
+    # equivalence/tolerance-tested in pytest (the crawl family also by
     # e2e-vs-oracle artifacts), and their rows-only driver check carries
     # less signal than the oracle rows kept inside the cap.
     return {
@@ -254,6 +256,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": an.top_customers,
         # cohort retention matrix (distinct-day combiner + user exchange)
         "events_retention": an.events_retention,
+        # Q18-shaped join against an aggregate (HAVING subquery →
+        # broadcast semi-join of the answer-sized survivors)
+        "q18_large_orders": an.q18_large_orders,
+        # Q14-shaped conditional ratio aggregate (broadcast promo-part
+        # membership + pushed-down ship-month filter, zero shuffles)
+        "q14_promo_revenue": an.q14_promo_revenue,
         # ---- rows-only from here down (no oracle_sql entry) ----
         # crawl engine (SURVEY.md §2.1-2.4, §3): synthetic pages corpus is
         # not a registered view, so the driver does a rows-only check; full
@@ -395,6 +403,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "q3_top_revenue": an.q3_top_revenue_sql(),
         "q5_local_supplier_volume": an.Q5_SQL,
         "events_retention": an.EVENTS_RETENTION_SQL,
+        "q18_large_orders": an.q18_large_orders_sql(),
+        "q14_promo_revenue": an.Q14_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

@@ -1698,3 +1698,183 @@ SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_date,
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+Q18_MIN_QTY = 300
+
+
+def q18_large_orders(sf_dir: str, min_qty: int = Q18_MIN_QTY) -> pd.DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, joined back to the order header and the customer name —
+    a join AGAINST AN AGGREGATE (the HAVING subquery), the one join
+    family Q3/Q4/Q5 don't cover.
+
+    Scale shape:
+
+    - lineitem (the 100-TB side) collapses to per-(orderkey, block)
+      partial quantity sums inside ``map_batches`` — the exchange
+      carries one row per orderkey per block, never per line;
+    - ONE hash exchange on orderkey finishes the sums exactly and
+      applies the HAVING filter in-partition, so only the survivors
+      (~0.1 % of orders at the TPC-H threshold) ever leave a task;
+    - survivors are answer-sized: the driver broadcasts their sorted
+      orderkey array via ``ray.put``, the orders scan membership-tests
+      each batch with one ``searchsorted`` (a broadcast semi-join —
+      never an orders-sized shuffle), and the surviving headers (one
+      row per survivor) merge driver-side with the quantity sums and
+      the customer-name lookup."""
+    import ray
+
+    from .corpus_ops import _hash_grouped
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame(
+            {"orderkey": df["l_orderkey"].astype("int64"),
+             "qty": df["l_quantity"].to_numpy("float64").astype("int64")})
+            .groupby("orderkey", as_index=False)["qty"].sum())
+        return g.astype({"orderkey": "int64", "qty": "int64"})
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("orderkey", as_index=False)["qty"].sum()
+        g = g[g["qty"] > min_qty]
+        return g.astype({"orderkey": "int64", "qty": "int64"})
+
+    big = _hash_grouped(
+        line.map_batches(l_partial, batch_format="pandas"),
+        ["orderkey"], having, num_parts=32).to_pandas()
+    if "orderkey" not in big.columns:  # all partitions empty → schema lost
+        big = pd.DataFrame({"orderkey": pd.Series(dtype="int64"),
+                            "qty": pd.Series(dtype="int64")})
+    keys = np.sort(big["orderkey"].to_numpy("int64"))
+    qty = dict(zip(big["orderkey"].astype("int64"), big["qty"].astype("int64")))
+    keys_ref = ray.put(keys)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def o_member(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        ok = df["o_orderkey"].to_numpy("int64")
+        if len(ks):
+            pos = np.searchsorted(ks, ok)
+            m = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == ok)
+        else:
+            m = np.zeros(len(ok), dtype=bool)
+        kept = df[m]
+        return pd.DataFrame(
+            {"o_orderkey": kept["o_orderkey"].to_numpy("int64"),
+             "o_custkey": kept["o_custkey"].to_numpy("int64"),
+             "o_orderdate": kept["o_orderdate"].dt.strftime("%Y-%m-%d")
+             .to_numpy(dtype=object),
+             "totalprice_e4": _e4(kept["o_totalprice"])})
+
+    hdr = orders.map_batches(o_member, batch_format="pandas").to_pandas()
+    if "o_orderkey" not in hdr.columns:  # no survivors anywhere
+        hdr = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                            "o_custkey": pd.Series(dtype="int64"),
+                            "o_orderdate": pd.Series(dtype=object),
+                            "totalprice_e4": pd.Series(dtype="int64")})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    names = dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"]))
+    out = pd.DataFrame(
+        {"c_custkey": hdr["o_custkey"].astype("int64").to_numpy(),
+         "c_name": [names.get(int(ck), "") for ck in hdr["o_custkey"]],
+         "o_orderkey": hdr["o_orderkey"].astype("int64").to_numpy(),
+         "o_orderdate": hdr["o_orderdate"].astype(str).to_numpy(dtype=object),
+         "totalprice_e4": hdr["totalprice_e4"].astype("int64").to_numpy(),
+         "sum_qty": np.array([qty[int(k)] for k in hdr["o_orderkey"]],
+                             dtype="int64")})
+    return (out.sort_values("o_orderkey").reset_index(drop=True))
+
+
+def q18_large_orders_sql(min_qty: int = Q18_MIN_QTY) -> str:
+    return f"""
+WITH big AS (SELECT l_orderkey,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             FROM lineitem GROUP BY 1
+             HAVING sum(CAST(l_quantity AS BIGINT)) > {min_qty})
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(floor(o.o_totalprice * 10000) AS BIGINT) AS totalprice_e4,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_orderkey
+""".strip()
+
+
+Q14_LO = "1996-03-01"
+Q14_HI = "1996-04-01"
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: promotion-revenue share for one ship month —
+    lineitem ⋈ part with a CONDITIONAL aggregate (revenue split by the
+    joined part's type).
+
+    Scale shape: the part dimension reduces to the sorted partkey array
+    of just the PROMO rows, broadcast once via ``ray.put`` (the
+    membership test needs nothing else — partkeys missing from the
+    array are non-promo by construction); the lineitem scan pushes the
+    ship-month row filter into the parquet read, so only the month's
+    row groups leave storage; each batch then computes fixed-point
+    ``floor(price·(1-disc)·10⁴)`` per row, splits the sum by one
+    ``searchsorted`` membership mask, and collapses to a single partial
+    row — zero shuffles end to end.  The promo/total ratio is left to
+    the reader: two exact int64 sums cross engines bit-for-bit, a
+    quotient wouldn't."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from ..sources.tables import table_files
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(np.sort(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"].to_numpy("int64")))
+
+    flt = ((pads.field("l_shipdate") >= pads.scalar(pd.Timestamp(Q14_LO)))
+           & (pads.field("l_shipdate") < pads.scalar(pd.Timestamp(Q14_HI))))
+    line = ray.data.read_parquet(
+        table_files(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"], filter=flt)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(df["l_extendedprice"].to_numpy("float64")
+                       * (1.0 - df["l_discount"].to_numpy("float64"))
+                       * 10000.0).astype("int64")
+        promo = ray.get(promo_ref)
+        pk = df["l_partkey"].to_numpy("int64")
+        if len(promo):
+            pos = np.searchsorted(promo, pk)
+            m = (pos < len(promo)) & (promo[np.minimum(pos, len(promo) - 1)]
+                                      == pk)
+        else:
+            m = np.zeros(len(pk), dtype=bool)
+        return pd.DataFrame({"p_promo": [int(rev[m].sum())],
+                             "p_total": [int(rev.sum())],
+                             "p_n": [len(rev)]}).astype("int64")
+
+    parts = line.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {"promo_rev_e4": pd.Series([int(parts["p_promo"].sum())],
+                                   dtype="int64"),
+         "total_rev_e4": pd.Series([int(parts["p_total"].sum())],
+                                   dtype="int64"),
+         "n_items": pd.Series([int(parts["p_n"].sum())], dtype="int64")})
+
+
+Q14_SQL = f"""
+SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS total_rev_e4,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO}'
+  AND l.l_shipdate < TIMESTAMP '{Q14_HI}'
+""".strip()

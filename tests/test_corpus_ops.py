@@ -23,7 +23,7 @@ SF = "/root/testdata/sf0.001"
 def con():
     c = duckdb.connect()
     for t in ("documents", "embeddings", "events", "lineitem", "orders",
-              "customer", "nation", "supplier", "region"):
+              "customer", "nation", "supplier", "region", "part"):
         c.execute(
             f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
         )
@@ -330,6 +330,35 @@ def test_q5_local_supplier_volume_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 
     assert_matches_sql(an.q5_local_supplier_volume(SF), con, an.Q5_SQL)
+
+
+def test_q18_large_orders_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.q18_large_orders(SF)
+    assert len(got) > 0  # threshold must bite below the max qty sum
+    assert_matches_sql(got, con, an.q18_large_orders_sql())
+
+
+def test_q18_empty_survivor_set(ray_session, con):
+    """A threshold above every order's quantity sum must yield an empty
+    frame with the full schema (the broadcast semi-join sees an empty
+    key array), not an error."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.q18_large_orders(SF, min_qty=10**9)
+    assert len(got) == 0
+    assert list(got.columns) == ["c_custkey", "c_name", "o_orderkey",
+                                 "o_orderdate", "totalprice_e4", "sum_qty"]
+
+
+def test_q14_promo_revenue_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.q14_promo_revenue(SF)
+    # non-degenerate: promo share strictly between 0 and the total
+    assert 0 < got["promo_rev_e4"].iloc[0] < got["total_rev_e4"].iloc[0]
+    assert_matches_sql(got, con, an.Q14_SQL)
 
 
 def test_events_retention_matches_sql(ray_session, con):

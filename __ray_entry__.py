@@ -280,6 +280,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the docstring — a too-fine bucket makes everything boundary)
         "events_sessions_salted":
             lambda sf: an.events_sessions(sf, salt_shift=38),
+        # per-doc bigram LM familiarity score + grouped mode/argmax —
+        # oracle_sql-backed but past the 50-entry cap (in-cap is full);
+        # SQL parity runs in tools/check_correctness.py (committed
+        # CORRECTNESS_LOCAL_r04 artifact) + pytest
+        "doc_lm_score": co.doc_lm_score,
+        "user_top_event": an.user_top_event,
         # sketch/LSH families: non-SQL-expressible; planted-dup +
         # recall/precision pytest coverage (tests/test_lsh_bench_scale.py)
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -405,6 +411,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_retention": an.EVENTS_RETENTION_SQL,
         "q18_large_orders": an.q18_large_orders_sql(),
         "q14_promo_revenue": an.Q14_SQL,
+        "doc_lm_score": co.doc_lm_score_sql(),
+        "user_top_event": an.USER_TOP_EVENT_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

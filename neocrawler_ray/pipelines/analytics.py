@@ -1878,3 +1878,49 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO}'
   AND l.l_shipdate < TIMESTAMP '{Q14_HI}'
 """.strip()
+
+
+def user_top_event(sf_dir: str):
+    """Grouped mode / argmax: each user's most frequent event class
+    (ties broken by event-type string order for cross-engine
+    determinism) — the per-entity dominant-label aggregate SQL writes
+    as ``row_number() OVER (... ORDER BY n DESC) = 1``.
+
+    Scale shape: per-batch (user, type) count partials (the combiner —
+    the exchange carries at most users × 5 classes rows per block,
+    never per-event rows), ONE user-hash exchange, then an in-partition
+    C-speed sort + ``drop_duplicates`` picks each user's winner.  The
+    result stays a Dataset (one row per user — corpus-sized at the
+    design point, so it is never pulled to the driver)."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], as_index=False).size()
+             .rename(columns={"size": "p_n"}))
+        return g.astype({"user_id": "int64", "p_n": "int64"})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["p_n"].sum()
+        g = g.sort_values(["user_id", "p_n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({"user_id": top["user_id"].astype("int64"),
+                             "top_event": top["event_type"].astype(str),
+                             "n": top["p_n"].astype("int64")})
+
+    return _hash_grouped(ds.map_batches(partial, batch_format="pandas"),
+                         ["user_id"], per_user, num_parts=32)
+
+
+USER_TOP_EVENT_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+ r AS (SELECT user_id, event_type, n,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY n DESC, event_type) AS rn
+       FROM c)
+SELECT user_id, event_type AS top_event, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+""".strip()

@@ -1954,3 +1954,88 @@ SELECT d.source,
 FROM documents d JOIN stats s USING (doc_id)
 GROUP BY d.source ORDER BY d.source
 """.strip()
+
+
+def doc_lm_score(sf_dir: str):
+    """Per-document count-based LM familiarity score: for every bigram
+    instance in a doc, add the CORPUS-WIDE occurrence count of that
+    bigram — a cheap n-gram language-model likelihood proxy (high =
+    boilerplate/templated text, low = rare constructions), the standard
+    count-based cousin of perplexity filtering for training-data
+    curation.  Docs with fewer than 2 tokens have no bigrams and drop
+    out (mirrors the oracle's inner join).
+
+    Scale shape — the global counts are never built as a separate
+    table: each block collapses to per-(doc, bigram) instance counts
+    (combiner), ONE bigram-hash exchange co-locates every occurrence of
+    a bigram, so the partition derives the bigram's global count with a
+    C-speed ``transform("sum")`` over its own rows and immediately
+    re-collapses to per-doc partial scores (partition-sized, not
+    instance-sized); a second doc-hash exchange sums partials exactly.
+    Nothing corpus-sized ever reaches the driver — the result stays a
+    Dataset with one row per scoring-eligible doc."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        df = df.reset_index(drop=True)
+        s = (df["text"].astype("string").fillna("")
+             .astype(str).str.split(" ").explode())
+        s = s[s != ""]
+        vals = s.to_numpy(dtype=object)
+        idx = s.index.to_numpy()
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "bigram": pd.Series(dtype=object),
+                              "o": pd.Series(dtype="int64")})
+        if len(vals) < 2:
+            return empty
+        same_doc = idx[:-1] == idx[1:]
+        if not same_doc.any():
+            return empty
+        docs = df["doc_id"].to_numpy("int64")[idx[:-1][same_doc]]
+        left = pd.Series(vals[:-1][same_doc])
+        big = left.str.cat(pd.Series(vals[1:][same_doc]), sep=" ")
+        g = (pd.DataFrame({"doc_id": docs, "bigram": big.to_numpy(object)})
+             .groupby(["doc_id", "bigram"], as_index=False).size()
+             .rename(columns={"size": "o"}))
+        return g.astype({"doc_id": "int64", "o": "int64"})
+
+    def per_bigram_part(df: pd.DataFrame) -> pd.DataFrame:
+        # all partials of a bigram are in this partition → its global
+        # count is an in-partition sum; weight each doc's instances by it
+        tot = df.groupby("bigram")["o"].transform("sum")
+        w = df["o"].to_numpy("int64") * tot.to_numpy("int64")
+        g = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy("int64"),
+                           "p_score": w,
+                           "p_n": df["o"].to_numpy("int64")})
+             .groupby("doc_id", as_index=False)[["p_score", "p_n"]].sum())
+        return g.astype({"doc_id": "int64", "p_score": "int64",
+                         "p_n": "int64"})
+
+    def per_doc_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)[["p_score", "p_n"]].sum()
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "lm_score": g["p_score"].astype("int64"),
+                             "n_bigrams": g["p_n"].astype("int64")})
+
+    partials = _hash_grouped(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["bigram"], per_bigram_part, num_parts=_parts_for(sf_dir, "documents"))
+    return _hash_grouped(partials, ["doc_id"], per_doc_part,
+                         num_parts=_parts_for(sf_dir, "documents"))
+
+
+def doc_lm_score_sql() -> str:
+    return """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+ b AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram
+       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+             FROM t)),
+ c AS (SELECT bigram, count(*) AS n FROM b GROUP BY 1)
+SELECT b.doc_id, CAST(sum(c.n) AS BIGINT) AS lm_score,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM b JOIN c USING (bigram) GROUP BY 1
+""".strip()

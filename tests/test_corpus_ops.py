@@ -332,6 +332,55 @@ def test_q5_local_supplier_volume_matches_sql(ray_session, con):
     assert_matches_sql(an.q5_local_supplier_volume(SF), con, an.Q5_SQL)
 
 
+def test_doc_lm_score_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_lm_score(SF), con, co.doc_lm_score_sql())
+
+
+def test_doc_lm_score_tiny_exact(ray_session, tmp_path):
+    """Hand-checked corpus: counts are corpus-wide ('a b' appears in two
+    docs), instances weight by the GLOBAL count, and docs with <2
+    tokens drop out."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b a b", "a b", "x", None], type=pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (co.doc_lm_score(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # bigram counts: "a b"=3 (2 in d0 + 1 in d1), "b a"=1
+    assert out.to_dict("list") == {
+        "doc_id": [0, 1], "lm_score": [2 * 3 + 1 * 1, 3], "n_bigrams": [3, 1]}
+
+
+def test_user_top_event_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.user_top_event(SF), con, an.USER_TOP_EVENT_SQL)
+
+
+def test_user_top_event_tie_breaks_lexicographically(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import analytics as an
+
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], type=pa.int64()),
+        "event_type": pa.array(["error", "error", "click", "click",
+                                "view", "view", "click"]),
+    })
+    pq.write_table(ev, tmp_path / "events.parquet")
+    out = (an.user_top_event(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out.to_dict("list") == {
+        "user_id": [1, 2], "top_event": ["click", "view"], "n": [2, 2]}
+
+
 def test_q18_large_orders_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

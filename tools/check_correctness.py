@@ -13,7 +13,8 @@ import time
 sys.path.insert(0, ".")
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01",
+         json_out: str | None = None) -> int:
     import duckdb
     import pandas as pd
     import ray
@@ -35,6 +36,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.time()
         try:
@@ -57,6 +59,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                     and a.astype(str).equals(b.astype(str))
                 )
                 status = "MATCH" if ok else "MISMATCH"
+                records[name] = {
+                    "rows_match": same_rows, "schema_match": same_cols,
+                    "hash_match": ok, "ray_rows": len(a),
+                    "oracle_rows": len(b), "sec": round(dt, 2), "err": None}
                 if not ok:
                     failures += 1
                     detail = (f" cols={list(a.columns)}vs{list(b.columns)}"
@@ -69,13 +75,33 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                     continue
             else:
                 status = f"rows-only n={len(res)}"
+                records[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "ray_rows": len(res),
+                    "oracle_rows": None, "sec": round(dt, 2),
+                    "err": "no_oracle"}
             print(f"{name:26s} {status} ({dt:5.1f}s)")
         except Exception as e:  # noqa: BLE001
             failures += 1
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "ray_rows": None, "oracle_rows": None,
+                "sec": round(time.time() - t0, 2),
+                "err": f"{type(e).__name__}: {e}"}
             print(f"{name:26s} ERROR ({time.time()-t0:5.1f}s): {type(e).__name__}: {e}")
     print(f"done, {failures} failures")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "failures": failures,
+                       "queries": records}, f, indent=1)
+        print(f"wrote {json_out}")
     return failures
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(*sys.argv[1:]) else 0)
+    args = [a for a in sys.argv[1:] if not a.startswith("--json=")]
+    jout = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                 if a.startswith("--json=")), None)
+    sys.exit(1 if main(*args, json_out=jout) else 0)

@@ -286,6 +286,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS_LOCAL_r04 artifact) + pytest
         "doc_lm_score": co.doc_lm_score,
         "user_top_event": an.user_top_event,
+        # actor-pool model-inference stage (weights load once per actor)
+        # + PII redaction map — oracle_sql-backed, same past-cap note
+        "doc_quality_model": co.doc_quality_model,
+        "doc_pii_scrub": co.doc_pii_scrub,
         # sketch/LSH families: non-SQL-expressible; planted-dup +
         # recall/precision pytest coverage (tests/test_lsh_bench_scale.py)
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -315,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
     from neocrawler_ray.pipelines import corpus_ops as co
     from neocrawler_ray.pipelines import doc_extract as de
     from neocrawler_ray.stages import multimodal as mm
+    from neocrawler_ray.stages import quality_model as qm
 
     return {
         "doc_extract": de.DOC_EXTRACT_SQL,
@@ -413,6 +418,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "q14_promo_revenue": an.Q14_SQL,
         "doc_lm_score": co.doc_lm_score_sql(),
         "user_top_event": an.USER_TOP_EVENT_SQL,
+        "doc_quality_model": qm.quality_model_sql(),
+        "doc_pii_scrub": co.doc_pii_scrub_sql(),
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

@@ -152,6 +152,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_decontaminate": lambda: consume(co.doc_decontaminate(sf_dir)),
         "doc_term_heavy_hitters": lambda: consume(
             co.doc_term_heavy_hitters(sf_dir)),
+        # round-4 additions
+        "q18_large_orders": lambda: consume(an.q18_large_orders(sf_dir)),
+        "q14_promo_revenue": lambda: consume(an.q14_promo_revenue(sf_dir)),
+        "doc_lm_score": lambda: consume(co.doc_lm_score(sf_dir)),
+        "user_top_event": lambda: consume(an.user_top_event(sf_dir)),
+        "events_sessions_salted": lambda: consume(
+            an.events_sessions(sf_dir, salt_shift=38)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

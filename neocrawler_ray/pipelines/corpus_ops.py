@@ -2039,3 +2039,71 @@ SELECT b.doc_id, CAST(sum(c.n) AS BIGINT) AS lm_score,
        CAST(count(*) AS BIGINT) AS n_bigrams
 FROM b JOIN c USING (bigram) GROUP BY 1
 """.strip()
+
+
+def doc_quality_model(sf_dir: str, concurrency: int = 4):
+    """Learned-filter plumbing: score every document with the
+    deterministic linear quality model as an ACTOR-POOL
+    ``map_batches`` stage (weights load once per actor in
+    ``QualityModel.__init__``, batches score as one int64 matvec) —
+    the standard shape for classifier/toxicity/perplexity filters over
+    a 100-TB corpus.  Pure map, zero shuffles; returns a Dataset of
+    (doc_id, quality_score, keep).  See
+    :mod:`..stages.quality_model` for the exact-integer model and its
+    bit-identical DuckDB mirror."""
+    from ..stages.quality_model import QualityModel
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # autoscaling pool (1..N): a small input shouldn't pin N idle
+    # actors; a 100-TB read fans out to enough blocks to fill the pool
+    return ds.map_batches(QualityModel, batch_format="pandas",
+                          concurrency=(1, concurrency))
+
+
+# conservative patterns that parse identically under Python re (Ray
+# side) and RE2 (DuckDB oracle): no lookaround, no backrefs
+PII_EMAIL = r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z][a-z]+"
+PII_PHONE = r"\+?[0-9][0-9() \-]{6,}[0-9]"
+
+
+def doc_pii_scrub(sf_dir: str):
+    """PII redaction pass: replace email addresses and phone-like
+    digit runs with ``<email>`` / ``<phone>`` tokens and count the
+    redactions — a mandatory pre-training hygiene map over web text.
+    Pure vectorized map (pandas C-regex per batch), zero shuffles.
+    Emails are scrubbed FIRST and phones counted on the email-scrubbed
+    text, so digits inside an address never double-count; the SQL
+    oracle applies the same two-step order.  (The synthetic corpus
+    itself contains no PII — the planted-PII pytest is where the
+    redaction behavior is actually exercised; over real web text this
+    is the hot path.)"""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype("string").fillna("")
+        n_email = t.str.count(PII_EMAIL).astype("int64")
+        c1 = t.str.replace(PII_EMAIL, "<email>", regex=True)
+        n_phone = c1.str.count(PII_PHONE).astype("int64")
+        clean = c1.str.replace(PII_PHONE, "<phone>", regex=True)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "text_clean": clean.astype(str),
+             "n_redactions": (n_email + n_phone).astype("int64")})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def doc_pii_scrub_sql() -> str:
+    return f"""
+WITH s1 AS (SELECT doc_id,
+                   regexp_replace(coalesce(text, ''), '{PII_EMAIL}',
+                                  '<email>', 'g') AS c1,
+                   len(regexp_extract_all(coalesce(text, ''),
+                                          '{PII_EMAIL}')) AS ne
+            FROM documents)
+SELECT doc_id,
+       regexp_replace(c1, '{PII_PHONE}', '<phone>', 'g') AS text_clean,
+       CAST(ne + len(regexp_extract_all(c1, '{PII_PHONE}')) AS BIGINT)
+           AS n_redactions
+FROM s1
+""".strip()

@@ -381,6 +381,57 @@ def test_user_top_event_tie_breaks_lexicographically(ray_session, tmp_path):
         "user_id": [1, 2], "top_event": ["click", "view"], "n": [2, 2]}
 
 
+def test_doc_quality_model_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+    from neocrawler_ray.stages.quality_model import quality_model_sql
+
+    got = co.doc_quality_model(SF).to_pandas()
+    # non-degenerate: both labels present
+    assert 0 < got["keep"].sum() < len(got)
+    assert_matches_sql(got, con, quality_model_sql())
+
+
+def test_doc_pii_scrub_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_pii_scrub(SF), con, co.doc_pii_scrub_sql())
+
+
+def test_doc_pii_scrub_planted(ray_session, tmp_path):
+    """Planted PII: emails scrub first, phones count on the
+    email-scrubbed text (digits inside an address never double-count),
+    clean docs pass through byte-identical."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "contact bob.smith+spam@mail-host.example.com for details",
+            "call +1 (555) 867-5309 or 020 7946 0958 now",
+            "user42@host99.org then dial 5551234567",
+            "no pii here at all",
+        ]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (co.doc_pii_scrub(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["text_clean"].tolist() == [
+        "contact <email> for details",
+        "call <phone> or <phone> now",
+        "<email> then dial <phone>",
+        "no pii here at all",
+    ]
+    assert out["n_redactions"].tolist() == [1, 2, 2, 0]
+    # and the DuckDB oracle agrees on the planted corpus too
+    c = duckdb.connect()
+    c.execute(f"create view documents as select * from "
+              f"read_parquet('{tmp_path}/documents.parquet')")
+    assert_matches_sql(out, c, co.doc_pii_scrub_sql())
+
+
 def test_q18_large_orders_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

@@ -290,6 +290,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + PII redaction map — oracle_sql-backed, same past-cap note
         "doc_quality_model": co.doc_quality_model,
         "doc_pii_scrub": co.doc_pii_scrub,
+        # Q10 re-keyed join, LEFT-OUTER tagged exchange, time-RANGE
+        # window, LEAD transition matrix, Q19 disjunctive pushdown —
+        # oracle_sql-backed, same past-cap note
+        "q10_returned_customers": an.q10_returned_customers,
+        "customer_order_counts": an.customer_order_counts,
+        "events_window_range": an.events_window_range,
+        "events_transition_matrix": an.events_transition_matrix,
+        "q19_disjunctive_revenue": an.q19_disjunctive_revenue,
         # sketch/LSH families: non-SQL-expressible; planted-dup +
         # recall/precision pytest coverage (tests/test_lsh_bench_scale.py)
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -420,6 +428,11 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "user_top_event": an.USER_TOP_EVENT_SQL,
         "doc_quality_model": qm.quality_model_sql(),
         "doc_pii_scrub": co.doc_pii_scrub_sql(),
+        "q10_returned_customers": an.q10_returned_customers_sql(),
+        "customer_order_counts": an.CUSTOMER_ORDER_COUNTS_SQL,
+        "events_window_range": an.events_window_range_sql(),
+        "events_transition_matrix": an.EVENTS_TRANSITION_SQL,
+        "q19_disjunctive_revenue": an.q19_disjunctive_revenue_sql(),
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

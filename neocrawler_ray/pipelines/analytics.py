@@ -1924,3 +1924,383 @@ WITH c AS (SELECT user_id, event_type, count(*) AS n
 SELECT user_id, event_type AS top_event, CAST(n AS BIGINT) AS n
 FROM r WHERE rn = 1
 """.strip()
+
+
+# --- round-4 continuation: Q10 / left-outer / range-window / LEAD ---------
+
+Q10_LO = "1996-01-01"
+Q10_HI = "1996-04-01"
+
+
+def q10_returned_customers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 shape: the top-``k`` customers by revenue LOST to
+    returned items in one quarter — a filtered-fact three-way join that
+    re-aggregates on a SECOND key after the join (orderkey → custkey),
+    which Q3/Q5/Q18 never do.
+
+    Scale shape:
+
+    - lineitem (the 100-TB side) pushes ``l_returnflag = 'R'`` into the
+      parquet scan (only returned row groups leave storage) and
+      collapses to per-(orderkey, block) fixed-point revenue partials;
+    - orders pushes the quarter window into its scan and ships
+      (orderkey, custkey) survivor pairs;
+    - the two sides meet in ONE tagged orderkey exchange (custkey −1
+      marks the lineitem side); the in-partition join re-keys revenue
+      to custkey and PRE-AGGREGATES per custkey before emitting;
+    - a second custkey exchange finishes the sums exactly and emits
+      only each partition's top-``k`` (a global winner must win its
+      partition), so the driver reduces ≤ k × parts rows and decorates
+      them with the broadcast-sized customer/nation name lookups."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from ..sources.tables import table_files
+    from .corpus_ops import _hash_grouped
+
+    flt_o = ((pads.field("o_orderdate") >= pads.scalar(pd.Timestamp(Q10_LO)))
+             & (pads.field("o_orderdate") < pads.scalar(pd.Timestamp(Q10_HI))))
+    orders = ray.data.read_parquet(
+        table_files(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey"], filter=flt_o)
+    line = ray.data.read_parquet(
+        table_files(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == pads.scalar("R"))
+
+    def o_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"orderkey": df["o_orderkey"].to_numpy("int64"),
+             "custkey": df["o_custkey"].to_numpy("int64"),
+             "rev": np.zeros(len(df), dtype="int64")})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(df["l_extendedprice"].to_numpy("float64")
+                       * (1.0 - df["l_discount"].to_numpy("float64"))
+                       * 10000.0).astype("int64")
+        g = (pd.DataFrame({"orderkey": df["l_orderkey"].astype("int64"),
+                           "rev": rev})
+             .groupby("orderkey", as_index=False)["rev"].sum())
+        g["custkey"] = np.full(len(g), -1, dtype="int64")
+        g["rev"] = g["rev"].astype("int64")
+        return g[["orderkey", "custkey", "rev"]]
+
+    def join_rekey(df: pd.DataFrame) -> pd.DataFrame:
+        l_side = df["custkey"] < 0
+        rev = df[l_side].groupby("orderkey", as_index=False)["rev"].sum()
+        j = df.loc[~l_side, ["orderkey", "custkey"]].merge(
+            rev, on="orderkey", how="inner")
+        g = j.groupby("custkey", as_index=False)["rev"].sum()
+        return g.astype({"custkey": "int64", "rev": "int64"})
+
+    def cust_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("custkey", as_index=False)["rev"].sum()
+        g = g.sort_values(["rev", "custkey"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g.astype({"custkey": "int64", "rev": "int64"})
+
+    unioned = (orders.map_batches(o_keyed, batch_format="pandas")
+               .union(line.map_batches(l_partial, batch_format="pandas")))
+    per_cust = _hash_grouped(unioned, ["orderkey"], join_rekey, num_parts=32)
+    cands = _hash_grouped(per_cust, ["custkey"], cust_topk,
+                          num_parts=16).to_pandas()
+    if "custkey" not in cands.columns:
+        cands = pd.DataFrame({"custkey": pd.Series(dtype="int64"),
+                              "rev": pd.Series(dtype="int64")})
+    top = (cands.sort_values(["rev", "custkey"], ascending=[False, True],
+                             kind="mergesort").head(k))
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"]))
+    nkey = dict(zip(cust["c_custkey"].astype("int64"),
+                    cust["c_nationkey"].astype("int64")))
+    nname = dict(zip(nation["n_nationkey"].astype("int64"),
+                     nation["n_name"]))
+    ck = top["custkey"].astype("int64").to_numpy()
+    return pd.DataFrame(
+        {"c_custkey": ck,
+         "c_name": [names.get(int(c), "") for c in ck],
+         "n_name": [nname.get(nkey.get(int(c), -1), "") for c in ck],
+         "revenue_e4": top["rev"].astype("int64").to_numpy()}
+    ).reset_index(drop=True)
+
+
+def q10_returned_customers_sql(k: int = 20) -> str:
+    return f"""
+WITH r AS (SELECT l_orderkey,
+                  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                       * 10000) AS BIGINT)) AS BIGINT) rev
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+ o AS (SELECT o_orderkey, o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '{Q10_LO}'
+         AND o_orderdate < TIMESTAMP '{Q10_HI}')
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(r.rev) AS BIGINT) AS revenue_e4
+FROM r JOIN o ON r.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, c_custkey LIMIT {k}
+""".strip()
+
+
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER join as a tagged exchange: every customer with their
+    order count and fixed-point total spend — INCLUDING zero-order
+    customers, the null-extended rows an inner join (Q3/Q5/Q10) can
+    never produce and the anti-join only produces exclusively.
+
+    Scale shape: orders (the big side) collapses to per-(custkey,
+    block) count/spend partials inside ``map_batches``; customer rows
+    ride the SAME custkey-hash exchange tagged by a non-empty name
+    column.  The in-partition finish left-merges partials onto the
+    customer rows and zero-fills misses — no customer-sized broadcast,
+    no driver materialization (the result stays a Dataset, one row per
+    customer).  Orphan order rows (custkey absent from customer) drop,
+    matching LEFT JOIN FROM customer."""
+    from .corpus_ops import _hash_grouped
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def c_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": df["c_custkey"].to_numpy("int64"),
+             "name": df["c_name"].astype(str),
+             "n": np.zeros(len(df), dtype="int64"),
+             "spent": np.zeros(len(df), dtype="int64")})
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"custkey": df["o_custkey"].astype("int64"),
+                           "spent": _e4(df["o_totalprice"])})
+             .groupby("custkey", as_index=False)
+             .agg(n=("spent", "size"), spent=("spent", "sum")))
+        g["name"] = pd.Series(np.full(len(g), "", dtype=object),
+                              index=g.index)
+        return g[["custkey", "name", "n", "spent"]].astype(
+            {"custkey": "int64", "n": "int64", "spent": "int64"})
+
+    def left_merge(df: pd.DataFrame) -> pd.DataFrame:
+        c_side = df["name"] != ""
+        agg = (df[~c_side].groupby("custkey", as_index=False)
+               [["n", "spent"]].sum())
+        j = df.loc[c_side, ["custkey", "name"]].merge(
+            agg, on="custkey", how="left")
+        return pd.DataFrame(
+            {"c_custkey": j["custkey"].astype("int64"),
+             "c_name": j["name"].astype(str),
+             "n_orders": j["n"].fillna(0).astype("int64"),
+             "spent_e4": j["spent"].fillna(0).astype("int64")})
+
+    unioned = (cust.map_batches(c_keyed, batch_format="pandas")
+               .union(orders.map_batches(o_partial, batch_format="pandas")))
+    return _hash_grouped(unioned, ["custkey"], left_merge, num_parts=32)
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(sum(CAST(floor(o.o_totalprice * 10000) AS BIGINT)), 0)
+            AS BIGINT) AS spent_e4
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""".strip()
+
+
+RANGE_WINDOW_US = 60_000_000  # 60 s
+
+
+def events_window_range(sf_dir: str, window_us: int = RANGE_WINDOW_US):
+    """Time-RANGE window aggregate: for each event, the fixed-point sum
+    and row count over the same user's events in the trailing 60-second
+    interval — SQL's ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT
+    ROW``, a frame defined by VALUE distance, not row distance (the
+    rolling-sum op covers ROWS frames; peers with equal ts share one
+    frame here, which a ROWS frame cannot express).
+
+    Scale shape: ONE user-hash exchange co-locates each user's rows;
+    the in-partition kernel sorts once, builds a per-user inclusive
+    prefix-sum, and resolves every frame with two ``searchsorted``
+    calls per user group (C-speed; the outer loop is over user GROUPS
+    in the partition, not rows).  Frame bounds are computed on int64
+    microseconds so the interval arithmetic is exact."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_id": df["event_id"].astype("int64"),
+             "ts_us": _ts_us(df["ts"]),
+             "value_e4": _e4(df["value"])})
+
+    def frames(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy("int64")
+        t = df["ts_us"].to_numpy("int64")
+        v = df["value_e4"].to_numpy("int64")
+        n = len(u)
+        out_s = np.empty(n, dtype="int64")
+        out_n = np.empty(n, dtype="int64")
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        bounds = np.r_[starts, n]
+        for gi in range(len(starts)):
+            s, e = bounds[gi], bounds[gi + 1]
+            ts_g = t[s:e]
+            pref = np.r_[0, np.cumsum(v[s:e])]
+            lo = np.searchsorted(ts_g, ts_g - window_us, side="left")
+            hi = np.searchsorted(ts_g, ts_g, side="right")
+            out_s[s:e] = pref[hi] - pref[lo]
+            out_n[s:e] = hi - lo
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "win_sum_e4": out_s, "win_n": out_n})
+
+    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                         ["user_id"], frames, num_parts=32)
+
+
+def events_window_range_sql(window_s: int = RANGE_WINDOW_US
+                            // 1_000_000) -> str:
+    return f"""
+SELECT event_id,
+       CAST(sum(CAST(floor(value*10000) AS BIGINT)) OVER w AS BIGINT)
+         AS win_sum_e4,
+       CAST(count(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {window_s} SECONDS PRECEDING
+             AND CURRENT ROW)
+""".strip()
+
+
+def events_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """Event-sequence transition matrix: counts of consecutive
+    (event → next event) class pairs within each user's timeline — the
+    LEAD-window shape (``events_time_since_last`` covers LAG on a
+    value; this consumes the FOLLOWING row's label and aggregates the
+    pairs).
+
+    Scale shape: ONE user-hash exchange; the in-partition kernel sorts
+    by (user, ts, event_id), shifts the type-code array by one, masks
+    the user boundary, and collapses to per-(from, to) partial counts
+    (≤ |classes|² rows per partition — the driver reduce is
+    matrix-sized, never event-sized)."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_id": df["event_id"].astype("int64"),
+             "ts_us": _ts_us(df["ts"]),
+             "event_type": df["event_type"].astype(str)})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy("int64")
+        ty = df["event_type"].to_numpy(dtype=object)
+        same = np.zeros(len(u), dtype=bool)
+        same[:-1] = u[:-1] == u[1:]
+        src = ty[same]
+        dst = np.roll(ty, -1)[same]
+        g = (pd.DataFrame({"from_type": src, "to_type": dst})
+             .groupby(["from_type", "to_type"], as_index=False).size()
+             .rename(columns={"size": "p_n"}))
+        g["p_n"] = g["p_n"].astype("int64")
+        return g
+
+    parts = _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                          ["user_id"], pairs, num_parts=32)
+    return _finish_small(parts, ["from_type", "to_type"], {"p_n": "n"})
+
+
+EVENTS_TRANSITION_SQL = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
+Q19_BRANCHES = (("Brand#12", 1, 11, 1, 5),
+                ("Brand#23", 10, 20, 1, 10),
+                ("Brand#15", 20, 30, 1, 15))
+
+
+def q19_disjunctive_revenue(sf_dir: str, branches=Q19_BRANCHES) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of correlated
+    part-attribute × line-attribute predicates — the multi-branch OR
+    that defeats single-predicate pushdown (Q14 pushes one membership
+    test; here each branch needs two part attributes AND a lineitem
+    range, so the filter must evaluate post-join).
+
+    Scale shape: the part dimension reduces to three parallel arrays
+    (sorted partkey, brand code, size) broadcast once via ``ray.put``
+    — brand codes index ``Q19_BRANCHES``, −1 for never-matching parts;
+    each lineitem batch resolves its partkeys with one ``searchsorted``
+    gather, evaluates all branches vectorized, and collapses to a
+    single (revenue, count) partial row.  Zero shuffles end to end."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    order = np.argsort(part["p_partkey"].to_numpy("int64"), kind="stable")
+    pk = part["p_partkey"].to_numpy("int64")[order]
+    size = part["p_size"].to_numpy("int64")[order]
+    brand_code = np.full(len(part), -1, dtype="int64")
+    brands = part["p_brand"].to_numpy(dtype=object)[order]
+    for bi, (b, *_rest) in enumerate(branches):
+        brand_code[brands == b] = bi
+    dim_ref = ray.put((pk, brand_code, size))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice",
+                  "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pks, codes, sizes = ray.get(dim_ref)
+        lpk = df["l_partkey"].to_numpy("int64")
+        pos = np.searchsorted(pks, lpk)
+        pos = np.minimum(pos, len(pks) - 1)
+        hit = pks[pos] == lpk
+        code = np.where(hit, codes[pos], -1)
+        psize = np.where(hit, sizes[pos], 0)
+        qty = df["l_quantity"].to_numpy("float64")
+        mask = np.zeros(len(df), dtype=bool)
+        for bi, (_b, qlo, qhi, slo, shi) in enumerate(branches):
+            mask |= ((code == bi) & (qty >= qlo) & (qty <= qhi)
+                     & (psize >= slo) & (psize <= shi))
+        rev = np.floor(df["l_extendedprice"].to_numpy("float64")
+                       * (1.0 - df["l_discount"].to_numpy("float64"))
+                       * 10000.0).astype("int64")
+        return pd.DataFrame({"p_rev": [int(rev[mask].sum())],
+                             "p_n": [int(mask.sum())]}).astype("int64")
+
+    parts = line.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {"revenue_e4": pd.Series([int(parts["p_rev"].sum())], dtype="int64"),
+         "n_items": pd.Series([int(parts["p_n"].sum())], dtype="int64")})
+
+
+def q19_disjunctive_revenue_sql(branches=Q19_BRANCHES) -> str:
+    ors = " OR ".join(
+        f"(p.p_brand = '{b}' AND l.l_quantity BETWEEN {qlo} AND {qhi}"
+        f" AND p.p_size BETWEEN {slo} AND {shi})"
+        for b, qlo, qhi, slo, shi in branches)
+    return f"""
+SELECT CAST(COALESCE(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                 * 10000) AS BIGINT)), 0) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {ors}
+""".strip()

@@ -1254,3 +1254,123 @@ def test_corpus_source_report_matches_sql(ray_session, con):
 
     assert_matches_sql(co.corpus_source_report(SF), con,
                        co.corpus_source_report_sql())
+
+
+def test_q10_returned_customers_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.q10_returned_customers(SF)
+    assert len(got) > 0
+    assert_matches_sql(got, con, an.q10_returned_customers_sql())
+
+
+def test_customer_order_counts_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.customer_order_counts(SF), con,
+                       an.CUSTOMER_ORDER_COUNTS_SQL)
+
+
+def test_customer_order_counts_zero_fill(ray_session, tmp_path):
+    """LEFT-OUTER semantics: a customer with no orders survives with
+    zero counts; an orphan order (custkey not in customer) drops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import analytics as an
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_name": pa.array(["a", "b", "c"]),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 9], type=pa.int64()),
+        "o_totalprice": pa.array([10.5, 2.25, 99.0], type=pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = (an.customer_order_counts(str(tmp_path)).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    assert out.to_dict("list") == {
+        "c_custkey": [1, 2, 3], "c_name": ["a", "b", "c"],
+        "n_orders": [2, 0, 0], "spent_e4": [127500, 0, 0]}
+
+
+def test_events_window_range_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_window_range(SF), con,
+                       an.events_window_range_sql())
+
+
+def test_events_window_range_peers_share_frame(ray_session, tmp_path):
+    """RANGE (not ROWS) semantics: rows with EQUAL ts are peers — each
+    one's frame includes the other, even the later-positioned peer; and
+    a row exactly window-start old is still inside (inclusive bound)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import analytics as an
+
+    base = 1_700_000_000_000_000  # us
+    ts = pa.array([base, base + 30_000_000, base + 30_000_000,
+                   base + 60_000_000, base + 120_000_000],
+                  type=pa.timestamp("us"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 7], type=pa.int64()),
+        "ts": ts,
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], type=pa.float64()),
+    }), tmp_path / "events.parquet")
+    out = (an.events_window_range(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # frames (60s inclusive): e0:{0} e1:{0,1,2} e2:{0,1,2} e3:{0..3}
+    # e4:{3,4} (e3 is exactly 60s old -> included)
+    assert out["win_sum_e4"].tolist() == [
+        10000, 70000, 70000, 150000, 240000]
+    assert out["win_n"].tolist() == [1, 3, 3, 4, 2]
+
+
+def test_events_transition_matrix_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_transition_matrix(SF)
+    assert len(got) > 0
+    assert_matches_sql(got, con, an.EVENTS_TRANSITION_SQL)
+
+
+def test_events_transition_matrix_tiny_exact(ray_session, tmp_path):
+    """Transitions never cross users, and ties on ts order by
+    event_id (the SQL oracle's declared total order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import analytics as an
+
+    base = 1_700_000_000_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([base, base, base + 1, base, base + 1],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "a", "x", "y"]),
+    }), tmp_path / "events.parquet")
+    out = (an.events_transition_matrix(str(tmp_path))
+           .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    # user 1 ordered by (ts, event_id): a->b->a; user 2: x->y
+    assert out.to_dict("list") == {
+        "from_type": ["a", "b", "x"], "to_type": ["b", "a", "y"],
+        "n": [1, 1, 1]}
+
+
+def test_q19_disjunctive_revenue_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.q19_disjunctive_revenue(SF)
+    assert got["n_items"].iloc[0] > 0
+    assert_matches_sql(got, con, an.q19_disjunctive_revenue_sql())
+
+
+def test_q19_no_matching_branch_is_zero(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    branches = (("Brand#99", 1, 50, 1, 50),)  # brand doesn't exist
+    got = an.q19_disjunctive_revenue(SF, branches=branches)
+    assert got["revenue_e4"].tolist() == [0]
+    assert got["n_items"].tolist() == [0]
+    assert_matches_sql(got, con, an.q19_disjunctive_revenue_sql(branches))

@@ -298,6 +298,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_range": an.events_window_range,
         "events_transition_matrix": an.events_transition_matrix,
         "q19_disjunctive_revenue": an.q19_disjunctive_revenue,
+        # Q17 correlated per-group-avg threshold, ROLLUP grains,
+        # NTILE rank window — oracle_sql-backed, same past-cap note
+        "q17_small_quantity_revenue": an.q17_small_quantity_revenue,
+        "revenue_rollup": an.revenue_rollup,
+        "events_user_ntile": an.events_user_ntile,
         # sketch/LSH families: non-SQL-expressible; planted-dup +
         # recall/precision pytest coverage (tests/test_lsh_bench_scale.py)
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -433,6 +438,9 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_window_range": an.events_window_range_sql(),
         "events_transition_matrix": an.EVENTS_TRANSITION_SQL,
         "q19_disjunctive_revenue": an.q19_disjunctive_revenue_sql(),
+        "q17_small_quantity_revenue": an.Q17_SQL,
+        "revenue_rollup": an.REVENUE_ROLLUP_SQL,
+        "events_user_ntile": an.events_user_ntile_sql(),
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

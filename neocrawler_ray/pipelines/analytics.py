@@ -2304,3 +2304,177 @@ SELECT CAST(COALESCE(sum(CAST(floor(l_extendedprice * (1 - l_discount)
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE {ors}
 """.strip()
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20 %
+    of their part's average — a CORRELATED per-group-average threshold,
+    where every fact row must be compared against its own group's
+    aggregate (unlike Q18's HAVING, whose survivor set is answer-sized
+    and broadcastable).
+
+    Scale shape: one partkey-hash tagged exchange carries BOTH the raw
+    (qty, price) rows and the per-(partkey, block) partial (Σqty, n)
+    combiner rows (qty −1 marks the partial side); the in-partition
+    finish completes each part's aggregate, evaluates the threshold,
+    and collapses to one (revenue, count) partial row per partition —
+    the driver reduce is partition-count-sized.  The 0.2·avg comparison
+    runs as ``qty·5·n < Σqty`` in int64 (quantities are integral), so
+    no float division can flip a boundary row cross-engine."""
+    from .corpus_ops import _hash_grouped
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def tagged(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df["l_quantity"].to_numpy("float64").astype("int64")
+        rows = pd.DataFrame(
+            {"partkey": df["l_partkey"].to_numpy("int64"),
+             "qty": qty,
+             "price_e4": _e4(df["l_extendedprice"]),
+             "n": np.zeros(len(df), dtype="int64")})
+        agg = (pd.DataFrame({"partkey": rows["partkey"], "sq": qty})
+               .groupby("partkey", as_index=False)
+               .agg(sq=("sq", "sum"), n=("sq", "size")))
+        part = pd.DataFrame(
+            {"partkey": agg["partkey"].astype("int64"),
+             "qty": np.full(len(agg), -1, dtype="int64"),
+             "price_e4": agg["sq"].astype("int64"),  # Σqty rides here
+             "n": agg["n"].astype("int64")})
+        return pd.concat([rows, part], ignore_index=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        p_side = df["qty"] < 0
+        agg = (df[p_side].groupby("partkey", as_index=False)
+               [["price_e4", "n"]].sum()
+               .rename(columns={"price_e4": "sq"}))
+        rows = df.loc[~p_side, ["partkey", "qty", "price_e4"]].merge(
+            agg, on="partkey", how="inner")
+        keep = (rows["qty"].to_numpy("int64") * 5
+                * rows["n"].to_numpy("int64")
+                < rows["sq"].to_numpy("int64"))
+        return pd.DataFrame(
+            {"p_rev": [int(rows.loc[keep, "price_e4"].sum())],
+             "p_n": [int(keep.sum())]}).astype("int64")
+
+    parts = _hash_grouped(line.map_batches(tagged, batch_format="pandas"),
+                          ["partkey"], finish, num_parts=32).to_pandas()
+    return pd.DataFrame(
+        {"revenue_e4": pd.Series([int(parts["p_rev"].sum())], dtype="int64"),
+         "n_items": pd.Series([int(parts["p_n"].sum())], dtype="int64")})
+
+
+Q17_SQL = """
+WITH s AS (SELECT l_partkey,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sq,
+                  count(*) n
+           FROM lineitem GROUP BY 1)
+SELECT CAST(COALESCE(sum(CAST(floor(l_extendedprice * 10000) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * s.n < s.sq
+""".strip()
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP / GROUPING SETS aggregate: order revenue at three grains
+    — (year, priority), (year, ALL), (ALL, ALL) — in one pass.
+
+    Scale shape: the scan collapses each block to FINEST-grain partials
+    only (year × priority ≤ a few dozen rows per block); the coarser
+    grains are DERIVED from the finished finest level driver-side — the
+    classic rollup-from-finest rewrite, so the exchange never carries
+    duplicate coarse rows and adding grains costs nothing at scan
+    time.  Sentinel ``'ALL'`` (never a real year/priority) marks the
+    rolled-up levels, matching the SQL oracle's COALESCE."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame(
+            {"yr": df["o_orderdate"].dt.strftime("%Y"),
+             "prio": df["o_orderpriority"].astype(str),
+             "rev": _e4(df["o_totalprice"]),
+             "n": np.ones(len(df), dtype="int64")})
+            .groupby(["yr", "prio"], as_index=False)[["rev", "n"]].sum())
+        return g.astype({"rev": "int64", "n": "int64"})
+
+    fine = _finish_small(ds.map_batches(partial, batch_format="pandas"),
+                         ["yr", "prio"], {"rev": "revenue_e4",
+                                          "n": "n_orders"})
+    by_year = (fine.groupby("yr", as_index=False)
+               [["revenue_e4", "n_orders"]].sum())
+    by_year["prio"] = "ALL"
+    total = pd.DataFrame({"yr": ["ALL"], "prio": ["ALL"],
+                          "revenue_e4": [fine["revenue_e4"].sum()],
+                          "n_orders": [fine["n_orders"].sum()]})
+    out = pd.concat([fine, by_year, total], ignore_index=True)
+    out = out[["yr", "prio", "revenue_e4", "n_orders"]].astype(
+        {"revenue_e4": "int64", "n_orders": "int64"})
+    return (out.sort_values(["yr", "prio"]).reset_index(drop=True))
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(CAST(y AS VARCHAR), 'ALL') AS yr,
+       COALESCE(p, 'ALL') AS prio,
+       CAST(sum(r) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM (SELECT strftime(o_orderdate, '%Y') y, o_orderpriority p,
+             CAST(floor(o_totalprice * 10000) AS BIGINT) r
+      FROM orders)
+GROUP BY ROLLUP(y, p) ORDER BY 1, 2
+""".strip()
+
+
+def events_user_ntile(sf_dir: str, k: int = 4):
+    """NTILE window: each user's events split into ``k`` time-ordered
+    tiles (SQL ``ntile(k) OVER (PARTITION BY user ORDER BY ts)``) —
+    the equal-buckets rank window the quantile ops don't cover (NTILE
+    is defined by GROUP SIZE arithmetic, not value cuts: first
+    ``n mod k`` tiles get one extra row).
+
+    Scale shape: ONE user-hash exchange; the in-partition kernel sorts
+    once and assigns tiles from each row's rank with pure integer
+    arithmetic (no per-row loop; the outer loop is user groups)."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_id": df["event_id"].astype("int64"),
+             "ts_us": _ts_us(df["ts"])})
+
+    def tiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy("int64")
+        n_rows = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        bounds = np.r_[starts, n_rows]
+        grp_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        rank = np.arange(n_rows, dtype="int64") - starts[grp_id]
+        size = np.diff(bounds)[grp_id]
+        q, rem = size // k, size % k
+        cut = rem * (q + 1)  # rows before this rank sit in fat tiles
+        fat = rank < cut
+        tile = np.where(
+            fat, rank // np.maximum(q + 1, 1),
+            rem + np.where(q > 0, (rank - cut) // np.maximum(q, 1), 0)
+        ).astype("int64") + 1
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "tile": tile})
+
+    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                         ["user_id"], tiles, num_parts=32)
+
+
+def events_user_ntile_sql(k: int = 4) -> str:
+    return f"""
+SELECT event_id,
+       CAST(ntile({k}) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS BIGINT) AS tile
+FROM events
+""".strip()

@@ -1374,3 +1374,75 @@ def test_q19_no_matching_branch_is_zero(ray_session, con):
     assert got["revenue_e4"].tolist() == [0]
     assert got["n_items"].tolist() == [0]
     assert_matches_sql(got, con, an.q19_disjunctive_revenue_sql(branches))
+
+
+def test_q17_small_quantity_revenue_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.q17_small_quantity_revenue(SF)
+    assert got["n_items"].iloc[0] > 0
+    assert_matches_sql(got, con, an.Q17_SQL)
+
+
+def test_q17_boundary_excluded(ray_session, tmp_path):
+    """qty exactly 20% of the part's average is NOT below it — the
+    integer form qty*5*n < Σqty must exclude the equality row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import analytics as an
+
+    # part 1: quantities 1,4,4,4,4,8 -> sum 25, n 6, avg ~4.167
+    #   row qty=1: 1*5*6=30 > 25? no -> 30 < 25 false... choose sums
+    # make avg exactly 5: qtys 1,5,5,9 -> sum 20, n 4; 0.2*avg = 1
+    #   row qty=1: 1*5*4 = 20 == 20 -> excluded (not strictly below)
+    # part 2: qtys 1,9 -> sum 10, n 2; row qty=1: 10 < 10 -> excluded;
+    #   add qty=0 row? quantities >=1; use 1,19 -> sum 20 n 2:
+    #   1*5*2=10 < 20 -> included
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "l_quantity": pa.array([1.0, 5.0, 5.0, 9.0, 1.0, 19.0]),
+        "l_extendedprice": pa.array([10.0, 1.0, 1.0, 1.0, 100.0, 1.0]),
+    }), tmp_path / "lineitem.parquet")
+    got = an.q17_small_quantity_revenue(str(tmp_path))
+    # only part 2's qty=1 row (price 100.0) qualifies
+    assert got["revenue_e4"].tolist() == [1000000]
+    assert got["n_items"].tolist() == [1]
+
+
+def test_revenue_rollup_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.revenue_rollup(SF)
+    # all three grains present and internally consistent
+    total = got[(got["yr"] == "ALL") & (got["prio"] == "ALL")]
+    fine = got[(got["yr"] != "ALL") & (got["prio"] != "ALL")]
+    assert total["n_orders"].iloc[0] == fine["n_orders"].sum()
+    assert total["revenue_e4"].iloc[0] == fine["revenue_e4"].sum()
+    assert_matches_sql(got, con, an.REVENUE_ROLLUP_SQL)
+
+
+def test_events_user_ntile_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_user_ntile(SF), con,
+                       an.events_user_ntile_sql())
+
+
+def test_events_user_ntile_remainder_sizes(ray_session, tmp_path):
+    """NTILE group-size arithmetic: 6 rows into 4 tiles -> sizes
+    2,2,1,1 (first n%k tiles get the extra row), and a user with fewer
+    rows than tiles gets one per tile."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import analytics as an
+
+    base = 1_700_000_000_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(8)), type=pa.int64()),
+        "user_id": pa.array([1] * 6 + [2] * 2, type=pa.int64()),
+        "ts": pa.array([base + i for i in range(8)],
+                       type=pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+    out = (an.events_user_ntile(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["tile"].tolist() == [1, 1, 2, 2, 3, 4, 1, 2]

@@ -159,6 +159,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "user_top_event": lambda: consume(an.user_top_event(sf_dir)),
         "events_sessions_salted": lambda: consume(
             an.events_sessions(sf_dir, salt_shift=38)),
+        # round-4 continuation: the three heaviest of the new shapes
+        # (full-lineitem tagged exchanges / per-user range frames)
+        "q10_returned_customers": lambda: consume(
+            an.q10_returned_customers(sf_dir)),
+        "q17_small_qty": lambda: consume(
+            an.q17_small_quantity_revenue(sf_dir)),
+        "events_window_range": lambda: consume(
+            an.events_window_range(sf_dir)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

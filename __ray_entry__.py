@@ -303,6 +303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": an.q17_small_quantity_revenue,
         "revenue_rollup": an.revenue_rollup,
         "events_user_ntile": an.events_user_ntile,
+        # composed end-to-end corpus preparation (gate -> dedup keep-one
+        # -> PII scrub -> actor-pool model filter, one streaming flow)
+        "corpus_prepare": co.corpus_prepare,
         # sketch/LSH families: non-SQL-expressible; planted-dup +
         # recall/precision pytest coverage (tests/test_lsh_bench_scale.py)
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -441,6 +444,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "q17_small_quantity_revenue": an.Q17_SQL,
         "revenue_rollup": an.REVENUE_ROLLUP_SQL,
         "events_user_ntile": an.events_user_ntile_sql(),
+        "corpus_prepare": co.corpus_prepare_sql(),
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

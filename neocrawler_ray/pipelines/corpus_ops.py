@@ -2107,3 +2107,109 @@ SELECT doc_id,
            AS n_redactions
 FROM s1
 """.strip()
+
+
+def corpus_prepare(sf_dir: str, concurrency: int = 4):
+    """The composed end-to-end corpus-preparation pipeline — the four
+    hygiene stages a real pre-training corpus runs, as ONE streaming
+    Dataset flow: quality gate → exact dedup (keep min doc_id per
+    content digest) → PII scrub → quality-model filter.  Returns the
+    surviving corpus (doc_id, lang, source, text_clean, quality_score,
+    n_redactions).
+
+    Scale shape: the gate drops junk rows AT THE SCAN (nothing dead
+    rides further); ONE content-sized digest-hash exchange performs the
+    keep-one — unlike ``corpus_clean`` (which emits only ids, so its
+    exchange ships digests), the composed pipeline must move each
+    surviving document's payload exactly once to wherever its digest
+    group lands; the PII scrub then streams per batch, and the
+    quality-model stage runs as the actor pool in passthrough mode
+    (weights built once per actor, payload columns flow through).
+    Nothing corpus-sized ever reaches the driver — the result stays a
+    Dataset.  The DuckDB oracle nests the same four steps as CTEs, so
+    every stage boundary is bit-checked, not just the final rows."""
+    import numpy as np
+
+    from ..stages.quality_model import QualityModel
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        stats = ts.text_stats_frame(df["text"])
+        out = pd.DataFrame(
+            {"text_md5": dd.md5_hex_series(df["text"]).astype(object),
+             "doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "text": df["text"].astype(str).to_numpy(dtype=object),
+             "lang": df["lang"].astype(str).to_numpy(dtype=object),
+             "source": df["source"].astype(str).to_numpy(dtype=object)})
+        return out[stats["quality_ok"].to_numpy()].reset_index(drop=True)
+
+    def keep_one(df: pd.DataFrame) -> pd.DataFrame:
+        first = (df.sort_values(["text_md5", "doc_id"])
+                 .groupby("text_md5", as_index=False).first())
+        return first[["doc_id", "text", "lang", "source"]].astype(
+            {"doc_id": "int64"})
+
+    survivors = _hash_grouped(ds.map_batches(gate, batch_format="pandas"),
+                              ["text_md5"], keep_one,
+                              num_parts=_parts_for(sf_dir, "documents"))
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype("string").fillna("")
+        n_email = t.str.count(PII_EMAIL).astype("int64")
+        c1 = t.str.replace(PII_EMAIL, "<email>", regex=True)
+        n_phone = c1.str.count(PII_PHONE).astype("int64")
+        clean = c1.str.replace(PII_PHONE, "<phone>", regex=True)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "lang": df["lang"].astype(str),
+             "source": df["source"].astype(str),
+             # the model scores the SCRUBBED text, so the column keeps
+             # the name the scoring stage expects
+             "text": clean.astype(str),
+             "n_redactions": (n_email + n_phone).astype("int64")})
+
+    scored = (survivors.map_batches(scrub, batch_format="pandas")
+              .map_batches(QualityModel, batch_format="pandas",
+                           fn_constructor_kwargs={"passthrough": True},
+                           concurrency=(1, concurrency)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df[df["keep"].to_numpy()]
+        return pd.DataFrame(
+            {"doc_id": kept["doc_id"].astype("int64"),
+             "lang": kept["lang"].astype(str),
+             "source": kept["source"].astype(str),
+             "text_clean": kept["text"].astype(str),
+             "quality_score": kept["quality_score"].astype("int64"),
+             "n_redactions": kept["n_redactions"].astype("int64")})
+
+    return scored.map_batches(finish, batch_format="pandas")
+
+
+def corpus_prepare_sql() -> str:
+    from ..stages.quality_model import quality_model_sql
+
+    return f"""
+WITH stats AS ({ts.text_stats_sql()}),
+ gate AS (SELECT d.doc_id, d.text, d.lang, d.source
+          FROM documents d JOIN stats s USING (doc_id)
+          WHERE s.quality_ok),
+ ded AS (SELECT gate.*, row_number() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id) rn
+         FROM gate),
+ win AS (SELECT doc_id, text, lang, source FROM ded WHERE rn = 1),
+ p1 AS (SELECT doc_id, lang, source,
+               regexp_replace(text, '{PII_EMAIL}', '<email>', 'g') AS c1,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS ne
+        FROM win),
+ p2 AS (SELECT doc_id, lang, source,
+               regexp_replace(c1, '{PII_PHONE}', '<phone>', 'g') AS text,
+               CAST(ne + len(regexp_extract_all(c1, '{PII_PHONE}'))
+                    AS BIGINT) AS n_redactions
+        FROM p1),
+ qm AS ({quality_model_sql(table="p2")})
+SELECT p2.doc_id, p2.lang, p2.source, p2.text AS text_clean,
+       qm.quality_score, p2.n_redactions
+FROM p2 JOIN qm USING (doc_id) WHERE qm.keep
+""".strip()

@@ -36,7 +36,7 @@ class QualityModel:
     text_stats module import); ``__call__`` scores one Arrow-backed
     pandas batch fully vectorized."""
 
-    def __init__(self) -> None:
+    def __init__(self, passthrough: bool = False) -> None:
         # once per actor, NOT once per batch — the analogue of
         # deserializing a real checkpoint
         from ..functions import text_stats as ts
@@ -45,6 +45,11 @@ class QualityModel:
         self._w = np.array(
             [QM_W_CHARS, QM_W_TOKENS, QM_W_PUNCT, QM_W_STOPWORDS],
             dtype="int64")
+        # passthrough: keep every input column alongside the score —
+        # the mid-pipeline mode (composed stages need the payload to
+        # keep flowing); default emits the compact (id, score, keep)
+        # scoring report
+        self._passthrough = passthrough
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         f = self._features(df["text"])
@@ -54,6 +59,11 @@ class QualityModel:
              f["n_punct"].to_numpy("int64"),
              f["n_stopwords"].to_numpy("int64")], axis=1)
         score = feats @ self._w  # one int64 matvec per batch
+        if self._passthrough:
+            out = df.reset_index(drop=True).copy()
+            out["quality_score"] = score.astype("int64")
+            out["keep"] = score > QM_THRESHOLD
+            return out
         return pd.DataFrame(
             {"doc_id": df["doc_id"].astype("int64"),
              "quality_score": score.astype("int64"),

@@ -1446,3 +1446,46 @@ def test_events_user_ntile_remainder_sizes(ray_session, tmp_path):
     out = (an.events_user_ntile(str(tmp_path)).to_pandas()
            .sort_values("event_id").reset_index(drop=True))
     assert out["tile"].tolist() == [1, 1, 2, 2, 3, 4, 1, 2]
+
+
+def test_corpus_prepare_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.corpus_prepare(SF).to_pandas()
+    assert len(got) > 0
+    assert_matches_sql(got, con, co.corpus_prepare_sql())
+
+
+def test_corpus_prepare_stage_chain_planted(ray_session, tmp_path):
+    """The four stages compose in order: the junk doc dies at the gate,
+    the duplicate loses to the lower doc_id, PII scrubs before scoring
+    (the score sees '<email>', not the address), and the low-quality
+    survivor is dropped by the model filter."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox naps by the old barn door for a while longer "
+            "because it is a very sleepy fox indeed today ")
+    pii = good + " contact someone@example.com for more"
+    docs = pa.table({
+        "doc_id": pa.array([5, 3, 9, 11], type=pa.int64()),
+        # 5 and 3 are byte-identical dups (3 must win); 9 carries PII;
+        # 11 is too short for the gate
+        "text": pa.array([good, good, pii, "short junk"]),
+        "lang": pa.array(["en", "en", "en", "en"]),
+        "source": pa.array(["web", "web", "mail", "web"]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (co.corpus_prepare(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [3, 9]
+    assert out.loc[1, "n_redactions"] == 1
+    assert "<email>" in out.loc[1, "text_clean"]
+    assert "someone@example.com" not in out.loc[1, "text_clean"]
+    c = duckdb.connect()
+    c.execute(f"create view documents as select * from "
+              f"read_parquet('{tmp_path}/documents.parquet')")
+    assert_matches_sql(out, c, co.corpus_prepare_sql())

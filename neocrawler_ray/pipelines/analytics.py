@@ -2145,29 +2145,37 @@ def events_window_range(sf_dir: str, window_us: int = RANGE_WINDOW_US):
              "value_e4": _e4(df["value"])})
 
     def frames(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts_us", "event_id"],
-                            kind="mergesort")
-        u = df["user_id"].to_numpy("int64")
-        t = df["ts_us"].to_numpy("int64")
-        v = df["value_e4"].to_numpy("int64")
-        n = len(u)
-        out_s = np.empty(n, dtype="int64")
-        out_n = np.empty(n, dtype="int64")
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        bounds = np.r_[starts, n]
-        for gi in range(len(starts)):
-            s, e = bounds[gi], bounds[gi + 1]
-            ts_g = t[s:e]
-            pref = np.r_[0, np.cumsum(v[s:e])]
-            lo = np.searchsorted(ts_g, ts_g - window_us, side="left")
-            hi = np.searchsorted(ts_g, ts_g, side="right")
-            out_s[s:e] = pref[hi] - pref[lo]
-            out_n[s:e] = hi - lo
-        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
-                             "win_sum_e4": out_s, "win_n": out_n})
+        return range_frames_kernel(df, window_us)
 
     return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
                          ["user_id"], frames, num_parts=32)
+
+
+def range_frames_kernel(df: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """The in-partition RANGE-frame kernel (module-level so the
+    property suite can drive it against a brute-force reference on
+    adversarial ts distributions — duplicates, whole-group peers,
+    exact-boundary gaps)."""
+    df = df.sort_values(["user_id", "ts_us", "event_id"],
+                        kind="mergesort")
+    u = df["user_id"].to_numpy("int64")
+    t = df["ts_us"].to_numpy("int64")
+    v = df["value_e4"].to_numpy("int64")
+    n = len(u)
+    out_s = np.empty(n, dtype="int64")
+    out_n = np.empty(n, dtype="int64")
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    bounds = np.r_[starts, n]
+    for gi in range(len(starts)):
+        s, e = bounds[gi], bounds[gi + 1]
+        ts_g = t[s:e]
+        pref = np.r_[0, np.cumsum(v[s:e])]
+        lo = np.searchsorted(ts_g, ts_g - window_us, side="left")
+        hi = np.searchsorted(ts_g, ts_g, side="right")
+        out_s[s:e] = pref[hi] - pref[lo]
+        out_n[s:e] = hi - lo
+    return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                         "win_sum_e4": out_s, "win_n": out_n})
 
 
 def events_window_range_sql(window_s: int = RANGE_WINDOW_US
@@ -2455,27 +2463,34 @@ def events_user_ntile(sf_dir: str, k: int = 4):
              "ts_us": _ts_us(df["ts"])})
 
     def tiles(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts_us", "event_id"],
-                            kind="mergesort")
-        u = df["user_id"].to_numpy("int64")
-        n_rows = len(u)
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        bounds = np.r_[starts, n_rows]
-        grp_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
-        rank = np.arange(n_rows, dtype="int64") - starts[grp_id]
-        size = np.diff(bounds)[grp_id]
-        q, rem = size // k, size % k
-        cut = rem * (q + 1)  # rows before this rank sit in fat tiles
-        fat = rank < cut
-        tile = np.where(
-            fat, rank // np.maximum(q + 1, 1),
-            rem + np.where(q > 0, (rank - cut) // np.maximum(q, 1), 0)
-        ).astype("int64") + 1
-        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
-                             "tile": tile})
+        return ntile_kernel(df, k)
 
     return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
                          ["user_id"], tiles, num_parts=32)
+
+
+def ntile_kernel(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """The in-partition NTILE kernel (module-level for the property
+    suite: the tile sizes must satisfy SQL's first-(n mod k)-fat rule
+    for every group size)."""
+    df = df.sort_values(["user_id", "ts_us", "event_id"],
+                        kind="mergesort")
+    u = df["user_id"].to_numpy("int64")
+    n_rows = len(u)
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    bounds = np.r_[starts, n_rows]
+    grp_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+    rank = np.arange(n_rows, dtype="int64") - starts[grp_id]
+    size = np.diff(bounds)[grp_id]
+    q, rem = size // k, size % k
+    cut = rem * (q + 1)  # rows before this rank sit in fat tiles
+    fat = rank < cut
+    tile = np.where(
+        fat, rank // np.maximum(q + 1, 1),
+        rem + np.where(q > 0, (rank - cut) // np.maximum(q, 1), 0)
+    ).astype("int64") + 1
+    return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                         "tile": tile})
 
 
 def events_user_ntile_sql(k: int = 4) -> str:

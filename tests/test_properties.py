@@ -245,3 +245,67 @@ def test_simhash_batch_matches_scalar(texts):
     assert batch.dtype == np.uint64
     for t, h in zip(texts, batch):
         assert int(h) == dd.simhash64(t)
+
+
+# --- in-partition window kernels vs brute-force references -----------
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 3),          # user_id
+              st.integers(0, 300),        # ts_us (dense -> many peers)
+              st.integers(-1000, 1000)),  # value_e4
+    min_size=1, max_size=60),
+    st.integers(1, 100))                  # window_us
+@settings(max_examples=80, deadline=None)
+def test_range_frames_kernel_matches_bruteforce(rows, window_us):
+    import numpy as np
+    import pandas as pd
+
+    from neocrawler_ray.pipelines.analytics import range_frames_kernel
+
+    df = pd.DataFrame(
+        {"user_id": np.array([r[0] for r in rows], dtype="int64"),
+         "event_id": np.arange(len(rows), dtype="int64"),
+         "ts_us": np.array([r[1] for r in rows], dtype="int64"),
+         "value_e4": np.array([r[2] for r in rows], dtype="int64")})
+    out = (range_frames_kernel(df, window_us)
+           .set_index("event_id").sort_index())
+    for _, r in df.iterrows():
+        # SQL RANGE frame: same user, ts in [ts_i - W, ts_i] inclusive,
+        # INCLUDING peers positioned after the row
+        m = ((df["user_id"] == r["user_id"])
+             & (df["ts_us"] >= r["ts_us"] - window_us)
+             & (df["ts_us"] <= r["ts_us"]))
+        assert out.loc[r["event_id"], "win_sum_e4"] == \
+            df.loc[m, "value_e4"].sum()
+        assert out.loc[r["event_id"], "win_n"] == int(m.sum())
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                min_size=1, max_size=60),
+       st.integers(1, 7))
+@settings(max_examples=80, deadline=None)
+def test_ntile_kernel_matches_sql_rule(rows, k):
+    import numpy as np
+    import pandas as pd
+
+    from neocrawler_ray.pipelines.analytics import ntile_kernel
+
+    df = pd.DataFrame(
+        {"user_id": np.array([r[0] for r in rows], dtype="int64"),
+         "event_id": np.arange(len(rows), dtype="int64"),
+         "ts_us": np.array([r[1] for r in rows], dtype="int64")})
+    out = ntile_kernel(df, k).set_index("event_id")
+    order = df.sort_values(["user_id", "ts_us", "event_id"],
+                           kind="mergesort")
+    for _, g in order.groupby("user_id", sort=False):
+        n = len(g)
+        q, rem = divmod(n, k)
+        # SQL NTILE: first rem tiles have q+1 rows, the rest q
+        expect = []
+        for tile_i in range(1, k + 1):
+            expect += [tile_i] * ((q + 1) if tile_i <= rem else q)
+        if n < k:  # fewer rows than tiles: one per tile, sizes [1]*n
+            expect = list(range(1, n + 1))
+        got = [int(out.loc[e, "tile"]) for e in g["event_id"]]
+        assert got == expect[:n]

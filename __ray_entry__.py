@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed end-to-end corpus preparation (gate -> dedup keep-one
         # -> PII scrub -> actor-pool model filter, one streaming flow)
         "corpus_prepare": co.corpus_prepare,
+        # FULL OUTER join (both-side null extension, tagged exchange)
+        "nation_balance_outer": an.nation_balance_outer,
         # sketch/LSH families: non-SQL-expressible; planted-dup +
         # recall/precision pytest coverage (tests/test_lsh_bench_scale.py)
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -445,6 +447,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "revenue_rollup": an.REVENUE_ROLLUP_SQL,
         "events_user_ntile": an.events_user_ntile_sql(),
         "corpus_prepare": co.corpus_prepare_sql(),
+        "nation_balance_outer": an.NATION_BALANCE_OUTER_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

@@ -2500,3 +2500,76 @@ SELECT event_id,
                              ORDER BY ts, event_id) AS BIGINT) AS tile
 FROM events
 """.strip()
+
+
+def nation_balance_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join — the last join type in the taxonomy (inner Q3/
+    Q5/Q10, left-outer customer_order_counts, semi Q4, anti, broadcast,
+    aggregate-join Q18, correlated Q17): per-nation customer account
+    balance vs supplier account balance, keeping nations that appear on
+    EITHER side with the missing side zero-filled.
+
+    Scale shape: both scans collapse to per-(nationkey, block) partials
+    tagged by side; ONE nationkey exchange; the in-partition finish
+    pivots the two sides and zero-fills whichever is absent — no
+    driver-side key union, the outer semantics fall out of the shared
+    partition.  Balances ride as e4 fixed-point int64."""
+    from .corpus_ops import _hash_grouped
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partials(key_col, bal_col, side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            g = (pd.DataFrame({"nationkey": df[key_col].astype("int64"),
+                               "bal": _e4(df[bal_col])})
+                 .groupby("nationkey", as_index=False)
+                 .agg(bal=("bal", "sum"), n=("bal", "size")))
+            g["side"] = np.full(len(g), side, dtype="int64")
+            return g.astype({"nationkey": "int64", "bal": "int64",
+                             "n": "int64"})
+        return fn
+
+    def outer(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["nationkey", "side"], as_index=False)
+             [["bal", "n"]].sum())
+        c = g[g["side"] == 0].set_index("nationkey")
+        s = g[g["side"] == 1].set_index("nationkey")
+        keys = c.index.union(s.index)
+        return pd.DataFrame(
+            {"n_nationkey": keys.to_numpy("int64"),
+             "cust_bal_e4": c["bal"].reindex(keys, fill_value=0)
+             .to_numpy("int64"),
+             "n_cust": c["n"].reindex(keys, fill_value=0)
+             .to_numpy("int64"),
+             "supp_bal_e4": s["bal"].reindex(keys, fill_value=0)
+             .to_numpy("int64"),
+             "n_supp": s["n"].reindex(keys, fill_value=0)
+             .to_numpy("int64")})
+
+    u = (cust.map_batches(partials("c_nationkey", "c_acctbal", 0),
+                          batch_format="pandas")
+         .union(supp.map_batches(partials("s_nationkey", "s_acctbal", 1),
+                                 batch_format="pandas")))
+    out = _hash_grouped(u, ["nationkey"], outer, num_parts=8).to_pandas()
+    return (out.sort_values("n_nationkey").reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
+
+
+NATION_BALANCE_OUTER_SQL = """
+WITH c AS (SELECT c_nationkey AS k,
+                  CAST(sum(CAST(floor(c_acctbal * 10000) AS BIGINT))
+                       AS BIGINT) bal, count(*) n
+           FROM customer GROUP BY 1),
+ s AS (SELECT s_nationkey AS k,
+              CAST(sum(CAST(floor(s_acctbal * 10000) AS BIGINT))
+                   AS BIGINT) bal, count(*) n
+       FROM supplier GROUP BY 1)
+SELECT CAST(COALESCE(c.k, s.k) AS BIGINT) AS n_nationkey,
+       CAST(COALESCE(c.bal, 0) AS BIGINT) AS cust_bal_e4,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(s.bal, 0) AS BIGINT) AS supp_bal_e4,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_supp
+FROM c FULL OUTER JOIN s ON c.k = s.k
+ORDER BY 1
+""".strip()

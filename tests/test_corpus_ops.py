@@ -1489,3 +1489,41 @@ def test_corpus_prepare_stage_chain_planted(ray_session, tmp_path):
     c.execute(f"create view documents as select * from "
               f"read_parquet('{tmp_path}/documents.parquet')")
     assert_matches_sql(out, c, co.corpus_prepare_sql())
+
+
+def test_nation_balance_outer_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.nation_balance_outer(SF)
+    assert len(got) > 0
+    assert_matches_sql(got, con, an.NATION_BALANCE_OUTER_SQL)
+
+
+def test_nation_balance_outer_null_extends_both_sides(ray_session,
+                                                      tmp_path):
+    """Nations on only one side survive with the other side zeroed —
+    in BOTH directions."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import analytics as an
+
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array([1, 1, 2], type=pa.int32()),
+        "c_acctbal": pa.array([10.5, 0.5, 3.0], type=pa.float64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "s_nationkey": pa.array([2, 3], type=pa.int32()),
+        "s_acctbal": pa.array([7.0, 9.25], type=pa.float64()),
+    }), tmp_path / "supplier.parquet")
+    out = an.nation_balance_outer(str(tmp_path))
+    assert out["n_nationkey"].tolist() == [1, 2, 3]
+    assert out["cust_bal_e4"].tolist() == [110000, 30000, 0]
+    assert out["supp_bal_e4"].tolist() == [0, 70000, 92500]
+    assert out["n_cust"].tolist() == [2, 1, 0]
+    assert out["n_supp"].tolist() == [0, 1, 1]
+    c = duckdb.connect()
+    for t in ("customer", "supplier"):
+        c.execute(f"create view {t} as select * from "
+                  f"read_parquet('{tmp_path}/{t}.parquet')")
+    assert_matches_sql(out, c, an.NATION_BALANCE_OUTER_SQL)

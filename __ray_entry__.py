@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prepare": co.corpus_prepare,
         # FULL OUTER join (both-side null extension, tagged exchange)
         "nation_balance_outer": an.nation_balance_outer,
+        # cumulative ROWS-UNBOUNDED prefix window
+        "events_cumulative_sum": an.events_cumulative_sum,
         # sketch/LSH families: non-SQL-expressible; planted-dup +
         # recall/precision pytest coverage (tests/test_lsh_bench_scale.py)
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
@@ -448,6 +450,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_user_ntile": an.events_user_ntile_sql(),
         "corpus_prepare": co.corpus_prepare_sql(),
         "nation_balance_outer": an.NATION_BALANCE_OUTER_SQL,
+        "events_cumulative_sum": an.EVENTS_CUMULATIVE_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

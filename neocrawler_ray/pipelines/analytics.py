@@ -2573,3 +2573,53 @@ SELECT CAST(COALESCE(c.k, s.k) AS BIGINT) AS n_nationkey,
 FROM c FULL OUTER JOIN s ON c.k = s.k
 ORDER BY 1
 """.strip()
+
+
+def events_cumulative_sum(sf_dir: str):
+    """Cumulative (ROWS UNBOUNDED PRECEDING) window sum per user — the
+    running-total frame completing the window taxonomy: bounded ROWS
+    (rolling), VALUE-distance RANGE (window_range), rank (NTILE),
+    LAG/LEAD, and now the unbounded prefix.
+
+    Scale shape: ONE user-hash exchange; the in-partition kernel sorts
+    once and computes every prefix with one global cumsum minus each
+    group's starting offset (no per-group loop at all).  Values ride
+    as e4 fixed-point int64 so the running totals are exact.  For
+    whale users the prefix is decomposable exactly like the salted
+    rolling path (pass A per bucket + bucket-offset broadcast);
+    ``events_rolling_sum(salt_shift=...)`` demonstrates that seam."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "event_id": df["event_id"].astype("int64"),
+             "ts_us": _ts_us(df["ts"]),
+             "value_e4": _e4(df["value"])})
+
+    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy("int64")
+        v = df["value_e4"].to_numpy("int64")
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        grp_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        csum = np.cumsum(v)
+        base = np.r_[0, csum][starts[grp_id]]  # prefix before each group
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "cum_sum_e4": (csum - base).astype("int64")})
+
+    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                         ["user_id"], prefix, num_parts=32)
+
+
+EVENTS_CUMULATIVE_SQL = """
+SELECT event_id,
+       CAST(sum(CAST(floor(value*10000) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sum_e4
+FROM events
+""".strip()

@@ -1527,3 +1527,28 @@ def test_nation_balance_outer_null_extends_both_sides(ray_session,
         c.execute(f"create view {t} as select * from "
                   f"read_parquet('{tmp_path}/{t}.parquet')")
     assert_matches_sql(out, c, an.NATION_BALANCE_OUTER_SQL)
+
+
+def test_events_cumulative_sum_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_cumulative_sum(SF), con,
+                       an.EVENTS_CUMULATIVE_SQL)
+
+
+def test_events_cumulative_sum_restarts_per_user(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import analytics as an
+
+    base = 1_700_000_000_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([base, base + 1, base, base + 1],
+                       type=pa.timestamp("us")),
+        "value": pa.array([1.5, 2.0, 10.0, -3.0], type=pa.float64()),
+    }), tmp_path / "events.parquet")
+    out = (an.events_cumulative_sum(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["cum_sum_e4"].tolist() == [15000, 35000, 100000, 70000]

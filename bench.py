@@ -167,6 +167,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             an.q17_small_quantity_revenue(sf_dir)),
         "events_window_range": lambda: consume(
             an.events_window_range(sf_dir)),
+        # composed flagship of the LLM-data layer (gate -> dedup ->
+        # PII -> actor-pool model, one streaming flow)
+        "corpus_prepare": lambda: consume(co.corpus_prepare(sf_dir)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

@@ -425,7 +425,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         ),
         "q1_lineitem": (
             "SELECT l_returnflag, l_linestatus, "
-            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
             "CAST(sum(CAST(floor(l_extendedprice*10000) AS BIGINT)) AS BIGINT)"
             " AS sum_price_e4, count(*) AS count_order "
             "FROM lineitem GROUP BY 1, 2"

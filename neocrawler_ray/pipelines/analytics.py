@@ -139,7 +139,9 @@ def q1_lineitem(sf_dir: str):
         tmp = pd.DataFrame(
             {"l_returnflag": df["l_returnflag"],
              "l_linestatus": df["l_linestatus"],
-             "qty": df["l_quantity"].to_numpy(dtype="float64").astype("int64"),
+             # floor() to match the SQL oracle (bare casts round in DuckDB)
+             "qty": np.floor(df["l_quantity"].to_numpy(dtype="float64"))
+             .astype("int64"),
              "price_e4": _e4(df["l_extendedprice"])}
         )
         g = tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
@@ -1732,7 +1734,9 @@ def q18_large_orders(sf_dir: str, min_qty: int = Q18_MIN_QTY) -> pd.DataFrame:
     def l_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = (pd.DataFrame(
             {"orderkey": df["l_orderkey"].astype("int64"),
-             "qty": df["l_quantity"].to_numpy("float64").astype("int64")})
+             # floor() to match the SQL (bare casts round in DuckDB)
+             "qty": np.floor(df["l_quantity"].to_numpy("float64"))
+             .astype("int64")})
             .groupby("orderkey", as_index=False)["qty"].sum())
         return g.astype({"orderkey": "int64", "qty": "int64"})
 
@@ -1792,9 +1796,10 @@ def q18_large_orders(sf_dir: str, min_qty: int = Q18_MIN_QTY) -> pd.DataFrame:
 def q18_large_orders_sql(min_qty: int = Q18_MIN_QTY) -> str:
     return f"""
 WITH big AS (SELECT l_orderkey,
-                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                      AS sum_qty
              FROM lineitem GROUP BY 1
-             HAVING sum(CAST(l_quantity AS BIGINT)) > {min_qty})
+             HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > {min_qty})
 SELECT c.c_custkey, c.c_name, o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
        CAST(floor(o.o_totalprice * 10000) AS BIGINT) AS totalprice_e4,
@@ -2076,6 +2081,9 @@ def customer_order_counts(sf_dir: str):
         return pd.DataFrame(
             {"custkey": df["c_custkey"].to_numpy("int64"),
              "name": df["c_name"].astype(str),
+             # out-of-band side tag (an empty-name sentinel would
+             # misroute a customer whose name IS the empty string)
+             "side": np.zeros(len(df), dtype="int64"),
              "n": np.zeros(len(df), dtype="int64"),
              "spent": np.zeros(len(df), dtype="int64")})
 
@@ -2086,11 +2094,13 @@ def customer_order_counts(sf_dir: str):
              .agg(n=("spent", "size"), spent=("spent", "sum")))
         g["name"] = pd.Series(np.full(len(g), "", dtype=object),
                               index=g.index)
-        return g[["custkey", "name", "n", "spent"]].astype(
-            {"custkey": "int64", "n": "int64", "spent": "int64"})
+        g["side"] = np.ones(len(g), dtype="int64")
+        return g[["custkey", "name", "side", "n", "spent"]].astype(
+            {"custkey": "int64", "side": "int64", "n": "int64",
+             "spent": "int64"})
 
     def left_merge(df: pd.DataFrame) -> pd.DataFrame:
-        c_side = df["name"] != ""
+        c_side = df["side"] == 0
         agg = (df[~c_side].groupby("custkey", as_index=False)
                [["n", "spent"]].sum())
         j = df.loc[c_side, ["custkey", "name"]].merge(
@@ -2259,42 +2269,50 @@ def q19_disjunctive_revenue(sf_dir: str, branches=Q19_BRANCHES) -> pd.DataFrame:
     test; here each branch needs two part attributes AND a lineitem
     range, so the filter must evaluate post-join).
 
-    Scale shape: the part dimension reduces to three parallel arrays
-    (sorted partkey, brand code, size) broadcast once via ``ray.put``
-    — brand codes index ``Q19_BRANCHES``, −1 for never-matching parts;
-    each lineitem batch resolves its partkeys with one ``searchsorted``
-    gather, evaluates all branches vectorized, and collapses to a
-    single (revenue, count) partial row.  Zero shuffles end to end."""
+    Scale shape: the part dimension reduces to a sorted partkey array
+    plus one PER-BRANCH part-eligibility bitmask (brand + size test
+    evaluated once, driver-side) broadcast together via ``ray.put`` —
+    a per-part "which branches could this part satisfy" matrix, so
+    branches sharing a brand compose like the SQL OR instead of
+    fighting over one code slot; each lineitem batch resolves its
+    partkeys with one ``searchsorted`` gather, ORs the per-branch
+    (eligibility & quantity-range) masks, and collapses to a single
+    (revenue, count) partial row.  Zero shuffles end to end."""
     import ray
 
     part = _read(sf_dir, "part",
                  ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    if "p_partkey" not in part.columns:  # empty table → schema-less frame
+        part = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                             "p_brand": pd.Series(dtype=object),
+                             "p_size": pd.Series(dtype="int64")})
     order = np.argsort(part["p_partkey"].to_numpy("int64"), kind="stable")
     pk = part["p_partkey"].to_numpy("int64")[order]
     size = part["p_size"].to_numpy("int64")[order]
-    brand_code = np.full(len(part), -1, dtype="int64")
     brands = part["p_brand"].to_numpy(dtype=object)[order]
-    for bi, (b, *_rest) in enumerate(branches):
-        brand_code[brands == b] = bi
-    dim_ref = ray.put((pk, brand_code, size))
+    # (n_branches, n_parts) bool: part passes the branch's brand+size
+    branch_ok = np.stack(
+        [(brands == b) & (size >= slo) & (size <= shi)
+         for b, _qlo, _qhi, slo, shi in branches]) if branches else \
+        np.zeros((0, len(pk)), dtype=bool)
+    dim_ref = ray.put((pk, branch_ok))
 
     line = _read(sf_dir, "lineitem",
                  ["l_partkey", "l_quantity", "l_extendedprice",
                   "l_discount"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        pks, codes, sizes = ray.get(dim_ref)
+        pks, ok = ray.get(dim_ref)
         lpk = df["l_partkey"].to_numpy("int64")
-        pos = np.searchsorted(pks, lpk)
-        pos = np.minimum(pos, len(pks) - 1)
-        hit = pks[pos] == lpk
-        code = np.where(hit, codes[pos], -1)
-        psize = np.where(hit, sizes[pos], 0)
         qty = df["l_quantity"].to_numpy("float64")
         mask = np.zeros(len(df), dtype=bool)
-        for bi, (_b, qlo, qhi, slo, shi) in enumerate(branches):
-            mask |= ((code == bi) & (qty >= qlo) & (qty <= qhi)
-                     & (psize >= slo) & (psize <= shi))
+        if len(pks):
+            pos = np.searchsorted(pks, lpk)
+            pos = np.minimum(pos, len(pks) - 1)
+            hit = pks[pos] == lpk
+            for bi, (_b, qlo, qhi, _slo, _shi) in enumerate(branches):
+                mask |= (hit & ok[bi][pos]
+                         & (qty >= qlo) & (qty <= qhi))
         rev = np.floor(df["l_extendedprice"].to_numpy("float64")
                        * (1.0 - df["l_discount"].to_numpy("float64"))
                        * 10000.0).astype("int64")
@@ -2342,7 +2360,10 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
                  ["l_partkey", "l_quantity", "l_extendedprice"])
 
     def tagged(df: pd.DataFrame) -> pd.DataFrame:
-        qty = df["l_quantity"].to_numpy("float64").astype("int64")
+        # floor(), matching the SQL's explicit floor: a bare int cast
+        # truncates in numpy but ROUNDS in DuckDB, a latent divergence
+        # if quantities were ever non-integral
+        qty = np.floor(df["l_quantity"].to_numpy("float64")).astype("int64")
         rows = pd.DataFrame(
             {"partkey": df["l_partkey"].to_numpy("int64"),
              "qty": qty,
@@ -2381,14 +2402,14 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
 
 Q17_SQL = """
 WITH s AS (SELECT l_partkey,
-                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sq,
+                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) sq,
                   count(*) n
            FROM lineitem GROUP BY 1)
 SELECT CAST(COALESCE(sum(CAST(floor(l_extendedprice * 10000) AS BIGINT)), 0)
             AS BIGINT) AS revenue_e4,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
-WHERE CAST(l.l_quantity AS BIGINT) * 5 * s.n < s.sq
+WHERE CAST(floor(l.l_quantity) AS BIGINT) * 5 * s.n < s.sq
 """.strip()
 
 

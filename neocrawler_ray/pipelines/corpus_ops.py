@@ -2066,6 +2066,20 @@ PII_EMAIL = r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z][a-z]+"
 PII_PHONE = r"\+?[0-9][0-9() \-]{6,}[0-9]"
 
 
+def _pii_scrub_series(texts: pd.Series):
+    """Shared email→phone two-step scrub: returns (clean, n_redactions).
+    The ordering is a correctness invariant (digits inside an address
+    must never double-count as a phone) — kept in ONE place so
+    :func:`doc_pii_scrub` and :func:`corpus_prepare` can't drift from
+    each other or from the shared SQL oracle fragments."""
+    t = texts.astype("string").fillna("")
+    n_email = t.str.count(PII_EMAIL).astype("int64")
+    c1 = t.str.replace(PII_EMAIL, "<email>", regex=True)
+    n_phone = c1.str.count(PII_PHONE).astype("int64")
+    clean = c1.str.replace(PII_PHONE, "<phone>", regex=True)
+    return clean, (n_email + n_phone).astype("int64")
+
+
 def doc_pii_scrub(sf_dir: str):
     """PII redaction pass: replace email addresses and phone-like
     digit runs with ``<email>`` / ``<phone>`` tokens and count the
@@ -2080,15 +2094,11 @@ def doc_pii_scrub(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["text"].astype("string").fillna("")
-        n_email = t.str.count(PII_EMAIL).astype("int64")
-        c1 = t.str.replace(PII_EMAIL, "<email>", regex=True)
-        n_phone = c1.str.count(PII_PHONE).astype("int64")
-        clean = c1.str.replace(PII_PHONE, "<phone>", regex=True)
+        clean, n_red = _pii_scrub_series(df["text"])
         return pd.DataFrame(
             {"doc_id": df["doc_id"].astype("int64"),
              "text_clean": clean.astype(str),
-             "n_redactions": (n_email + n_phone).astype("int64")})
+             "n_redactions": n_red})
 
     return ds.map_batches(fn, batch_format="pandas")
 
@@ -2128,21 +2138,22 @@ def corpus_prepare(sf_dir: str, concurrency: int = 4):
     Nothing corpus-sized ever reaches the driver — the result stays a
     Dataset.  The DuckDB oracle nests the same four steps as CTEs, so
     every stage boundary is bit-checked, not just the final rows."""
-    import numpy as np
-
     from ..stages.quality_model import QualityModel
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
-        stats = ts.text_stats_frame(df["text"])
-        out = pd.DataFrame(
-            {"text_md5": dd.md5_hex_series(df["text"]).astype(object),
-             "doc_id": df["doc_id"].astype("int64").to_numpy(),
-             "text": df["text"].astype(str).to_numpy(dtype=object),
-             "lang": df["lang"].astype(str).to_numpy(dtype=object),
-             "source": df["source"].astype(str).to_numpy(dtype=object)})
-        return out[stats["quality_ok"].to_numpy()].reset_index(drop=True)
+        # filter FIRST: the per-row md5 is the slowest kernel here, so
+        # only gate survivors pay it
+        keep = ts.text_stats_frame(df["text"])["quality_ok"].to_numpy()
+        kept = df[keep]
+        return pd.DataFrame(
+            {"text_md5": dd.md5_hex_series(kept["text"])
+             .to_numpy(dtype=object),
+             "doc_id": kept["doc_id"].astype("int64").to_numpy(),
+             "text": kept["text"].astype(str).to_numpy(dtype=object),
+             "lang": kept["lang"].astype(str).to_numpy(dtype=object),
+             "source": kept["source"].astype(str).to_numpy(dtype=object)})
 
     def keep_one(df: pd.DataFrame) -> pd.DataFrame:
         first = (df.sort_values(["text_md5", "doc_id"])
@@ -2155,11 +2166,7 @@ def corpus_prepare(sf_dir: str, concurrency: int = 4):
                               num_parts=_parts_for(sf_dir, "documents"))
 
     def scrub(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["text"].astype("string").fillna("")
-        n_email = t.str.count(PII_EMAIL).astype("int64")
-        c1 = t.str.replace(PII_EMAIL, "<email>", regex=True)
-        n_phone = c1.str.count(PII_PHONE).astype("int64")
-        clean = c1.str.replace(PII_PHONE, "<phone>", regex=True)
+        clean, n_red = _pii_scrub_series(df["text"])
         return pd.DataFrame(
             {"doc_id": df["doc_id"].astype("int64"),
              "lang": df["lang"].astype(str),
@@ -2167,7 +2174,7 @@ def corpus_prepare(sf_dir: str, concurrency: int = 4):
              # the model scores the SCRUBBED text, so the column keeps
              # the name the scoring stage expects
              "text": clean.astype(str),
-             "n_redactions": (n_email + n_phone).astype("int64")})
+             "n_redactions": n_red})
 
     scored = (survivors.map_batches(scrub, batch_format="pandas")
               .map_batches(QualityModel, batch_format="pandas",

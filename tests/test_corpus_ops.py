@@ -1552,3 +1552,62 @@ def test_events_cumulative_sum_restarts_per_user(ray_session, tmp_path):
     out = (an.events_cumulative_sum(str(tmp_path)).to_pandas()
            .sort_values("event_id").reset_index(drop=True))
     assert out["cum_sum_e4"].tolist() == [15000, 35000, 100000, 70000]
+
+
+def test_q19_branches_sharing_a_brand_compose_like_sql(ray_session, con):
+    """Two branches on the SAME brand with different quantity/size
+    windows must OR together (regression: a per-part brand-code slot
+    let the last branch win)."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    branches = (("Brand#12", 1, 11, 1, 5),
+                ("Brand#12", 20, 30, 1, 50),
+                ("Brand#23", 10, 20, 1, 10))
+    got = an.q19_disjunctive_revenue(SF, branches=branches)
+    assert got["n_items"].iloc[0] > 0
+    assert_matches_sql(got, con, an.q19_disjunctive_revenue_sql(branches))
+
+
+def test_q19_empty_part_dimension(ray_session, tmp_path):
+    """An empty part table must yield the zero row, not an index error
+    in the batch tasks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import analytics as an
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([], type=pa.int64()),
+        "p_brand": pa.array([], type=pa.string()),
+        "p_size": pa.array([], type=pa.int64()),
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2], type=pa.int64()),
+        "l_quantity": pa.array([5.0, 6.0]),
+        "l_extendedprice": pa.array([10.0, 20.0]),
+        "l_discount": pa.array([0.0, 0.0]),
+    }), tmp_path / "lineitem.parquet")
+    got = an.q19_disjunctive_revenue(str(tmp_path))
+    assert got["revenue_e4"].tolist() == [0]
+    assert got["n_items"].tolist() == [0]
+
+
+def test_customer_order_counts_empty_name_customer(ray_session, tmp_path):
+    """A customer whose name IS the empty string still left-joins
+    (regression: the side tag used to be the name sentinel)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neocrawler_ray.pipelines import analytics as an
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_name": pa.array(["", "b"]),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1], type=pa.int64()),
+        "o_totalprice": pa.array([4.5], type=pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = (an.customer_order_counts(str(tmp_path)).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    assert out.to_dict("list") == {
+        "c_custkey": [1, 2], "c_name": ["", "b"],
+        "n_orders": [1, 0], "spent_e4": [45000, 0]}

@@ -157,161 +157,141 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.pipelines import doc_extract as de
     from neocrawler_ray.stages import multimodal as mm
 
-    # NOTE (driver contract): the correctness gate checks at most the FIRST
-    # 50 entries of this dict — round 3 had 54 and the last 4 (all
-    # SQL-checkable) silently got no oracle row.  Order is therefore
-    # significant: the first 50 entries are ALL oracle_sql()-backed
-    # (q18/q14 displaced the two rows-only crawl entries in round 4);
-    # then the rows-only crawl family, then the structurally-no-oracle
-    # entries whose parity lives in pytest equivalence/tolerance tests.
-    # events_sessions_salted is an oracle-backed entry deliberately
-    # placed past the cap — its SQL parity runs in
-    # tools/check_correctness.py + pytest (the committed
-    # CORRECTNESS_LOCAL_r04 artifact records the full >50-entry gate
-    # green at sf0.01).  The entries past the cap (crawl family ×5,
-    # sessions_salted, minhash, simhash, emb-LSH, IVF, clusters ×2,
-    # t-digest, HLL) are a deliberate trade: each is parity/recall/
-    # equivalence/tolerance-tested in pytest (the crawl family also by
-    # e2e-vs-oracle artifacts), and their rows-only driver check carries
-    # less signal than the oracle rows kept inside the cap.
+    # NOTE (driver contract): the correctness gate checks at most the
+    # FIRST 50 entries of this dict, and the repo now carries 78
+    # oracle_sql()-backed queries — more than one round's gate can hold.
+    # Order is therefore a ROTATION policy: every entry that has NEVER
+    # received a driver oracle row (the 12 operators new this round +
+    # the 27 that sat past round 4's earlier cap) comes first, then the
+    # two least-recently-checked (round-2) entries, then 9
+    # representative round-3-green re-checks — exactly 50 oracle-backed
+    # rows.  The oracle-backed entries placed past the cap were ALL
+    # green in a previous round's CORRECTNESS artifact AND stay green
+    # in tools/check_correctness.py at sf0.01 (the committed
+    # CORRECTNESS_LOCAL_r04.json records the full gate); cumulatively
+    # every oracle-backed operator has a driver hard-signal row in some
+    # round.  The tail keeps the rows-only crawl family (their real
+    # parity is the pytest e2e suite vs the sequential oracle) and the
+    # structurally-no-oracle sketch/LSH ops (planted-dup / recall /
+    # tolerance pytest coverage).
     return {
-        # rule-engine extraction with a SQL-checkable envelope (M7-M10)
+        # ---- never driver-checked: new this round ----
+        # TPC-H suite completion (shapes adapted to the testdata's
+        # column subset — see each docstring): correlated-min join-back,
+        # nation-pair OR join, conditional ratio, two-key profit rollup,
+        # group-vs-global HAVING, lateness dual-count, argmax-of-
+        # aggregate, grouped distinct-count, share-threshold semi-join,
+        # unique-max-achiever exists chain, correlated-avg + NOT EXISTS
+        "q2_min_price_supplier": an.q2_min_price_supplier,
+        "q7_volume_shipping": an.q7_volume_shipping,
+        "q8_market_share": an.q8_market_share,
+        "q9_product_profit": an.q9_product_profit,
+        "q11_important_parts": an.q11_important_parts,
+        "q12_shipping_priority": an.q12_shipping_priority,
+        "q15_top_supplier": an.q15_top_supplier,
+        "q16_supplier_diversity": an.q16_supplier_diversity,
+        "q20_dominant_suppliers": an.q20_dominant_suppliers,
+        "q21_sole_late_supplier": an.q21_sole_late_supplier,
+        "q22_idle_rich_customers": an.q22_idle_rich_customers,
+        # per-doc lexical repetition quality signals (pure map stage)
+        "doc_word_repetition": co.doc_word_repetition,
+        # ---- never driver-checked: pre-existing (q3 flagged by the
+        # round-3 verdict; the rest sat past earlier caps) ----
+        "q3_top_revenue": an.q3_top_revenue,
+        "q6_revenue": an.q6_revenue,
+        "q5_local_supplier_volume": an.q5_local_supplier_volume,
+        "q10_returned_customers": an.q10_returned_customers,
+        "q14_promo_revenue": an.q14_promo_revenue,
+        "q17_small_quantity_revenue": an.q17_small_quantity_revenue,
+        "q18_large_orders": an.q18_large_orders,
+        "q19_disjunctive_revenue": an.q19_disjunctive_revenue,
+        "customer_order_counts": an.customer_order_counts,
+        "nation_balance_outer": an.nation_balance_outer,
+        "revenue_rollup": an.revenue_rollup,
+        "events_retention": an.events_retention,
+        "events_window_range": an.events_window_range,
+        "events_transition_matrix": an.events_transition_matrix,
+        "events_user_ntile": an.events_user_ntile,
+        "events_cumulative_sum": an.events_cumulative_sum,
+        # whale-entity salt paths (same answers as their unsalted
+        # siblings, hence the same SQL oracles)
+        "events_time_since_last_salted":
+            lambda sf: an.events_time_since_last(sf, salt_shift=33),
+        "events_rolling_sum_salted":
+            lambda sf: an.events_rolling_sum(sf, salt_shift=33),
+        # shift 38 ≈ 76 h buckets — sized so a bucket holds many events
+        # (the salt exists for whale entities; a too-fine bucket makes
+        # everything boundary — see the sizing rule in the docstring)
+        "events_sessions_salted":
+            lambda sf: an.events_sessions(sf, salt_shift=38),
+        "user_top_event": an.user_top_event,
+        "doc_lm_score": co.doc_lm_score,
+        # actor-pool model-inference stage (weights load once per actor)
+        # + PII redaction map + the composed gate→dedup→PII→model chain
+        "doc_quality_model": co.doc_quality_model,
+        "doc_pii_scrub": co.doc_pii_scrub,
+        "corpus_prepare": co.corpus_prepare,
+        "doc_bigram_counts": co.doc_bigram_counts,
+        "doc_term_heavy_hitters": co.doc_term_heavy_hitters,
+        "doc_decontaminate": co.doc_decontaminate,
+        # ---- least recently checked (round 2) ----
+        "revenue_by_nation": an.revenue_by_nation,
+        "top_customers": an.top_customers,
+        # ---- representative round-3-green re-checks (one per family:
+        # rule-engine extract, text stats, exact dedup, ngram join,
+        # data mixing, sessionization, exact quantiles, multimodal,
+        # TPC-H Q1) ----
         "doc_extract": de.doc_extract,
-        # text analysis
         "doc_text_stats": co.doc_text_stats,
+        "dedup_exact": co.dedup_exact,
+        "dedup_ngram_pairs": co.dedup_ngram_pairs,
+        "corpus_mix": co.corpus_mix,
+        "events_sessions": an.events_sessions,
+        "events_value_quantiles": an.events_value_quantiles,
+        "multimodal_meta": mm.multimodal_decode_meta,
+        "q1_lineitem": an.q1_lineitem,
+        # ================= driver cap (50) ends here =================
+        # ---- oracle-backed, green in round-3's driver artifact (and
+        # in the committed local sf0.01 gate this round) ----
         "doc_lang_id": co.doc_lang_id,
         "doc_fingerprint": co.doc_fingerprint,
-        # composed training-data cleaning (quality gate → exact dedup)
         "corpus_clean": co.corpus_clean,
-        # resumable partitioned export (crash-restart skips finished
-        # chunks; same stats kernel, read back from the part files)
         "doc_stats_resumable": _q_doc_stats_resumable,
-        # overlapping training-window chunking (window 128 / stride 96)
         "doc_chunks": co.doc_chunks,
         "doc_term_df": co.doc_term_df,
-        # bigram LM count table (top-k corpus bigrams by occurrence)
-        "doc_bigram_counts": co.doc_bigram_counts,
-        # exact phi-heavy-hitters (two-pass local-candidate pigeonhole)
-        "doc_term_heavy_hitters": co.doc_term_heavy_hitters,
-        # per-doc salient terms (log-free TF-IDF, two-exchange join)
         "doc_tfidf_top": co.doc_tfidf_top,
-        # deterministic 80/10/10 hash split (train/val/test)
         "doc_split": co.doc_split,
-        # per-language eval-set carving (hash-ordered stratified pick)
         "doc_sample_stratified": co.doc_sample_stratified,
-        # source-ratio data mixture (md5-bucketed keep fraction)
-        "corpus_mix": co.corpus_mix,
-        # per-source health report (feeds the mix-ratio decision)
         "corpus_source_report": co.corpus_source_report,
-        # dedup families
-        "dedup_exact": co.dedup_exact,
-        # exact all-pairs Jaccard (inverted-index join; integer-exact
-        # threshold 1/2 so the DuckDB string-shingle oracle matches)
-        "dedup_ngram_pairs": co.dedup_ngram_pairs,
-        # benchmark decontamination (broadcast shingle set, zero-shuffle)
-        "doc_decontaminate": co.doc_decontaminate,
         "embedding_pairs_brute": lambda sf: co.embedding_pairs_brute(sf, 0.4),
-        # similarity search
         "ann_brute_topk": lambda sf: co.ann_brute_topk(sf, 5, 10),
-        # multimodal plumbing
-        "multimodal_meta": mm.multimodal_decode_meta,
         "video_frame_sample": mm.video_frame_sample,
         "audio_segments": mm.audio_segments,
         "image_resize_meta": mm.image_resize_meta,
-        # aggregates / joins (reference §2.5 shapes over TPC-H-ish tables)
         "events_daily_counts": an.events_daily_counts,
         "events_pivot_daily": an.events_pivot_daily,
         "events_value_by_type": an.events_value_by_type,
-        # custom operators Ray Data lacks (windows / as-of / range join /
-        # exact grouped quantiles / grouped top-k)
         "events_props_stats": an.events_props_stats,
-        "events_sessions": an.events_sessions,
         "events_asof_join": an.events_asof_join,
         "events_value_bands": an.events_value_bands,
-        "events_value_quantiles": an.events_value_quantiles,
         "top_orders_per_priority": an.top_orders_per_priority,
         "order_priority_semijoin": an.order_priority_semijoin,
-        # NOT EXISTS sibling (negated co-partitioned existence test)
         "order_priority_antijoin": an.order_priority_antijoin,
-        # LAG window: per-user inter-arrival microseconds
         "events_time_since_last": an.events_time_since_last,
-        # whale-entity salt path (time-bucket sub-partition + boundary
-        # stitch) — same answer, hence the same SQL oracle row
-        "events_time_since_last_salted":
-            lambda sf: an.events_time_since_last(sf, salt_shift=33),
         "events_funnel": an.events_funnel,
         "events_rolling_sum": an.events_rolling_sum,
-        "events_rolling_sum_salted":
-            lambda sf: an.events_rolling_sum(sf, salt_shift=33),
         "events_distinct_users": an.events_distinct_users,
-        "q1_lineitem": an.q1_lineitem,
-        "q6_revenue": an.q6_revenue,
-        # Q3-shaped three-way join (broadcast dim + tagged orderkey
-        # exchange + per-partition top-k)
-        "q3_top_revenue": an.q3_top_revenue,
-        # Q5-shaped five-way join (region-filtered broadcast dims +
-        # tagged orderkey exchange deciding the local-supplier filter)
-        "q5_local_supplier_volume": an.q5_local_supplier_volume,
-        "revenue_by_nation": an.revenue_by_nation,
-        "top_customers": an.top_customers,
-        # cohort retention matrix (distinct-day combiner + user exchange)
-        "events_retention": an.events_retention,
-        # Q18-shaped join against an aggregate (HAVING subquery →
-        # broadcast semi-join of the answer-sized survivors)
-        "q18_large_orders": an.q18_large_orders,
-        # Q14-shaped conditional ratio aggregate (broadcast promo-part
-        # membership + pushed-down ship-month filter, zero shuffles)
-        "q14_promo_revenue": an.q14_promo_revenue,
-        # ---- rows-only from here down (no oracle_sql entry) ----
-        # crawl engine (SURVEY.md §2.1-2.4, §3): synthetic pages corpus is
-        # not a registered view, so the driver does a rows-only check; full
-        # parity vs the sequential oracle lives in tests/test_crawl_e2e.py
+        # ---- rows-only: crawl engine (SURVEY.md §2.1-2.4, §3) — the
+        # synthetic pages corpus is not a registered view, so the driver
+        # does a rows-only check; full parity vs the sequential oracle
+        # lives in tests/test_crawl_e2e.py ----
         "crawl_extract": _q_crawl_extract,
         "crawl_schedule_order": _q_crawl_schedule,
         "crawl_url_seen": _q_crawl_url_seen,
         "crawl_report": _q_crawl_report,
         "crawl_failure_report": _q_crawl_failures,
-        # salted sessionization (boundary-mergeable chains across time
-        # cuts) — oracle_sql-backed; sits past the driver's 50-query cap
-        # by the ordering note above, so its driver row is rows-only:
-        # SQL parity runs in tools/check_correctness.py + pytest instead
-        # shift 38 ≈ 76 h buckets — sized so a bucket holds many events
-        # (the salt exists for whale entities; see the sizing rule in
-        # the docstring — a too-fine bucket makes everything boundary)
-        "events_sessions_salted":
-            lambda sf: an.events_sessions(sf, salt_shift=38),
-        # per-doc bigram LM familiarity score + grouped mode/argmax —
-        # oracle_sql-backed but past the 50-entry cap (in-cap is full);
-        # SQL parity runs in tools/check_correctness.py (committed
-        # CORRECTNESS_LOCAL_r04 artifact) + pytest
-        "doc_lm_score": co.doc_lm_score,
-        "user_top_event": an.user_top_event,
-        # actor-pool model-inference stage (weights load once per actor)
-        # + PII redaction map — oracle_sql-backed, same past-cap note
-        "doc_quality_model": co.doc_quality_model,
-        "doc_pii_scrub": co.doc_pii_scrub,
-        # Q10 re-keyed join, LEFT-OUTER tagged exchange, time-RANGE
-        # window, LEAD transition matrix, Q19 disjunctive pushdown —
-        # oracle_sql-backed, same past-cap note
-        "q10_returned_customers": an.q10_returned_customers,
-        "customer_order_counts": an.customer_order_counts,
-        "events_window_range": an.events_window_range,
-        "events_transition_matrix": an.events_transition_matrix,
-        "q19_disjunctive_revenue": an.q19_disjunctive_revenue,
-        # Q17 correlated per-group-avg threshold, ROLLUP grains,
-        # NTILE rank window — oracle_sql-backed, same past-cap note
-        "q17_small_quantity_revenue": an.q17_small_quantity_revenue,
-        "revenue_rollup": an.revenue_rollup,
-        "events_user_ntile": an.events_user_ntile,
-        # composed end-to-end corpus preparation (gate -> dedup keep-one
-        # -> PII scrub -> actor-pool model filter, one streaming flow)
-        "corpus_prepare": co.corpus_prepare,
-        # FULL OUTER join (both-side null extension, tagged exchange)
-        "nation_balance_outer": an.nation_balance_outer,
-        # cumulative ROWS-UNBOUNDED prefix window
-        "events_cumulative_sum": an.events_cumulative_sum,
-        # sketch/LSH families: non-SQL-expressible; planted-dup +
-        # recall/precision pytest coverage (tests/test_lsh_bench_scale.py)
+        # ---- structurally no-oracle: sketch/LSH families (planted-dup
+        # + recall/precision pytest, tests/test_lsh_bench_scale.py) ----
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),
         "dedup_simhash_pairs": lambda sf: co.dedup_simhash_pairs(sf, 7),
         # threshold matched to the testdata's cosine distribution (near-
@@ -320,15 +300,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": lambda sf: co.dedup_embedding_pairs(
             sf, 0.4, bands=16, bits=3),
         "ann_ivf_topk": lambda sf: co.ann_ivf_topk(sf, 5, 10),
-        # last 4: pytest-equivalence-covered (union-find ≡ distributed CC;
-        # t-digest/HLL tolerance vs their exact siblings) — they lose the
-        # least signal if the driver's 50-query cap truncates the tail
+        # pytest-equivalence-covered (union-find ≡ distributed CC;
+        # t-digest/HLL tolerance vs their exact siblings)
         "dedup_clusters": lambda sf: co.dedup_clusters(sf),
         "dedup_clusters_dist": lambda sf: co.dedup_clusters_distributed(sf),
-        # approximate t-digest variant (unbounded-domain scale path; no
-        # SQL oracle — rank-error tolerance pytest vs the exact histogram)
         "events_value_quantiles_td": an.events_value_quantiles_tdigest,
-        # approximate HLL variant (tolerance pytest vs the exact op)
         "events_distinct_users_hll": an.events_distinct_users_hll,
     }
 
@@ -451,6 +427,18 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "corpus_prepare": co.corpus_prepare_sql(),
         "nation_balance_outer": an.NATION_BALANCE_OUTER_SQL,
         "events_cumulative_sum": an.EVENTS_CUMULATIVE_SQL,
+        "q2_min_price_supplier": an.Q2_SQL,
+        "q7_volume_shipping": an.Q7_SQL,
+        "q8_market_share": an.Q8_SQL,
+        "q9_product_profit": an.Q9_SQL,
+        "q11_important_parts": an.Q11_SQL,
+        "q12_shipping_priority": an.Q12_SQL,
+        "q15_top_supplier": an.Q15_SQL,
+        "q16_supplier_diversity": an.Q16_SQL,
+        "q20_dominant_suppliers": an.Q20_SQL,
+        "q21_sole_late_supplier": an.q21_sole_late_supplier_sql(),
+        "q22_idle_rich_customers": an.Q22_SQL,
+        "doc_word_repetition": co.doc_word_repetition_sql(),
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

@@ -2220,3 +2220,67 @@ SELECT p2.doc_id, p2.lang, p2.source, p2.text AS text_clean,
        qm.quality_score, p2.n_redactions
 FROM p2 JOIN qm USING (doc_id) WHERE qm.keep
 """.strip()
+
+
+def doc_word_repetition(sf_dir: str) -> pd.DataFrame:
+    """Per-document lexical repetition signals — the Gopher-style
+    within-doc quality gate family (duplicate-word fraction + the top
+    word's share): docs whose tokens are dominated by a few repeated
+    words are boilerplate/spam candidates a training-data pipeline
+    filters before dedup.
+
+    Scale shape: a PURE MAP stage — one explode + one per-(doc, word)
+    C-speed groupby per batch, no exchange at all (every signal is
+    intra-document); ``dup_ratio_e4`` is integer floor-division so the
+    DuckDB oracle matches bit-for-bit.  Zero-word docs drop out (the
+    ratio is undefined), mirroring the SQL inner unnest."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # explode() keys rows by position
+        s = (df["text"].astype("string").fillna("")
+             .astype(str).str.split(" ").explode())
+        s = s[s != ""]
+        if len(s) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_words": pd.Series([], dtype="int64"),
+                 "n_distinct_words": pd.Series([], dtype="int64"),
+                 "top_word_count": pd.Series([], dtype="int64"),
+                 "dup_ratio_e4": pd.Series([], dtype="int64")})
+        per = (pd.DataFrame({"i": s.index.to_numpy(),
+                             "w": s.to_numpy(dtype=object)})
+               .groupby(["i", "w"], sort=False).size())
+        agg = per.groupby(level=0).agg(["sum", "size", "max"])
+        n_words = agg["sum"].to_numpy("int64")
+        n_dist = agg["size"].to_numpy("int64")
+        top = agg["max"].to_numpy("int64")
+        doc_ids = df["doc_id"].to_numpy("int64")[
+            agg.index.to_numpy("int64")]
+        return pd.DataFrame(
+            {"doc_id": doc_ids,
+             "n_words": n_words,
+             "n_distinct_words": n_dist,
+             "top_word_count": top,
+             "dup_ratio_e4": (n_words - n_dist) * 10000 // n_words})
+
+    out = (ds.map_batches(stats, batch_format="pandas").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return out
+
+
+def doc_word_repetition_sql() -> str:
+    return """
+WITH w AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS word
+           FROM documents),
+per AS (SELECT doc_id, word, count(*) c FROM w GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(max(c) AS BIGINT) AS top_word_count,
+       CAST((sum(c) - count(*)) * 10000 // sum(c) AS BIGINT) AS dup_ratio_e4
+FROM per GROUP BY doc_id ORDER BY doc_id
+""".strip()

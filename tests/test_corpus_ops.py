@@ -1611,3 +1611,176 @@ def test_customer_order_counts_empty_name_customer(ray_session, tmp_path):
     assert out.to_dict("list") == {
         "c_custkey": [1, 2], "c_name": ["", "b"],
         "n_orders": [1, 0], "spent_e4": [45000, 0]}
+
+
+# --- TPC-H suite completion (round-4 continuation) --------------------
+
+
+def test_q7_volume_shipping_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q7_volume_shipping(SF), con, an.Q7_SQL)
+
+
+def test_q8_market_share_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q8_market_share(SF), con, an.Q8_SQL)
+
+
+def test_q9_product_profit_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q9_product_profit(SF), con, an.Q9_SQL)
+
+
+def test_q11_important_parts_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q11_important_parts(SF), con, an.Q11_SQL)
+
+
+def test_q12_shipping_priority_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q12_shipping_priority(SF), con, an.Q12_SQL)
+
+
+def test_q15_top_supplier_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q15_top_supplier(SF), con, an.Q15_SQL)
+
+
+def test_q16_supplier_diversity_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q16_supplier_diversity(SF), con, an.Q16_SQL)
+
+
+def test_q20_dominant_suppliers_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q20_dominant_suppliers(SF), con, an.Q20_SQL)
+
+
+def test_q21_sole_late_supplier_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q21_sole_late_supplier(SF), con,
+                       an.q21_sole_late_supplier_sql())
+
+
+def test_q22_idle_rich_customers_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q22_idle_rich_customers(SF), con, an.Q22_SQL)
+
+
+def test_q2_min_price_supplier_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.q2_min_price_supplier(SF), con, an.Q2_SQL)
+
+
+def _write_tpch_tiny(tmp_path, orders=None, lineitem=None, supplier=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if supplier is None:
+        supplier = {"s_suppkey": [1, 2, 3],
+                    "s_name": ["S1", "S2", "S3"],
+                    "s_nationkey": [0, 0, 0]}
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(supplier["s_suppkey"], pa.int64()),
+        "s_name": pa.array(supplier["s_name"], pa.string()),
+        "s_nationkey": pa.array(supplier["s_nationkey"], pa.int32())}),
+        tmp_path / "supplier.parquet")
+    if orders is not None:
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(orders["o_orderkey"], pa.int64()),
+            "o_orderstatus": pa.array(orders["o_orderstatus"], pa.string())}),
+            tmp_path / "orders.parquet")
+    if lineitem is not None:
+        import pandas as pd_
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array(lineitem["l_orderkey"], pa.int64()),
+            "l_suppkey": pa.array(lineitem["l_suppkey"], pa.int64()),
+            "l_shipdate": pa.array(
+                [pd_.Timestamp(t) for t in lineitem["l_shipdate"]],
+                pa.timestamp("us"))}),
+            tmp_path / "lineitem.parquet")
+
+
+def test_q21_unique_achiever_logic(ray_session, tmp_path):
+    """Hand-checked: order 1 (F, two suppliers, unique last shipper S2)
+    charges S2; order 2 (F, two suppliers TIED on the max date) charges
+    nobody; order 3 (F, single supplier) charges nobody; order 4 (O
+    status) is out of scope entirely."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    _write_tpch_tiny(
+        tmp_path,
+        orders={"o_orderkey": [1, 2, 3, 4],
+                "o_orderstatus": ["F", "F", "F", "O"]},
+        lineitem={
+            "l_orderkey": [1, 1, 2, 2, 3, 4, 4],
+            "l_suppkey": [1, 2, 1, 2, 1, 1, 2],
+            "l_shipdate": ["1996-01-01", "1996-06-01", "1996-03-01",
+                           "1996-03-01", "1996-02-01", "1996-01-01",
+                           "1996-09-01"]})
+    out = an.q21_sole_late_supplier(str(tmp_path))
+    assert out.to_dict("list") == {"s_name": ["S2"], "numwait": [1]}
+
+
+def test_q15_preserves_ties(ray_session, tmp_path):
+    """Two suppliers with IDENTICAL window revenue must both surface
+    (the reference view + max() subquery keeps ties)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+        "s_nationkey": pa.array([0, 0, 0], pa.int32())}),
+        tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 60.0, 40.0, 1.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0], pa.float64()),
+        "l_shipdate": pa.array([pd.Timestamp(an.Q15_LO)] * 4,
+                               pa.timestamp("us"))}),
+        tmp_path / "lineitem.parquet")
+    out = an.q15_top_supplier(str(tmp_path))
+    assert out.to_dict("list") == {
+        "s_suppkey": [1, 2], "s_name": ["S1", "S2"],
+        "total_revenue_e4": [1000000, 1000000]}
+
+
+def test_doc_word_repetition_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_word_repetition(SF), con,
+                       co.doc_word_repetition_sql())
+
+
+def test_doc_word_repetition_edge_texts(ray_session, tmp_path):
+    """Multi-space runs collapse, NULL/empty/whitespace-only docs drop
+    out, and the ratio floors exactly: 'a a b' → 3 words, 2 distinct,
+    dup_ratio floor(1*10000/3)=3333."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["a  a b", None, "", "   ", "x x x x"],
+                         type=pa.string())})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = co.doc_word_repetition(str(tmp_path))
+    assert out.to_dict("list") == {
+        "doc_id": [0, 4], "n_words": [3, 4], "n_distinct_words": [2, 1],
+        "top_word_count": [2, 4], "dup_ratio_e4": [3333, 7500]}

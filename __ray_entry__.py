@@ -158,12 +158,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.stages import multimodal as mm
 
     # NOTE (driver contract): the correctness gate checks at most the
-    # FIRST 50 entries of this dict, and the repo now carries 78
+    # FIRST 50 entries of this dict, and the repo now carries 80
     # oracle_sql()-backed queries — more than one round's gate can hold.
     # Order is therefore a ROTATION policy: every entry that has NEVER
-    # received a driver oracle row (the 12 operators new this round +
+    # received a driver oracle row (the 14 operators new this round +
     # the 27 that sat past round 4's earlier cap) comes first, then the
-    # two least-recently-checked (round-2) entries, then 9
+    # two least-recently-checked (round-2) entries, then 7
     # representative round-3-green re-checks — exactly 50 oracle-backed
     # rows.  The oracle-backed entries placed past the cap were ALL
     # green in a previous round's CORRECTNESS artifact AND stay green
@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_rich_customers": an.q22_idle_rich_customers,
         # per-doc lexical repetition quality signals (pure map stage)
         "doc_word_repetition": co.doc_word_repetition,
+        # TPC-H Q13's second aggregate level (histogram OF an outer-join
+        # aggregate) and the RANK/DENSE_RANK window pair
+        "order_count_distribution": an.order_count_distribution,
+        "events_user_rank": an.events_user_rank,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -239,8 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": an.top_customers,
         # ---- representative round-3-green re-checks (one per family:
         # rule-engine extract, text stats, exact dedup, ngram join,
-        # data mixing, sessionization, exact quantiles, multimodal,
-        # TPC-H Q1) ----
+        # data mixing, sessionization, exact quantiles) ----
         "doc_extract": de.doc_extract,
         "doc_text_stats": co.doc_text_stats,
         "dedup_exact": co.dedup_exact,
@@ -248,9 +251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": co.corpus_mix,
         "events_sessions": an.events_sessions,
         "events_value_quantiles": an.events_value_quantiles,
+        # ================= driver cap (50) ends here =================
         "multimodal_meta": mm.multimodal_decode_meta,
         "q1_lineitem": an.q1_lineitem,
-        # ================= driver cap (50) ends here =================
         # ---- oracle-backed, green in round-3's driver artifact (and
         # in the committed local sf0.01 gate this round) ----
         "doc_lang_id": co.doc_lang_id,
@@ -439,6 +442,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "q21_sole_late_supplier": an.q21_sole_late_supplier_sql(),
         "q22_idle_rich_customers": an.Q22_SQL,
         "doc_word_repetition": co.doc_word_repetition_sql(),
+        "order_count_distribution": an.ORDER_COUNT_DISTRIBUTION_SQL,
+        "events_user_rank": an.EVENTS_USER_RANK_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

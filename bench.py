@@ -170,6 +170,18 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # composed flagship of the LLM-data layer (gate -> dedup ->
         # PII -> actor-pool model, one streaming flow)
         "corpus_prepare": lambda: consume(co.corpus_prepare(sf_dir)),
+        # TPC-H completion batch: the heaviest of the eleven new shapes
+        # (widest join, full-lineitem dual-count, distinct-pair exchange,
+        # per-(order,supp) max chain) + the per-doc repetition map
+        "q8_market_share": lambda: consume(an.q8_market_share(sf_dir)),
+        "q12_shipping_priority": lambda: consume(
+            an.q12_shipping_priority(sf_dir)),
+        "q16_supplier_diversity": lambda: consume(
+            an.q16_supplier_diversity(sf_dir)),
+        "q21_sole_late_supplier": lambda: consume(
+            an.q21_sole_late_supplier(sf_dir)),
+        "doc_word_repetition": lambda: consume(
+            co.doc_word_repetition(sf_dir)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

@@ -3693,3 +3693,145 @@ JOIN supplier s ON s.s_suppkey=l.l_suppkey
 JOIN nation n ON n.n_nationkey=s.s_nationkey
 ORDER BY p.p_partkey, s.s_name
 """.strip()
+
+
+def order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13's SECOND aggregate level: the histogram of customers
+    per order count (how many customers placed exactly k orders,
+    including k = 0) — an aggregate OF an outer-join aggregate, the
+    one two-level shape :func:`customer_order_counts` stops short of.
+
+    Scale shape: orders collapse to per-(custkey, block) count
+    partials; customers ride the same custkey exchange as bare keys;
+    the in-partition finish left-merges (zero-fill) AND immediately
+    re-collapses to per-count histogram partials, so nothing
+    customer-sized ever reaches the driver — the final reduce is
+    ≤ distinct-count × partitions rows."""
+    from .corpus_ops import _hash_grouped
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def c_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": df["c_custkey"].to_numpy("int64"),
+             "side": np.zeros(len(df), dtype="int64"),
+             "n": np.zeros(len(df), dtype="int64")})
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"custkey": df["o_custkey"].astype("int64")})
+             .groupby("custkey", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["side"] = np.ones(len(g), dtype="int64")
+        return g[["custkey", "side", "n"]].astype(
+            {"custkey": "int64", "side": "int64", "n": "int64"})
+
+    def hist_part(df: pd.DataFrame) -> pd.DataFrame:
+        c_side = df["side"] == 0
+        agg = df[~c_side].groupby("custkey", as_index=False)["n"].sum()
+        j = df.loc[c_side, ["custkey"]].merge(agg, on="custkey", how="left")
+        counts = j["n"].fillna(0).astype("int64")
+        h = counts.value_counts(sort=False)
+        return pd.DataFrame({"c_count": h.index.to_numpy("int64"),
+                             "p_dist": h.to_numpy("int64")})
+
+    unioned = (cust.map_batches(c_keyed, batch_format="pandas")
+               .union(orders.map_batches(o_partial, batch_format="pandas")))
+    fin = _finish_small(_hash_grouped(unioned, ["custkey"], hist_part,
+                                      num_parts=32),
+                        ["c_count"], {"p_dist": "custdist"})
+    return (fin.sort_values(["custdist", "c_count"],
+                            ascending=[False, False], kind="mergesort")
+            .reset_index(drop=True))
+
+
+ORDER_COUNT_DISTRIBUTION_SQL = """
+WITH c AS (SELECT c.c_custkey, count(o.o_custkey) AS c_count
+           FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           GROUP BY 1)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+""".strip()
+
+
+def events_user_rank(sf_dir: str) -> pd.DataFrame:
+    """RANK + DENSE_RANK window over per-user spend within each event
+    class — the gapped/dense rank pair completing the rank-window
+    family next to NTILE.  Ranks are ordered by total value DESC only,
+    so ties share a rank and the result is deterministic without a
+    tiebreak column (rank = 1 + #strictly-greater users; dense rank =
+    1 + #distinct greater totals) — value-defined, engine-independent.
+
+    Scale shape: per-(event_type, user) fixed-point totals finish in
+    ONE pair-hash exchange; ranking re-partitions by event_type (the
+    grouped-rank shape of :func:`top_orders_per_priority` — one
+    partition per class; classes are the dimension here, and a
+    value-histogram two-pass is the documented seam if a single class
+    ever outgrows one partition)."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"event_type": df["event_type"].astype(str),
+                           "user_id": df["user_id"].astype("int64"),
+                           "total": _e4(df["value"])})
+             .groupby(["event_type", "user_id"], as_index=False)["total"]
+             .sum())
+        return g.astype({"user_id": "int64", "total": "int64"})
+
+    def pair_finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["event_type", "user_id"], as_index=False)["total"]
+             .sum())
+        return g.astype({"user_id": "int64", "total": "int64"})
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in df.groupby("event_type", sort=False):
+            t = grp["total"].to_numpy("int64")
+            order = np.argsort(-t, kind="mergesort")
+            ts = t[order]
+            # rank: 1 + count of strictly greater totals; dense rank:
+            # 1 + count of distinct greater totals — both pure gathers
+            # over the sorted value column
+            new = np.r_[True, ts[:-1] != ts[1:]]
+            rnk = np.where(new, np.arange(1, len(ts) + 1), 0)
+            np.maximum.accumulate(rnk, out=rnk)
+            drnk = np.cumsum(new)
+            inv = np.empty(len(ts), dtype="int64")
+            inv[order] = np.arange(len(ts))
+            out.append(pd.DataFrame(
+                {"event_type": np.full(len(ts), et, dtype=object),
+                 "user_id": grp["user_id"].to_numpy("int64"),
+                 "total_e4": t,
+                 "value_rank": rnk[inv].astype("int64"),
+                 "value_dense_rank": drnk[inv].astype("int64")}))
+        if not out:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=str),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "total_e4": pd.Series([], dtype="int64"),
+                 "value_rank": pd.Series([], dtype="int64"),
+                 "value_dense_rank": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    totals = _hash_grouped(ds.map_batches(pair_partial,
+                                          batch_format="pandas"),
+                           ["event_type", "user_id"], pair_finish,
+                           num_parts=32)
+    return _hash_grouped(totals, ["event_type"], rank_part, num_parts=8)
+
+
+EVENTS_USER_RANK_SQL = """
+WITH t AS (SELECT event_type, user_id,
+                  CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT)
+                       AS total_e4
+           FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, total_e4,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY total_e4 DESC)
+            AS BIGINT) AS value_rank,
+       CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY total_e4 DESC)
+            AS BIGINT) AS value_dense_rank
+FROM t
+""".strip()

@@ -1784,3 +1784,37 @@ def test_doc_word_repetition_edge_texts(ray_session, tmp_path):
     assert out.to_dict("list") == {
         "doc_id": [0, 4], "n_words": [3, 4], "n_distinct_words": [2, 1],
         "top_word_count": [2, 4], "dup_ratio_e4": [3333, 7500]}
+
+
+def test_order_count_distribution_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.order_count_distribution(SF), con,
+                       an.ORDER_COUNT_DISTRIBUTION_SQL)
+
+
+def test_events_user_rank_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_user_rank(SF), con, an.EVENTS_USER_RANK_SQL)
+
+
+def test_events_user_rank_tie_semantics(ray_session, tmp_path):
+    """Hand-checked tie behavior: totals 30, 20, 20, 10 must rank
+    1, 2, 2, 4 (gapped) and dense-rank 1, 2, 2, 3 — ties share, rank
+    skips, dense rank doesn't."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a"] * 5, pa.string()),
+        "user_id": pa.array([1, 2, 3, 4, 2], pa.int64()),
+        "value": pa.array([3.0, 1.0, 2.0, 1.0, 1.0], pa.float64())}),
+        tmp_path / "events.parquet")
+    out = (an.events_user_rank(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["total_e4"].tolist() == [30000, 20000, 20000, 10000]
+    assert out["value_rank"].tolist() == [1, 2, 2, 4]
+    assert out["value_dense_rank"].tolist() == [1, 2, 2, 3]

@@ -2925,8 +2925,11 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
                         ["year", "tgt"], {"rev": "rev"})
     rows = []
     for year, grp in fin.groupby("year"):
-        total = int(grp["rev"].sum())
-        tgt = int(grp.loc[grp["tgt"] == 1, "rev"].sum())
+        # Python-int summation on the answer-sized frame: the SQL side
+        # sums into HUGEINT, so a numpy int64 sum wrapping at extreme
+        # totals would diverge silently
+        total = sum(int(x) for x in grp["rev"])
+        tgt = sum(int(x) for x in grp.loc[grp["tgt"] == 1, "rev"])
         if total > 0:
             rows.append({"o_year": int(year),
                          "mkt_share_e6": (tgt * 1_000_000) // total,
@@ -3104,7 +3107,9 @@ def q11_important_parts(sf_dir: str) -> pd.DataFrame:
     if "partkey" not in fin.columns:
         fin = pd.DataFrame({"partkey": pd.Series(dtype="int64"),
                             "rev": pd.Series(dtype="int64")})
-    total = int(fin["rev"].sum())
+    # Python-int total (not a numpy int64 sum): the SQL side compares
+    # against a HUGEINT sum, so wraparound here would silently diverge
+    total = sum(int(v) for v in fin["rev"])
     keep = [int(v) * Q11_SHARE_DENOM > total for v in fin["rev"]]
     out = (fin[keep].rename(columns={"partkey": "p_partkey",
                                      "rev": "value_e4"})
@@ -3191,12 +3196,13 @@ def q12_shipping_priority(sf_dir: str) -> pd.DataFrame:
                           "p_low": "low_line_count"})
 
 
+_Q12_HIGH_SQL = ", ".join(f"'{p}'" for p in Q12_HIGH)
 Q12_SQL = f"""
 SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > {Q12_LATE_DAYS}
             THEN 'late' ELSE 'ontime' END AS ship_band,
-       CAST(count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT','2-HIGH'))
+       CAST(count(*) FILTER (WHERE o.o_orderpriority IN ({_Q12_HIGH_SQL}))
             AS BIGINT) AS high_line_count,
-       CAST(count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+       CAST(count(*) FILTER (WHERE o.o_orderpriority NOT IN ({_Q12_HIGH_SQL}))
             AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON o.o_orderkey=l.l_orderkey
 GROUP BY 1 ORDER BY 1
@@ -3544,7 +3550,15 @@ def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]})
 
     tot = cust.map_batches(pos_partial, batch_format="pandas").to_pandas()
-    pos_sum, pos_n = int(tot["s"].sum()), int(tot["n"].sum())
+    # Python-int reduction over the per-block partials (the SQL side is
+    # a HUGEINT-safe aggregate), then fold the cross-multiply into a
+    # single int64-safe threshold: bal·n > s  ⟺  bal > s // n, because
+    # with s = q·n + r (0 ≤ r < n) any bal ≥ q+1 gives bal·n ≥ q·n + n
+    # > s and any bal ≤ q gives bal·n ≤ q·n ≤ s — so the batch compare
+    # stays vectorized int64 with no overflowable product
+    pos_sum = sum(int(x) for x in tot["s"])
+    pos_n = sum(int(x) for x in tot["n"])
+    thr = pos_sum // pos_n if pos_n else None
 
     flt = pads.field("o_orderdate") >= pads.scalar(pd.Timestamp(Q22_CUTOFF))
     orders = ray.data.read_parquet(
@@ -3552,8 +3566,12 @@ def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
 
     def c_keyed(df: pd.DataFrame) -> pd.DataFrame:
         bal = _e4(df["c_acctbal"])
-        # integer cross-multiply ≡ bal > pos_sum/pos_n (exact, no floats)
-        keep = bal * pos_n > pos_sum
+        if thr is None:
+            keep = np.zeros(len(df), dtype=bool)
+        else:
+            # ⟺ bal·pos_n > pos_sum (see the derivation above); thr is
+            # ≤ max single balance, so it fits int64 by construction
+            keep = bal > np.int64(thr)
         kept = df[keep]
         return pd.DataFrame(
             {"custkey": kept["c_custkey"].to_numpy("int64"),
@@ -3675,6 +3693,10 @@ def q2_min_price_supplier(sf_dir: str) -> pd.DataFrame:
          "n_name": [nname.get(snat.get(int(s), -1), "") for s in sk],
          "price_e4": np.floor(fin["price"].to_numpy("float64")
                               * 10000.0).astype("int64")})
+    # the SQL emits DISTINCT over the OUTPUT columns (no suppkey): two
+    # min-achieving suppliers sharing a name+nation must collapse here
+    # too, not ride their distinct keys into an extra row
+    out = out.drop_duplicates()
     return (out.sort_values(["p_partkey", "s_name"])
             .reset_index(drop=True))
 

@@ -3857,3 +3857,97 @@ SELECT event_type, user_id, total_e4,
             AS BIGINT) AS value_dense_rank
 FROM t
 """.strip()
+
+
+TUMBLE_US = 6 * 3600 * 1_000_000   # 6 h tumbling window
+HOP_US = TUMBLE_US                 # hopping: window = 2 hops (50 % overlap)
+
+
+def events_tumbling_counts(sf_dir: str,
+                           window_us: int = TUMBLE_US) -> pd.DataFrame:
+    """Event-time TUMBLING window aggregate: count + fixed-point value
+    sum per (window_start, event_type) — the canonical streaming
+    window (every event in exactly one aligned window; reference §2.9
+    has no windows, so this is part of the training-data layer's
+    window taxonomy: sessions are gap-based, rolling/RANGE are
+    per-entity frames, this is the global time grid).
+
+    Scale shape: a PURE MAP assigns the window (one integer division),
+    batches collapse to per-(window, type, block) partials, and the
+    final reduce is answer-sized (windows × types).  Window starts are
+    epoch-microsecond int64 so both engines compare bit-for-bit."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = _ts_us(df["ts"])
+        g = (pd.DataFrame({"window_us": (us // window_us) * window_us,
+                           "event_type": df["event_type"].astype(str),
+                           "value_e4": _e4(df["value"])})
+             .groupby(["window_us", "event_type"], as_index=False)
+             .agg(p_n=("value_e4", "size"), p_v=("value_e4", "sum")))
+        return g.astype({"window_us": "int64", "p_n": "int64",
+                         "p_v": "int64"})
+
+    return _finish_small(ds.map_batches(partial, batch_format="pandas"),
+                         ["window_us", "event_type"],
+                         {"p_n": "n_events", "p_v": "value_sum_e4"})
+
+
+def events_tumbling_counts_sql(window_us: int = TUMBLE_US) -> str:
+    return f"""
+SELECT CAST(epoch_us(ts) // {window_us} * {window_us} AS BIGINT)
+           AS window_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT)
+           AS value_sum_e4
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
+def events_hopping_counts(sf_dir: str, hop_us: int = HOP_US) -> pd.DataFrame:
+    """Event-time HOPPING (sliding) window aggregate: window length =
+    2 hops, so every event lands in exactly TWO overlapping windows —
+    the replicate-per-window shape a tumbling grid can't express (a
+    window's total ≠ any sum of disjoint buckets).
+
+    Scale shape: the map stage REPLICATES each row to its two window
+    assignments before the per-batch partial collapse (output ∝ 2×
+    events pre-collapse, but the exchange still carries only
+    (window, type, block) partials); the reduce stays answer-sized.
+    A k-hop window generalizes by replicating k times."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = _ts_us(df["ts"])
+        base = (us // hop_us) * hop_us
+        et = df["event_type"].astype(str).to_numpy(dtype=object)
+        v = _e4(df["value"])
+        # window starts base and base − hop both contain ts (length 2·hop)
+        g = (pd.DataFrame(
+            {"window_us": np.r_[base, base - hop_us],
+             "event_type": np.r_[et, et],
+             "value_e4": np.r_[v, v]})
+            .groupby(["window_us", "event_type"], as_index=False)
+            .agg(p_n=("value_e4", "size"), p_v=("value_e4", "sum")))
+        return g.astype({"window_us": "int64", "p_n": "int64",
+                         "p_v": "int64"})
+
+    return _finish_small(ds.map_batches(partial, batch_format="pandas"),
+                         ["window_us", "event_type"],
+                         {"p_n": "n_events", "p_v": "value_sum_e4"})
+
+
+def events_hopping_counts_sql(hop_us: int = HOP_US) -> str:
+    return f"""
+WITH h AS (SELECT unnest([CAST(epoch_us(ts) // {hop_us} * {hop_us} AS BIGINT),
+                          CAST(epoch_us(ts) // {hop_us} * {hop_us}
+                               - {hop_us} AS BIGINT)]) AS window_us,
+                  event_type,
+                  CAST(floor(value*10000) AS BIGINT) AS v
+           FROM events)
+SELECT window_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS BIGINT) AS value_sum_e4
+FROM h GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

@@ -1818,3 +1818,35 @@ def test_events_user_rank_tie_semantics(ray_session, tmp_path):
     assert out["total_e4"].tolist() == [30000, 20000, 20000, 10000]
     assert out["value_rank"].tolist() == [1, 2, 2, 4]
     assert out["value_dense_rank"].tolist() == [1, 2, 2, 3]
+
+
+def test_events_tumbling_counts_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_tumbling_counts(SF), con,
+                       an.events_tumbling_counts_sql())
+
+
+def test_events_hopping_counts_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_hopping_counts(SF), con,
+                       an.events_hopping_counts_sql())
+
+
+def test_hopping_window_double_counts_tumbling(ray_session, con):
+    """Every event lands in exactly 2 hopping windows, so the hopping
+    grand totals must be exactly 2× the tumbling ones at equal hop —
+    and each hopping window's count must equal the sum of its two
+    constituent tumbling buckets."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    tum = an.events_tumbling_counts(SF)
+    hop = an.events_hopping_counts(SF, hop_us=an.TUMBLE_US)
+    assert hop["n_events"].sum() == 2 * tum["n_events"].sum()
+    assert hop["value_sum_e4"].sum() == 2 * tum["value_sum_e4"].sum()
+    t = dict(zip(zip(tum["window_us"], tum["event_type"]),
+                 tum["n_events"]))
+    for w, et, n in zip(hop["window_us"], hop["event_type"],
+                        hop["n_events"]):
+        assert n == t.get((w, et), 0) + t.get((w + an.TUMBLE_US, et), 0)

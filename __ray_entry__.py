@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_dist": lambda sf: co.dedup_clusters_distributed(sf),
         "events_value_quantiles_td": an.events_value_quantiles_tdigest,
         "events_distinct_users_hll": an.events_distinct_users_hll,
+        # count-min one-pass heavy hitters (superset-of-exact pytest vs
+        # doc_term_heavy_hitters; never-undercount property test)
+        "doc_term_hh_cms": lambda sf: co.doc_term_heavy_hitters_cms(sf),
     }
 
 

@@ -160,3 +160,73 @@ def hll_estimate(reg: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         return m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency sketch (Cormode, Muthukrishnan,
+# "An improved data stream summary: the count-min sketch and its
+# applications", J. Algorithms 2005).
+#
+# Same exchange contract as the t-digest / HLL above: a partial is ONE
+# fixed-size row of d·w int64 counters per block regardless of row count,
+# merge is elementwise ADD (associative + commutative), and point estimates
+# (min over the d rows) are answer-sized on the driver.  Estimates never
+# undercount; the overcount is ≤ e·N/w with probability ≥ 1 − e^−d over
+# the hash draw (here fixed multiply-shift constants, so the whole sketch
+# is deterministic and replays are byte-identical).
+# ---------------------------------------------------------------------------
+
+CMS_W_DEFAULT = 1 << 16
+CMS_D_DEFAULT = 4
+
+# fixed odd multipliers + offsets (multiply-shift hashing: uint64 multiply
+# wraps mod 2^64, top log2(w) bits index the row's counters)
+_CMS_A = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                   0x165667B19E3779F9, 0xD6E8FEB86659FD93], dtype=np.uint64)
+_CMS_B = np.array([0x2545F4914F6CDD1D, 0x9D8A075B4B9E3F21,
+                   0x5851F42D4C957F2D, 0x14057B7EF767814F], dtype=np.uint64)
+
+
+def cms_indices(hashes: np.ndarray, w: int = CMS_W_DEFAULT,
+                d: int = CMS_D_DEFAULT) -> np.ndarray:
+    """(d, n) counter indices for pre-hashed uint64 keys."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    shift = np.uint64(64 - int(w).bit_length() + 1)
+    out = np.empty((d, h.size), dtype=np.int64)
+    for i in range(d):
+        out[i] = ((h * _CMS_A[i] + _CMS_B[i]) >> shift).astype(np.int64)
+    return out
+
+
+def cms_from_hashes(hashes: np.ndarray, counts: np.ndarray,
+                    w: int = CMS_W_DEFAULT,
+                    d: int = CMS_D_DEFAULT) -> np.ndarray:
+    """Build a (d, w) sketch from (key-hash, count) pairs."""
+    table = np.zeros((d, w), dtype=np.int64)
+    if len(hashes) == 0:
+        return table
+    idx = cms_indices(hashes, w, d)
+    c = np.asarray(counts, dtype=np.int64)
+    for i in range(d):
+        np.add.at(table[i], idx[i], c)
+    return table
+
+
+def cms_merge(tables: list[np.ndarray]) -> np.ndarray:
+    """Elementwise sum (all tables must share (d, w))."""
+    out = tables[0].copy()
+    for t in tables[1:]:
+        out += t
+    return out
+
+
+def cms_estimate(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates (min over depth rows) — never undercounts."""
+    d, w = table.shape
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = cms_indices(hashes, w, d)
+    est = table[0][idx[0]]
+    for i in range(1, d):
+        np.minimum(est, table[i][idx[i]], out=est)
+    return est.astype(np.int64)

@@ -2284,3 +2284,103 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
        CAST((sum(c) - count(*)) * 10000 // sum(c) AS BIGINT) AS dup_ratio_e4
 FROM per GROUP BY doc_id ORDER BY doc_id
 """.strip()
+
+
+CMS_MERGE_FANIN = 16
+
+
+def doc_term_heavy_hitters_cms(sf_dir: str, denom: int = None,
+                               w: int = None, d: int = None) -> pd.DataFrame:
+    """Approximate φ-heavy-hitters in ONE pass via a count-min sketch —
+    the streaming sibling of :func:`doc_term_heavy_hitters` (whose
+    exact pass 2 re-scans the corpus to re-count candidates; here the
+    merged sketch answers the recount, trading a bounded overcount for
+    the second scan).  Completes the sketch family: HLL (distinct),
+    t-digest (quantiles), CMS (frequencies).
+
+    Guarantees: candidates come from the same per-block pigeonhole as
+    the exact op (a global heavy hitter must be heavy in some block),
+    so no true heavy hitter is missed; CMS estimates never undercount,
+    so the result is a SUPERSET of the exact answer whose spurious
+    extras overshoot by ≤ e·N/w each (w = 2^16 here → at most a
+    handful at any realistic vocabulary skew).
+
+    Scale shape: each block emits ONE fixed-size sketch row (d·w int64
+    counters as bytes, keyed to one of {fanin} merge buckets) plus its
+    ≤ denom pigeonhole candidates; sketch rows merge inside the keyed
+    exchange (elementwise add — a deeper tree generalizes the single
+    level if block count × sketch size outgrows one task) and the
+    driver folds the ≤ {fanin} merged tables + dedups candidates —
+    nothing corpus-sized anywhere."""
+    import numpy as np
+
+    from ..functions import sketches as sk
+    from ..functions.dedup import _token_hashes
+
+    if denom is None:
+        denom = HH_DENOM
+    w = w or sk.CMS_W_DEFAULT
+    d = d or sk.CMS_D_DEFAULT
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df["text"].astype("string").fillna("")
+             .astype(str).str.split(" ").explode())
+        s = s[s != ""]
+        vc = s.value_counts(sort=False)
+        terms = vc.index.to_numpy(dtype=object)
+        counts = vc.to_numpy(dtype="int64")
+        hashes = _token_hashes(list(terms))
+        table = sk.cms_from_hashes(hashes, counts, w, d)
+        n_block = int(counts.sum())
+        cand = counts * denom > n_block
+        sub = (n_block + len(df)) % CMS_MERGE_FANIN  # spread merge load
+        rows = {
+            "term": np.r_[np.array([""], dtype=object), terms[cand]],
+            "h": np.r_[np.zeros(1, dtype="int64"),
+                       hashes[cand].view(np.int64)],
+            "c": np.r_[np.array([n_block], dtype="int64"),
+                       counts[cand]],
+            "sub": np.r_[np.array([sub], dtype="int64"),
+                         np.full(int(cand.sum()), -1, dtype="int64")],
+            "blob": np.r_[np.array([table.tobytes()], dtype=object),
+                          np.full(int(cand.sum()), b"", dtype=object)],
+        }
+        return pd.DataFrame(rows)
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        sketch = df[df["sub"] >= 0]
+        if len(sketch):
+            tables = [np.frombuffer(b, dtype=np.int64).reshape(d, w)
+                      for b in sketch["blob"]]
+            merged = sk.cms_merge(tables)
+            return pd.DataFrame(
+                {"term": pd.Series([""], dtype=object),
+                 "h": np.zeros(1, dtype="int64"),
+                 "c": np.array([int(sketch["c"].sum())], dtype="int64"),
+                 "sub": np.zeros(1, dtype="int64"),
+                 "blob": pd.Series([merged.tobytes()], dtype=object)})
+        out = df.drop_duplicates("term")
+        return out.reset_index(drop=True)
+
+    folded = _hash_grouped(ds.map_batches(partial, batch_format="pandas"),
+                           ["sub"], merge_part,
+                           num_parts=CMS_MERGE_FANIN).to_pandas()
+    sketch = folded[folded["blob"].map(len) > 0]
+    cands = folded[folded["blob"].map(len) == 0].drop_duplicates("term")
+    if len(sketch) == 0 or len(cands) == 0:
+        return pd.DataFrame({"term": pd.Series(dtype=str),
+                             "n_occ_est": pd.Series(dtype="int64")})
+    table = sk.cms_merge(
+        [np.frombuffer(b, dtype=np.int64).reshape(d, w)
+         for b in sketch["blob"]])
+    n_total = int(sketch["c"].sum())
+    est = sk.cms_estimate(table, cands["h"].to_numpy("int64").view(np.uint64))
+    # Python-int threshold on the answer-sized frame (no overflowable
+    # numpy product; mirrors the exact op's integer-exact compare)
+    keep = np.array([int(e) * denom > n_total for e in est], dtype=bool)
+    out = pd.DataFrame({"term": cands["term"].to_numpy(dtype=object)[keep]
+                        .astype(str),
+                        "n_occ_est": est[keep]})
+    return out.sort_values("term").reset_index(drop=True)

@@ -1850,3 +1850,40 @@ def test_hopping_window_double_counts_tumbling(ray_session, con):
     for w, et, n in zip(hop["window_us"], hop["event_type"],
                         hop["n_events"]):
         assert n == t.get((w, et), 0) + t.get((w + an.TUMBLE_US, et), 0)
+
+
+def test_cms_primitives_never_undercount():
+    import numpy as np
+
+    from neocrawler_ray.functions import sketches as sk
+
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**63, size=5000, dtype=np.int64).view(np.uint64)
+    c = rng.integers(1, 50, size=5000).astype("int64")
+    half = sk.cms_from_hashes(h[:2500], c[:2500])
+    other = sk.cms_from_hashes(h[2500:], c[2500:])
+    merged = sk.cms_merge([half, other])
+    est = sk.cms_estimate(merged, h)
+    assert (est >= c).all()
+    # ε-bound: overcount ≤ e·N/w each with prob ≥ 1−e^−d; at this
+    # density (5k keys into 2^16 counters) expect near-zero overshoot
+    assert int((est - c).max()) <= int(np.e * c.sum() / sk.CMS_W_DEFAULT) + 1
+
+
+def test_doc_term_heavy_hitters_cms_superset_of_exact(ray_session):
+    """CMS one-pass heavy hitters must contain EVERY exact heavy
+    hitter (pigeonhole candidates + never-undercount estimates), with
+    per-term estimates ≥ the exact counts, and at this scale the
+    sketch is wide enough that the sets coincide exactly."""
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    exact = co.doc_term_heavy_hitters(SF)
+    approx = co.doc_term_heavy_hitters_cms(SF)
+    ex = dict(zip(exact["term"], exact["n_occ"]))
+    ap = dict(zip(approx["term"], approx["n_occ_est"]))
+    missing = set(ex) - set(ap)
+    assert not missing, f"CMS missed exact heavy hitters: {missing}"
+    for t, n in ex.items():
+        assert ap[t] >= n
+    spurious = set(ap) - set(ex)
+    assert len(spurious) <= max(2, len(ex) // 5), spurious

@@ -158,14 +158,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.stages import multimodal as mm
 
     # NOTE (driver contract): the correctness gate checks at most the
-    # FIRST 50 entries of this dict, and the repo now carries 82
+    # FIRST 50 entries of this dict, and the repo now carries 83
     # oracle_sql()-backed queries — more than one round's gate can hold.
     # Order is therefore a ROTATION policy, derived from the committed
     # CORRECTNESS_r01/r02/r03 artifacts (the only driver rows that
-    # exist): the 42 oracle-backed entries with NO green row in any of
-    # them come first (16 operators new this round + 26 that earlier
+    # exist): the 43 oracle-backed entries with NO green row in any of
+    # them come first (17 operators new this round + 26 that earlier
     # caps truncated), then the three entries last checked in round 2
-    # (q6_revenue, revenue_by_nation, top_customers), then 5
+    # (q6_revenue, revenue_by_nation, top_customers), then 4
     # representative round-3-green re-checks — exactly 50 oracle-backed
     # rows.  The oracle-backed entries placed past the cap were ALL
     # green in a previous round's CORRECTNESS artifact AND stay green
@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # overlapping (sliding) windows via map-stage replication
         "events_tumbling_counts": an.events_tumbling_counts,
         "events_hopping_counts": an.events_hopping_counts,
+        # token-budget shard packing (distributed parallel prefix sum)
+        "doc_pack_shards": co.doc_pack_shards,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -249,14 +251,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": an.revenue_by_nation,
         "top_customers": an.top_customers,
         # ---- representative round-3-green re-checks (one per family:
-        # rule-engine extract, text stats, exact dedup, ngram join,
-        # data mixing) ----
+        # rule-engine extract, text stats, exact dedup, ngram join) ----
         "doc_extract": de.doc_extract,
         "doc_text_stats": co.doc_text_stats,
         "dedup_exact": co.dedup_exact,
         "dedup_ngram_pairs": co.dedup_ngram_pairs,
-        "corpus_mix": co.corpus_mix,
         # ================= driver cap (50) ends here =================
+        "corpus_mix": co.corpus_mix,
         "events_sessions": an.events_sessions,
         "events_value_quantiles": an.events_value_quantiles,
         "multimodal_meta": mm.multimodal_decode_meta,
@@ -456,6 +457,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_user_rank": an.EVENTS_USER_RANK_SQL,
         "events_tumbling_counts": an.events_tumbling_counts_sql(),
         "events_hopping_counts": an.events_hopping_counts_sql(),
+        "doc_pack_shards": co.doc_pack_shards_sql(),
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

@@ -2384,3 +2384,99 @@ def doc_term_heavy_hitters_cms(sf_dir: str, denom: int = None,
                         .astype(str),
                         "n_occ_est": est[keep]})
     return out.sort_values("term").reset_index(drop=True)
+
+
+PACK_BUDGET_TOKENS = 4096
+PACK_BUCKET = 1024  # doc_ids per prefix-sum bucket
+
+
+def doc_pack_shards(sf_dir: str,
+                    budget: int = PACK_BUDGET_TOKENS) -> pd.DataFrame:
+    """Pack documents (in doc_id order) into fixed token-budget output
+    shards — the training-data sharding step that turns a cleaned
+    corpus into balanced sequence-packing inputs.  A doc's shard is
+    ``(tokens before it) // budget``: a GLOBAL running sum, i.e. the
+    distributed parallel-prefix shape (per-bucket local sums + an
+    answer-sized offset ladder), not a per-entity window.
+
+    Scale shape — two passes over the (tiny) per-doc count table, one
+    over the corpus:
+
+    - one corpus scan emits (doc_id, n_tokens) — two int64 columns;
+    - bucket totals (``doc_id // {bucket}`` per bucket) reduce to the
+      driver, which prefix-sums them into per-bucket offsets (one
+      int64 per bucket; a deeper offset tree generalizes if the
+      bucket ladder itself outgrows one node);
+    - ONE bucket-keyed exchange sorts each bucket by doc_id, local-
+      cumsums, adds the broadcast offset, and floor-divides — exact
+      int64 arithmetic, so the DuckDB window oracle matches
+      bit-for-bit."""
+    import numpy as np
+    import ray
+
+    from ..functions.text_stats import TOKEN_PATTERN
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].astype("string").fillna("")
+             .astype(str).str.count(TOKEN_PATTERN).astype("int64"))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_tokens": n,
+                             "bucket": df["doc_id"].astype("int64")
+                             // PACK_BUCKET})
+
+    tok = ds.map_batches(counts, batch_format="pandas")
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False)["n_tokens"].sum()
+        return g.rename(columns={"n_tokens": "t"}).astype(
+            {"bucket": "int64", "t": "int64"})
+
+    totals = (tok.map_batches(bucket_partial, batch_format="pandas")
+              .to_pandas().groupby("bucket")["t"].sum().sort_index())
+    # offsets[b] = tokens in all buckets before b (Python-int prefix:
+    # the grand total is compared nowhere, but stay overflow-safe)
+    offsets, acc = {}, 0
+    for b, t in totals.items():
+        offsets[int(b)] = acc
+        acc += int(t)
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        out = []
+        for b, grp in df.groupby("bucket", sort=False):
+            grp = grp.sort_values("doc_id", kind="mergesort")
+            n = grp["n_tokens"].to_numpy("int64")
+            before = np.cumsum(n) - n + off[int(b)]
+            out.append(pd.DataFrame(
+                {"doc_id": grp["doc_id"].to_numpy("int64"),
+                 "n_tokens": n,
+                 "shard_id": before // budget}))
+        if not out:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_tokens": pd.Series([], dtype="int64"),
+                                 "shard_id": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    fin = _hash_grouped(tok, ["bucket"], assign, num_parts=16).to_pandas()
+    return fin.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_pack_shards_sql(budget: int = PACK_BUDGET_TOKENS) -> str:
+    from ..functions.text_stats import TOKEN_PATTERN
+
+    return f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+                 AS before
+      FROM t)
+SELECT doc_id, n_tokens, CAST(before // {budget} AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id
+""".strip()

@@ -1887,3 +1887,25 @@ def test_doc_term_heavy_hitters_cms_superset_of_exact(ray_session):
         assert ap[t] >= n
     spurious = set(ap) - set(ex)
     assert len(spurious) <= max(2, len(ex) // 5), spurious
+
+
+def test_doc_pack_shards_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    assert_matches_sql(co.doc_pack_shards(SF), con, co.doc_pack_shards_sql())
+
+
+def test_doc_pack_shards_budget_respected(ray_session):
+    """Shards are contiguous in doc_id, start at 0, never skip, and no
+    shard's token total exceeds budget + its last doc's size (a doc
+    never splits, so the only legal overshoot is the straddling doc)."""
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    out = co.doc_pack_shards(SF, budget=500)
+    sid = out["shard_id"].to_numpy()
+    assert sid[0] == 0
+    assert ((sid[1:] - sid[:-1]) >= 0).all()
+    assert set(sid) == set(range(sid.max() + 1))
+    g = out.groupby("shard_id")["n_tokens"].sum()
+    last = out.groupby("shard_id")["n_tokens"].last()
+    assert (g <= 500 + last).all()

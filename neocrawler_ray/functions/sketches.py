@@ -230,3 +230,62 @@ def cms_estimate(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     for i in range(1, d):
         np.minimum(est, table[i][idx[i]], out=est)
     return est.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership sketch (Bloom, "Space/time trade-offs
+# in hash coding with allowable errors", CACM 1970).  Partial = one
+# fixed-size bit array per block, merge = elementwise OR (associative,
+# commutative, idempotent — replay-safe), no false negatives.  Used as the
+# EXCHANGE PREFILTER in bloom-assisted joins: the big side drops rows whose
+# key cannot be in the build side before shuffling; an exact in-partition
+# test removes the ≤ (1 − e^{−kn/m})^k false positives, so results stay
+# exact while the exchange carries only plausible rows.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_DEFAULT = 1 << 20   # bits
+BLOOM_K_DEFAULT = 4
+
+
+def _bloom_bit_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(k, n) bit indices via double hashing h1 + i·h2 (Kirsch &
+    Mitzenmacher: two hash functions suffice)."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    h1 = h * _CMS_A[0] + _CMS_B[0]
+    h2 = (h * _CMS_A[1] + _CMS_B[1]) | np.uint64(1)
+    out = np.empty((k, h.size), dtype=np.int64)
+    for i in range(k):
+        out[i] = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+    return out
+
+
+def bloom_from_hashes(hashes: np.ndarray, m: int = BLOOM_M_DEFAULT,
+                      k: int = BLOOM_K_DEFAULT) -> np.ndarray:
+    """Bit array (uint8-packed, m/8 bytes) for pre-hashed uint64 keys."""
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if len(hashes) == 0:
+        return bits
+    pos = _bloom_bit_positions(hashes, m, k).ravel()
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_merge(arrays: list[np.ndarray]) -> np.ndarray:
+    out = arrays[0].copy()
+    for a in arrays[1:]:
+        np.bitwise_or(out, a, out=out)
+    return out
+
+
+def bloom_might_contain(bits: np.ndarray, hashes: np.ndarray,
+                        k: int = BLOOM_K_DEFAULT) -> np.ndarray:
+    """Vectorized membership mask (no false negatives)."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    m = bits.size * 8
+    pos = _bloom_bit_positions(hashes, m, k)
+    ok = np.ones(pos.shape[1], dtype=bool)
+    for i in range(k):
+        p = pos[i]
+        ok &= (bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+    return ok

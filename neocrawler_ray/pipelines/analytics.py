@@ -3951,3 +3951,95 @@ SELECT window_us, event_type,
        CAST(sum(v) AS BIGINT) AS value_sum_e4
 FROM h GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+BLOOM_FANIN = 16
+
+
+def order_priority_semijoin_bloom(sf_dir: str) -> pd.DataFrame:
+    """:func:`order_priority_semijoin` with a BLOOM-PREFILTERED
+    exchange — the canonical bandwidth pattern when the probe side is
+    too large to broadcast exactly but most big-side rows won't join:
+    a mergeable bit array built from the probe keys drops non-matching
+    orders BEFORE the shuffle (no false negatives), and the unchanged
+    in-partition existence test removes the ~1 % false positives, so
+    the result — and the SQL oracle — are identical to the exact op.
+
+    Scale shape: the probe side's distinct keys (already block-
+    collapsed, key-sized) are materialized once and used twice — per-
+    block Bloom partials OR-merge inside a fanin-keyed exchange (one
+    fixed-size bits row per block; same tree-merge contract as the
+    CMS/HLL sketches), and the same key rows ride the main orderkey
+    exchange for the exact residual test.  The orders scan then ships
+    only window-rows whose key the filter admits."""
+    import ray
+
+    from ..functions import sketches as sk
+    from .corpus_ops import _hash_grouped
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1999-01-01")
+
+    def l_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        keys = pd.unique(
+            df.loc[df["l_returnflag"] == "R", "l_orderkey"].astype("int64"))
+        return pd.DataFrame({"orderkey": keys,
+                             "priority": np.full(len(keys), "",
+                                                 dtype=object)})
+
+    # key-sized: distinct candidate keys per block, reused twice below
+    probe_keys = line.map_batches(l_keyed,
+                                  batch_format="pandas").materialize()
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["orderkey"].to_numpy("int64").astype(np.uint64)
+        bits = sk.bloom_from_hashes(h)
+        return pd.DataFrame(
+            {"sub": np.array([len(df) % BLOOM_FANIN], dtype="int64"),
+             "bits": pd.Series([bits.tobytes()], dtype=object)})
+
+    def bloom_merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        merged = sk.bloom_merge(
+            [np.frombuffer(b, dtype=np.uint8) for b in df["bits"]])
+        return pd.DataFrame({"sub": np.zeros(1, dtype="int64"),
+                             "bits": pd.Series([merged.tobytes()],
+                                               dtype=object)})
+
+    folded = _hash_grouped(
+        probe_keys.map_batches(bloom_partial, batch_format="pandas"),
+        ["sub"], bloom_merge_part, num_parts=BLOOM_FANIN).to_pandas()
+    bits = sk.bloom_merge(
+        [np.frombuffer(b, dtype=np.uint8) for b in folded["bits"]])
+    bits_ref = ray.put(bits)
+
+    def o_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        df = df[(d >= lo) & (d < hi)]
+        keys = df["o_orderkey"].to_numpy("int64")
+        admit = sk.bloom_might_contain(ray.get(bits_ref),
+                                       keys.astype(np.uint64))
+        kept = df[admit]
+        return pd.DataFrame(
+            {"orderkey": kept["o_orderkey"].astype("int64"),
+             "priority": kept["o_orderpriority"].astype(str)})
+
+    def semi_count(df: pd.DataFrame) -> pd.DataFrame:
+        probe = df["priority"] == ""
+        hit = df.loc[~probe, "orderkey"].isin(df.loc[probe, "orderkey"])
+        kept = df.loc[~probe][hit]
+        out = kept.groupby("priority", as_index=False).size()
+        return pd.DataFrame(
+            {"o_orderpriority": out["priority"].astype(str),
+             "order_count": out["size"].astype("int64")})
+
+    unioned = (orders.map_batches(o_keyed, batch_format="pandas")
+               .union(probe_keys))
+    partials = _hash_grouped(unioned, ["orderkey"], semi_count,
+                             num_parts=32)
+    g = (partials.to_pandas()
+         .groupby("o_orderpriority", as_index=False)["order_count"].sum())
+    g["order_count"] = g["order_count"].astype("int64")
+    return g.sort_values("o_orderpriority").reset_index(drop=True)

@@ -1909,3 +1909,32 @@ def test_doc_pack_shards_budget_respected(ray_session):
     g = out.groupby("shard_id")["n_tokens"].sum()
     last = out.groupby("shard_id")["n_tokens"].last()
     assert (g <= 500 + last).all()
+
+
+def test_bloom_primitives_no_false_negatives():
+    import numpy as np
+
+    from neocrawler_ray.functions import sketches as sk
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 2**63, 8000, dtype=np.int64).view(np.uint64)
+    ins, probe = keys[:4000], keys[4000:]
+    bits = sk.bloom_merge([sk.bloom_from_hashes(ins[:1000]),
+                           sk.bloom_from_hashes(ins[1000:])])
+    assert sk.bloom_might_contain(bits, ins).all()
+    assert sk.bloom_might_contain(bits, probe).mean() < 0.05
+
+
+def test_order_priority_semijoin_bloom_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.order_priority_semijoin_bloom(SF), con,
+                       an.ORDER_PRIORITY_SEMIJOIN_SQL)
+
+
+def test_semijoin_bloom_equals_exact(ray_session):
+    from neocrawler_ray.pipelines import analytics as an
+
+    a = an.order_priority_semijoin(SF)
+    b = an.order_priority_semijoin_bloom(SF)
+    pd.testing.assert_frame_equal(a, b)

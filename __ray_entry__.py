@@ -158,14 +158,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.stages import multimodal as mm
 
     # NOTE (driver contract): the correctness gate checks at most the
-    # FIRST 50 entries of this dict, and the repo now carries 84
+    # FIRST 50 entries of this dict, and the repo now carries 85
     # oracle_sql()-backed queries — more than one round's gate can hold.
     # Order is therefore a ROTATION policy, derived from the committed
     # CORRECTNESS_r01/r02/r03 artifacts (the only driver rows that
-    # exist): the 44 oracle-backed entries with NO green row in any of
-    # them come first (18 operators new this round + 26 that earlier
+    # exist): the 45 oracle-backed entries with NO green row in any of
+    # them come first (19 operators new this round + 26 that earlier
     # caps truncated), then the three entries last checked in round 2
-    # (q6_revenue, revenue_by_nation, top_customers), then 3
+    # (q6_revenue, revenue_by_nation, top_customers), then 2
     # representative round-3-green re-checks — exactly 50 oracle-backed
     # rows.  The oracle-backed entries placed past the cap were ALL
     # green in a previous round's CORRECTNESS artifact AND stay green
@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom-prefiltered semi-join (exact result; the filter only
         # cuts exchange volume) — same oracle as the exact semijoin
         "order_priority_semijoin_bloom": an.order_priority_semijoin_bloom,
+        # whale-group exact ranking (value-range buckets + offset
+        # ladder) — byte-identical to events_user_rank, same oracle
+        "events_user_rank_bucketed": an.events_user_rank_bucketed,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -253,12 +256,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": an.q6_revenue,
         "revenue_by_nation": an.revenue_by_nation,
         "top_customers": an.top_customers,
-        # ---- representative round-3-green re-checks (one per family:
-        # rule-engine extract, text stats, exact dedup) ----
+        # ---- representative round-3-green re-checks (rule-engine
+        # extract, text stats) ----
         "doc_extract": de.doc_extract,
         "doc_text_stats": co.doc_text_stats,
-        "dedup_exact": co.dedup_exact,
         # ================= driver cap (50) ends here =================
+        "dedup_exact": co.dedup_exact,
         "dedup_ngram_pairs": co.dedup_ngram_pairs,
         "corpus_mix": co.corpus_mix,
         "events_sessions": an.events_sessions,
@@ -462,6 +465,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_hopping_counts": an.events_hopping_counts_sql(),
         "doc_pack_shards": co.doc_pack_shards_sql(),
         "order_priority_semijoin_bloom": an.ORDER_PRIORITY_SEMIJOIN_SQL,
+        "events_user_rank_bucketed": an.EVENTS_USER_RANK_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

@@ -3788,9 +3788,9 @@ def events_user_rank(sf_dir: str) -> pd.DataFrame:
     Scale shape: per-(event_type, user) fixed-point totals finish in
     ONE pair-hash exchange; ranking re-partitions by event_type (the
     grouped-rank shape of :func:`top_orders_per_priority` — one
-    partition per class; classes are the dimension here, and a
-    value-histogram two-pass is the documented seam if a single class
-    ever outgrows one partition)."""
+    partition per class).  When a single class outgrows one partition,
+    :func:`events_user_rank_bucketed` is the byte-identical whale
+    path (value-range buckets + an answer-sized offset ladder)."""
     from .corpus_ops import _hash_grouped
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
@@ -4043,3 +4043,154 @@ def order_priority_semijoin_bloom(sf_dir: str) -> pd.DataFrame:
          .groupby("o_orderpriority", as_index=False)["order_count"].sum())
     g["order_count"] = g["order_count"].astype("int64")
     return g.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+RANK_BUCKETS = 32
+
+
+def events_user_rank_bucketed(sf_dir: str,
+                              n_buckets: int = RANK_BUCKETS):
+    """:func:`events_user_rank` without the one-partition-per-class
+    seam — the whale-group path for distributed ranking, exact and
+    byte-identical to the plain op (same SQL oracle).
+
+    How the global rank decomposes: rows are bucketed by VALUE RANGE
+    (per-type edges from sampled totals — sampling skew affects only
+    balance, never correctness), so equal totals always share one
+    bucket; a row's gapped rank is then (rows in strictly-higher
+    buckets) + (its competition rank inside its bucket), and the dense
+    rank likewise with distinct counts — higher-bucket totals are
+    answer-sized (types × buckets), computed from the ranked output
+    itself and folded in by one final broadcast-lookup map.  Three
+    passes over the (type, user) totals table, none holding more than
+    one bucket."""
+    import ray
+
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"event_type": df["event_type"].astype(str),
+                           "user_id": df["user_id"].astype("int64"),
+                           "total": _e4(df["value"])})
+             .groupby(["event_type", "user_id"], as_index=False)["total"]
+             .sum())
+        return g.astype({"user_id": "int64", "total": "int64"})
+
+    def pair_finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["event_type", "user_id"], as_index=False)["total"]
+             .sum())
+        return g.astype({"user_id": "int64", "total": "int64"})
+
+    totals = _hash_grouped(ds.map_batches(pair_partial,
+                                          batch_format="pandas"),
+                           ["event_type", "user_id"], pair_finish,
+                           num_parts=32).materialize()
+
+    # pass A: per-block per-type value samples → per-type bucket edges
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in df.groupby("event_type", sort=False):
+            v = np.sort(grp["total"].to_numpy("int64"))
+            k = min(64, len(v))
+            idx = np.linspace(0, len(v) - 1, k).astype(int)
+            out.append(pd.DataFrame({"event_type": np.full(k, et,
+                                                           dtype=object),
+                                     "v": v[idx]}))
+        if not out:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                                 "v": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    samp = totals.map_batches(sample, batch_format="pandas").to_pandas()
+    edges = {}
+    for et, grp in samp.groupby("event_type"):
+        v = np.sort(grp["v"].to_numpy("int64"))
+        qs = np.linspace(0, len(v) - 1,
+                         min(n_buckets, len(v)) + 1)[1:-1].astype(int)
+        edges[str(et)] = np.unique(v[qs])
+    edges_ref = ray.put(edges)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(edges_ref)
+        df = df.copy()
+        b = np.zeros(len(df), dtype="int64")
+        for et, grp in df.groupby("event_type", sort=False):
+            # side="right": a total equal to an edge lands in ONE fixed
+            # bucket, so ties can never straddle a bucket boundary
+            b[df["event_type"] == et] = np.searchsorted(
+                e.get(str(et), np.empty(0, dtype="int64")),
+                grp["total"].to_numpy("int64"), side="right")
+        df["bucket"] = b
+        return df
+
+    def local_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (et, b), grp in df.groupby(["event_type", "bucket"],
+                                       sort=False):
+            t = grp["total"].to_numpy("int64")
+            order = np.argsort(-t, kind="mergesort")
+            ts = t[order]
+            new = np.r_[True, ts[:-1] != ts[1:]]
+            rnk = np.where(new, np.arange(1, len(ts) + 1), 0)
+            np.maximum.accumulate(rnk, out=rnk)
+            drnk = np.cumsum(new)
+            inv = np.empty(len(ts), dtype="int64")
+            inv[order] = np.arange(len(ts))
+            out.append(pd.DataFrame(
+                {"event_type": np.full(len(ts), et, dtype=object),
+                 "bucket": np.full(len(ts), b, dtype="int64"),
+                 "user_id": grp["user_id"].to_numpy("int64"),
+                 "total_e4": t,
+                 "l_rank": rnk[inv].astype("int64"),
+                 "l_dense": drnk[inv].astype("int64")}))
+        if not out:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=str),
+                 "bucket": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "total_e4": pd.Series([], dtype="int64"),
+                 "l_rank": pd.Series([], dtype="int64"),
+                 "l_dense": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    ranked = _hash_grouped(
+        totals.map_batches(add_bucket, batch_format="pandas"),
+        ["event_type", "bucket"], local_rank, num_parts=16).materialize()
+
+    # answer-sized (types × buckets) per-bucket totals → offsets for
+    # every bucket = counts in strictly-HIGHER buckets (higher bucket
+    # index ⇔ greater totals, because the edges are ascending)
+    def bucket_summary(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "bucket"], as_index=False).agg(
+            n=("user_id", "size"), nd=("l_dense", "max"))
+        return g.astype({"bucket": "int64", "n": "int64", "nd": "int64"})
+
+    summ = (ranked.map_batches(bucket_summary, batch_format="pandas")
+            .to_pandas()
+            .groupby(["event_type", "bucket"], as_index=False)
+            .agg(n=("n", "sum"), nd=("nd", "sum")))
+    offs = {}
+    for et, grp in summ.groupby("event_type"):
+        grp = grp.sort_values("bucket", ascending=False)
+        cr = grp["n"].cumsum().shift(fill_value=0).to_numpy("int64")
+        cd = grp["nd"].cumsum().shift(fill_value=0).to_numpy("int64")
+        for b, r, dn in zip(grp["bucket"], cr, cd):
+            offs[(str(et), int(b))] = (int(r), int(dn))
+    offs_ref = ray.put(offs)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(offs_ref)
+        pairs = [o[(et, int(b))] for et, b in zip(df["event_type"],
+                                                  df["bucket"])]
+        ro = np.array([p[0] for p in pairs], dtype="int64")
+        do = np.array([p[1] for p in pairs], dtype="int64")
+        return pd.DataFrame(
+            {"event_type": df["event_type"].astype(str),
+             "user_id": df["user_id"].to_numpy("int64"),
+             "total_e4": df["total_e4"].to_numpy("int64"),
+             "value_rank": df["l_rank"].to_numpy("int64") + ro,
+             "value_dense_rank": df["l_dense"].to_numpy("int64") + do})
+
+    return ranked.map_batches(finish, batch_format="pandas")

@@ -1938,3 +1938,28 @@ def test_semijoin_bloom_equals_exact(ray_session):
     a = an.order_priority_semijoin(SF)
     b = an.order_priority_semijoin_bloom(SF)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_events_user_rank_bucketed_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_user_rank_bucketed(SF), con,
+                       an.EVENTS_USER_RANK_SQL)
+
+
+def test_events_user_rank_bucketed_equals_plain(ray_session):
+    """The bucketed whale-group path must be row-identical to the
+    one-partition-per-class op, including under heavy ties (2 buckets
+    force many cross-bucket offsets)."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    def norm(x):
+        df = x.to_pandas() if hasattr(x, "to_pandas") else x
+        return (df.sort_values(["event_type", "user_id"])
+                .reset_index(drop=True))
+
+    a = norm(an.events_user_rank(SF))
+    b = norm(an.events_user_rank_bucketed(SF))
+    pd.testing.assert_frame_equal(a, b)
+    c = norm(an.events_user_rank_bucketed(SF, n_buckets=2))
+    pd.testing.assert_frame_equal(a, c)

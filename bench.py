@@ -182,6 +182,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             an.q21_sole_late_supplier(sf_dir)),
         "doc_word_repetition": lambda: consume(
             co.doc_word_repetition(sf_dir)),
+        # sketch-assisted / parallel-prefix / whale-rank additions
+        "doc_term_hh_cms": lambda: consume(
+            co.doc_term_heavy_hitters_cms(sf_dir)),
+        "semijoin_bloom": lambda: consume(
+            an.order_priority_semijoin_bloom(sf_dir)),
+        "doc_pack_shards": lambda: consume(co.doc_pack_shards(sf_dir)),
+        "events_user_rank_bucketed": lambda: consume(
+            an.events_user_rank_bucketed(sf_dir)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

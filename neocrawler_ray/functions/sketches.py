@@ -189,7 +189,12 @@ _CMS_B = np.array([0x2545F4914F6CDD1D, 0x9D8A075B4B9E3F21,
 
 def cms_indices(hashes: np.ndarray, w: int = CMS_W_DEFAULT,
                 d: int = CMS_D_DEFAULT) -> np.ndarray:
-    """(d, n) counter indices for pre-hashed uint64 keys."""
+    """(d, n) counter indices for pre-hashed uint64 keys.  ``w`` must
+    be a power of two ≥ 2: the top log2(w) bits index the row, so any
+    other width would silently confine indices to the next power of
+    two below it (and w=1 would need an undefined 64-bit shift)."""
+    if w < 2 or w & (w - 1):
+        raise ValueError("CMS width must be a power of two >= 2")
     h = np.asarray(hashes, dtype=np.uint64)
     shift = np.uint64(64 - int(w).bit_length() + 1)
     out = np.empty((d, h.size), dtype=np.int64)

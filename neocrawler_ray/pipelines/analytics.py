@@ -3777,6 +3777,20 @@ FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC
 """.strip()
 
 
+def _rank_dense(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Competition (gapped) + dense ranks of ``t`` DESC, ties sharing —
+    the kernel both rank ops use (byte-identical siblings by contract)."""
+    order = np.argsort(-t, kind="mergesort")
+    ts = t[order]
+    new = np.r_[True, ts[:-1] != ts[1:]]
+    rnk = np.where(new, np.arange(1, len(ts) + 1), 0)
+    np.maximum.accumulate(rnk, out=rnk)
+    drnk = np.cumsum(new)
+    inv = np.empty(len(ts), dtype="int64")
+    inv[order] = np.arange(len(ts))
+    return rnk[inv].astype("int64"), drnk[inv].astype("int64")
+
+
 def events_user_rank(sf_dir: str) -> pd.DataFrame:
     """RANK + DENSE_RANK window over per-user spend within each event
     class — the gapped/dense rank pair completing the rank-window
@@ -3812,23 +3826,13 @@ def events_user_rank(sf_dir: str) -> pd.DataFrame:
         out = []
         for et, grp in df.groupby("event_type", sort=False):
             t = grp["total"].to_numpy("int64")
-            order = np.argsort(-t, kind="mergesort")
-            ts = t[order]
-            # rank: 1 + count of strictly greater totals; dense rank:
-            # 1 + count of distinct greater totals — both pure gathers
-            # over the sorted value column
-            new = np.r_[True, ts[:-1] != ts[1:]]
-            rnk = np.where(new, np.arange(1, len(ts) + 1), 0)
-            np.maximum.accumulate(rnk, out=rnk)
-            drnk = np.cumsum(new)
-            inv = np.empty(len(ts), dtype="int64")
-            inv[order] = np.arange(len(ts))
+            rnk, drnk = _rank_dense(t)
             out.append(pd.DataFrame(
-                {"event_type": np.full(len(ts), et, dtype=object),
+                {"event_type": np.full(len(t), et, dtype=object),
                  "user_id": grp["user_id"].to_numpy("int64"),
                  "total_e4": t,
-                 "value_rank": rnk[inv].astype("int64"),
-                 "value_dense_rank": drnk[inv].astype("int64")}))
+                 "value_rank": rnk,
+                 "value_dense_rank": drnk}))
         if not out:
             return pd.DataFrame(
                 {"event_type": pd.Series([], dtype=str),
@@ -3997,8 +4001,11 @@ def order_priority_semijoin_bloom(sf_dir: str) -> pd.DataFrame:
     def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
         h = df["orderkey"].to_numpy("int64").astype(np.uint64)
         bits = sk.bloom_from_hashes(h)
+        # key by block CONTENT (equal-sized blocks are the norm, so a
+        # len()-based key would collapse the fanin to one merge task)
+        sub = (int(h[0]) + len(df)) % BLOOM_FANIN if len(h) else 0
         return pd.DataFrame(
-            {"sub": np.array([len(df) % BLOOM_FANIN], dtype="int64"),
+            {"sub": np.array([sub], dtype="int64"),
              "bits": pd.Series([bits.tobytes()], dtype=object)})
 
     def bloom_merge_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -4130,21 +4137,14 @@ def events_user_rank_bucketed(sf_dir: str,
         for (et, b), grp in df.groupby(["event_type", "bucket"],
                                        sort=False):
             t = grp["total"].to_numpy("int64")
-            order = np.argsort(-t, kind="mergesort")
-            ts = t[order]
-            new = np.r_[True, ts[:-1] != ts[1:]]
-            rnk = np.where(new, np.arange(1, len(ts) + 1), 0)
-            np.maximum.accumulate(rnk, out=rnk)
-            drnk = np.cumsum(new)
-            inv = np.empty(len(ts), dtype="int64")
-            inv[order] = np.arange(len(ts))
+            rnk, drnk = _rank_dense(t)
             out.append(pd.DataFrame(
-                {"event_type": np.full(len(ts), et, dtype=object),
-                 "bucket": np.full(len(ts), b, dtype="int64"),
+                {"event_type": np.full(len(t), et, dtype=object),
+                 "bucket": np.full(len(t), b, dtype="int64"),
                  "user_id": grp["user_id"].to_numpy("int64"),
                  "total_e4": t,
-                 "l_rank": rnk[inv].astype("int64"),
-                 "l_dense": drnk[inv].astype("int64")}))
+                 "l_rank": rnk,
+                 "l_dense": drnk}))
         if not out:
             return pd.DataFrame(
                 {"event_type": pd.Series([], dtype=str),
@@ -4167,10 +4167,15 @@ def events_user_rank_bucketed(sf_dir: str,
             n=("user_id", "size"), nd=("l_dense", "max"))
         return g.astype({"bucket": "int64", "n": "int64", "nd": "int64"})
 
+    # a (type, bucket) group may span several blocks of `ranked`
+    # (whale buckets split at target block size): fragment sizes SUM to
+    # the group size, but fragment maxima of the group-local l_dense
+    # must MAX — summing them would inflate every lower bucket's dense
+    # offset
     summ = (ranked.map_batches(bucket_summary, batch_format="pandas")
             .to_pandas()
             .groupby(["event_type", "bucket"], as_index=False)
-            .agg(n=("n", "sum"), nd=("nd", "sum")))
+            .agg(n=("n", "sum"), nd=("nd", "max")))
     offs = {}
     for et, grp in summ.groupby("event_type"):
         grp = grp.sort_values("bucket", ascending=False)

@@ -2350,19 +2350,23 @@ def doc_term_heavy_hitters_cms(sf_dir: str, denom: int = None,
         return pd.DataFrame(rows)
 
     def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        # a partition may hold BOTH sketch rows and (if the hash of the
+        # "-1" key lands on it) candidate rows — keep both: merged
+        # sketch + deduped candidates
         sketch = df[df["sub"] >= 0]
+        cands = df[df["sub"] < 0].drop_duplicates("term")
+        frames = [cands.reset_index(drop=True)]
         if len(sketch):
             tables = [np.frombuffer(b, dtype=np.int64).reshape(d, w)
                       for b in sketch["blob"]]
             merged = sk.cms_merge(tables)
-            return pd.DataFrame(
+            frames.append(pd.DataFrame(
                 {"term": pd.Series([""], dtype=object),
                  "h": np.zeros(1, dtype="int64"),
                  "c": np.array([int(sketch["c"].sum())], dtype="int64"),
                  "sub": np.zeros(1, dtype="int64"),
-                 "blob": pd.Series([merged.tobytes()], dtype=object)})
-        out = df.drop_duplicates("term")
-        return out.reset_index(drop=True)
+                 "blob": pd.Series([merged.tobytes()], dtype=object)}))
+        return pd.concat(frames, ignore_index=True)
 
     folded = _hash_grouped(ds.map_batches(partial, batch_format="pandas"),
                            ["sub"], merge_part,
@@ -2426,7 +2430,10 @@ def doc_pack_shards(sf_dir: str,
                              "bucket": df["doc_id"].astype("int64")
                              // PACK_BUCKET})
 
-    tok = ds.map_batches(counts, batch_format="pandas")
+    # materialize: the two-int64-column count table is consumed twice
+    # (bucket totals + the keyed exchange) — without this the lazy
+    # read + regex count would re-run over the whole corpus
+    tok = ds.map_batches(counts, batch_format="pandas").materialize()
 
     def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("bucket", as_index=False)["n_tokens"].sum()

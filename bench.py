@@ -190,6 +190,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_pack_shards": lambda: consume(co.doc_pack_shards(sf_dir)),
         "events_user_rank_bucketed": lambda: consume(
             an.events_user_rank_bucketed(sf_dir)),
+        # ExactSubstr-style duplicated-span gate (span-hash exchange)
+        "doc_dup_spans": lambda: consume(co.doc_dup_spans(sf_dir)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

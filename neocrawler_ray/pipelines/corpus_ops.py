@@ -1210,6 +1210,132 @@ ORDER BY 1
 """.strip()
 
 
+DUP_SPAN_W = 8           # span width in tokens (ExactSubstr-style gate)
+
+
+def doc_dup_spans(sf_dir: str, w: int = DUP_SPAN_W) -> pd.DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, how many of its distinct ``w``-token spans occur in at
+    least one OTHER document — the substring-level dedup signal that
+    catches boilerplate/quotation overlap exact- and near-dup doc
+    matching both miss.  Docs with fewer than ``w`` tokens contribute
+    no spans (a "duplicated span of length w" is undefined for them);
+    every doc still gets an output row.
+
+    Scale shape: the scan collapses each doc to its DISTINCT span
+    hashes (uint64 — one vectorized multiply-add chain over ``w``
+    shifted token-hash views, never span strings), so the exchange
+    carries one 16-byte row per (doc, distinct span) — the same
+    universe the minhash/ngram family ships.  A span-hash partition
+    counts docs per span and emits per-doc partial dup counts
+    (answer-∝ rows: ≤ one per (doc, partition)); a doc_id partition
+    sums them.  Unlike ``dedup_ngram_pairs`` there is NO pair
+    emission — a hot boilerplate span costs one linear count, so the
+    df² hot-key guard is structurally unnecessary here.  Per-doc
+    totals come from the same scan kernel as a pure map (no
+    exchange).  Output is corpus-doc-sized, like every per-doc query
+    in this module (at 10^8 docs the caller writes it to partitioned
+    Parquet instead of collecting a DataFrame).
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def span_sets(texts) -> list[np.ndarray]:
+        out = []
+        for t in texts:
+            th = dd._token_hashes(dd._WORD_RE.findall(str(t).lower()))
+            n = len(th)
+            if n < w:
+                out.append(np.empty(0, dtype=np.uint64))
+                continue
+            m = n - w + 1
+            with np.errstate(over="ignore"):
+                acc = th[:m].astype(np.uint64, copy=True)
+                for j in range(1, w):
+                    acc = acc * dd._SHINGLE_MIX + th[j:m + j]
+            out.append(np.unique(dd._fmix64(acc)))
+        return out
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        sets = span_sets(df["text"].fillna(""))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "n_spans": pd.Series([len(s) for s in sets], dtype="int64",
+                                  index=df.index)})
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        sets = span_sets(df["text"].fillna(""))
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        ids = df["doc_id"].astype("int64").to_numpy()
+        return pa.Table.from_pydict(
+            {"span": np.concatenate(sets) if sets else
+             np.empty(0, dtype=np.uint64),
+             "doc_id": np.repeat(ids, lens)},
+            schema=pa.schema([("span", pa.uint64()),
+                              ("doc_id", pa.int64())]))
+
+    def dup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are unique (span, doc) ⇒ per-span row count == doc count
+        cnt = df.groupby("span")["doc_id"].transform("size")
+        dup = df[cnt >= 2]
+        out = dup.groupby("doc_id", as_index=False).size()
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             "dup_partial": out["size"].astype("int64")})
+
+    def dup_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)["dup_partial"].sum()
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "dup_spans": g["dup_partial"].astype("int64")})
+
+    parts = _parts_for(sf_dir, "documents", rows_per_part=500)
+    partials = _hash_grouped(ds.map_batches(explode, batch_format="pandas"),
+                             ["span"], dup_partial, num_parts=parts)
+    dups = _hash_grouped(partials, ["doc_id"], dup_sum,
+                         num_parts=max(4, parts // 4)).to_pandas()
+    tot = ds.map_batches(totals, batch_format="pandas").to_pandas()
+
+    out = tot.merge(dups, on="doc_id", how="left")
+    out["dup_spans"] = out["dup_spans"].fillna(0).astype("int64")
+    out["has_cross_dup"] = (out["dup_spans"] > 0).astype("int64")
+    return (out.sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def doc_dup_spans_sql(w: int = DUP_SPAN_W) -> str:
+    """String-span oracle — same tokenization as the ngram family
+    (``\\S+`` on lowercased text); <w-token docs yield zero spans."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, coalesce(regexp_extract_all(lower(text), '\\S+'),
+                          CAST([] AS VARCHAR[])) AS t
+  FROM documents
+), sp AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) < {w} THEN CAST([] AS VARCHAR[])
+           ELSE list_transform(generate_series(1, len(t) - {w - 1}),
+                               i -> array_to_string(t[i:i+{w - 1}], ' '))
+         END) AS s
+  FROM toks
+), u AS (
+  SELECT doc_id, unnest(s) AS span FROM sp
+), d AS (
+  SELECT span FROM u GROUP BY span HAVING count(*) >= 2
+), dc AS (
+  SELECT doc_id, count(*) AS c FROM u
+  WHERE span IN (SELECT span FROM d) GROUP BY doc_id
+)
+SELECT sp.doc_id,
+       CAST(len(sp.s) AS BIGINT) AS n_spans,
+       CAST(coalesce(dc.c, 0) AS BIGINT) AS dup_spans,
+       CAST(CASE WHEN coalesce(dc.c, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS has_cross_dup
+FROM sp LEFT JOIN dc USING (doc_id)
+ORDER BY sp.doc_id
+""".strip()
+
+
 def dedup_clusters(sf_dir: str, lsh_threshold: float = 0.7,
                    jaccard_threshold: float = 0.8) -> pd.DataFrame:
     """Near-dup cluster assignment: union-find over verified pairs.

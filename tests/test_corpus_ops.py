@@ -154,6 +154,23 @@ def test_dedup_exact_matches_sql(ray_session, con):
     )
 
 
+def test_dup_spans_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    out = co.doc_dup_spans(SF)
+    assert_matches_sql(out, con, co.doc_dup_spans_sql())
+    # exact-dup doc pairs must both be span-flagged (when long enough
+    # to hold a span at all) — the op subsumes doc-level exact dedup
+    import duckdb  # noqa: F401  (con fixture provides the connection)
+    dups = con.execute(
+        "select doc_id from documents where text in (select text from "
+        "documents group by text having count(*) >= 2)").df()["doc_id"]
+    flagged = out.set_index("doc_id")
+    for d in dups:
+        row = flagged.loc[int(d)]
+        assert row["n_spans"] == 0 or row["has_cross_dup"] == 1
+
+
 def test_doc_extract_byte_identical(ray_session, con):
     from neocrawler_ray.pipelines import doc_extract as de
 

@@ -103,6 +103,26 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return shingle_hashes_from_token_hashes(_token_hashes(toks), k)
 
 
+def span_hashes(text: str, w: int) -> np.ndarray:
+    """Sorted unique uint64 hashes of a doc's ``w``-token spans — the
+    ExactSubstr-style dedup universe (``pipelines.corpus_ops.
+    doc_dup_spans``).  Unlike :func:`shingle_hashes` there is NO
+    whole-doc collapse: fewer than ``w`` tokens means zero spans (a
+    "duplicated span of length w" is undefined for shorter docs).
+    Same multiply-add chain + murmur3 finalizer as the shingle kernel,
+    so one span == one vectorized window, never a span string."""
+    th = _token_hashes(_WORD_RE.findall(str(text).lower()))
+    n = len(th)
+    if n < w:
+        return np.empty(0, dtype=np.uint64)
+    m = n - w + 1
+    with np.errstate(over="ignore"):
+        acc = th[:m].astype(np.uint64, copy=True)
+        for j in range(1, w):
+            acc = acc * _SHINGLE_MIX + th[j:m + j]
+    return np.unique(_fmix64(acc))
+
+
 def _sig_matrix(shingle_sets: list[np.ndarray],
                 perm_chunk: int = 32) -> np.ndarray:
     """(n_docs, P) minhash signature matrix for a batch of shingle-hash

@@ -1243,20 +1243,7 @@ def doc_dup_spans(sf_dir: str, w: int = DUP_SPAN_W) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def span_sets(texts) -> list[np.ndarray]:
-        out = []
-        for t in texts:
-            th = dd._token_hashes(dd._WORD_RE.findall(str(t).lower()))
-            n = len(th)
-            if n < w:
-                out.append(np.empty(0, dtype=np.uint64))
-                continue
-            m = n - w + 1
-            with np.errstate(over="ignore"):
-                acc = th[:m].astype(np.uint64, copy=True)
-                for j in range(1, w):
-                    acc = acc * dd._SHINGLE_MIX + th[j:m + j]
-            out.append(np.unique(dd._fmix64(acc)))
-        return out
+        return [dd.span_hashes(t, w) for t in texts]
 
     def totals(df: pd.DataFrame) -> pd.DataFrame:
         sets = span_sets(df["text"].fillna(""))

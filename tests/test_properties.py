@@ -309,3 +309,25 @@ def test_ntile_kernel_matches_sql_rule(rows, k):
             expect = list(range(1, n + 1))
         got = [int(out.loc[e, "tile"]) for e in g["event_id"]]
         assert got == expect[:n]
+
+
+@given(st.lists(words, min_size=1, max_size=6), st.integers(2, 10))
+@settings(max_examples=80, deadline=None)
+def test_span_hashes_match_string_spans(texts, w):
+    """span_hashes counts == brute-force distinct string spans, per doc
+    AND pairwise-shared (the two facts doc_dup_spans relies on)."""
+    def str_spans(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
+
+    sets_h = [dd.span_hashes(t, w) for t in texts]
+    sets_s = [str_spans(t) for t in texts]
+    for h, s in zip(sets_h, sets_s):
+        assert len(h) == len(s)          # distinct-span count parity
+        assert list(h) == sorted(set(h))  # sorted unique contract
+    import numpy as np
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            shared_h = len(np.intersect1d(sets_h[i], sets_h[j],
+                                          assume_unique=True))
+            assert shared_h == len(sets_s[i] & sets_s[j])

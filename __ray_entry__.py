@@ -158,16 +158,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.stages import multimodal as mm
 
     # NOTE (driver contract): the correctness gate checks at most the
-    # FIRST 50 entries of this dict, and the repo now carries 86
+    # FIRST 50 entries of this dict, and the repo now carries 90
     # oracle_sql()-backed queries — more than one round's gate can hold.
     # Order is therefore a ROTATION policy, derived from the committed
     # CORRECTNESS_r01/r02/r03 artifacts (the only driver rows that
-    # exist): the 46 oracle-backed entries with NO green row in any of
-    # them come first (20 operators new this round + 26 that earlier
-    # caps truncated), then the three entries last checked in round 2
-    # (q6_revenue, revenue_by_nation, top_customers), then one
-    # representative round-3-green re-check — exactly 50 oracle-backed
-    # rows.  The oracle-backed entries placed past the cap were ALL
+    # exist): the 50 oracle-backed entries with NO green row in any of
+    # them come first (operators new this round + those that earlier
+    # caps truncated) — exactly the 50-row window.  Directly after the
+    # cap sit the entries last checked in round 2 (q6_revenue,
+    # revenue_by_nation, top_customers), then the round-3-green
+    # re-checks.  The oracle-backed entries placed past the cap were ALL
     # green in a previous round's CORRECTNESS artifact AND stay green
     # in tools/check_correctness.py at sf0.01 (the committed
     # CORRECTNESS_LOCAL_r04.json records the full gate); cumulatively
@@ -215,6 +215,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whale-group exact ranking (value-range buckets + offset
         # ladder) — byte-identical to events_user_rank, same oracle
         "events_user_rank_bucketed": an.events_user_rank_bucketed,
+        # CUBE grain set (rollup + the (ALL, prio) slice), distribution
+        # windows (PERCENT_RANK/CUME_DIST), and the INTERSECT/EXCEPT
+        # set-operator pair over one user-hash flags exchange
+        "revenue_cube": an.revenue_cube,
+        "events_percent_rank": an.events_percent_rank,
+        "events_user_days_intersect": an.events_user_days_intersect,
+        "events_user_days_except": an.events_user_days_except,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -253,15 +260,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_counts": co.doc_bigram_counts,
         "doc_term_heavy_hitters": co.doc_term_heavy_hitters,
         "doc_decontaminate": co.doc_decontaminate,
+        # ================= driver cap (50) ends here =================
         # ---- least recently checked (green in round 2, cut by the
-        # round-3 cap) ----
+        # round-3 cap; green in the committed local sf0.01 gate) ----
         "q6_revenue": an.q6_revenue,
         "revenue_by_nation": an.revenue_by_nation,
         "top_customers": an.top_customers,
-        # ---- representative round-3-green re-check (rule-engine
-        # extract) ----
         "doc_extract": de.doc_extract,
-        # ================= driver cap (50) ends here =================
         "doc_text_stats": co.doc_text_stats,
         "dedup_exact": co.dedup_exact,
         "dedup_ngram_pairs": co.dedup_ngram_pairs,
@@ -469,6 +474,10 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "doc_pack_shards": co.doc_pack_shards_sql(),
         "order_priority_semijoin_bloom": an.ORDER_PRIORITY_SEMIJOIN_SQL,
         "events_user_rank_bucketed": an.EVENTS_USER_RANK_SQL,
+        "revenue_cube": an.REVENUE_CUBE_SQL,
+        "events_percent_rank": an.EVENTS_PERCENT_RANK_SQL,
+        "events_user_days_intersect": an.EVENTS_USER_DAYS_INTERSECT_SQL,
+        "events_user_days_except": an.EVENTS_USER_DAYS_EXCEPT_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

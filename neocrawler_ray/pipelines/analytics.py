@@ -4199,3 +4199,234 @@ def events_user_rank_bucketed(sf_dir: str,
              "value_dense_rank": df["l_dense"].to_numpy("int64") + do})
 
     return ranked.map_batches(finish, batch_format="pandas")
+
+
+# --- grouping sets: CUBE ----------------------------------------------
+
+
+def revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(year, priority): all four grains — (y,p), (y,ALL),
+    (ALL,p), (ALL,ALL) — completing the grouping-sets taxonomy next to
+    :func:`revenue_rollup` (which emits only the rollup chain).
+
+    Scale shape: identical to rollup — the scan collapses each block to
+    FINEST-grain partials (year × priority), and every coarser grain is
+    derived from the finished finest level driver-side.  CUBE adds the
+    (ALL, p) grain for free: it is one more pandas groupby over the
+    answer-sized finest frame, never a second pass over the fact
+    table."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame(
+            {"yr": df["o_orderdate"].dt.strftime("%Y"),
+             "prio": df["o_orderpriority"].astype(str),
+             "rev": _e4(df["o_totalprice"]),
+             "n": np.ones(len(df), dtype="int64")})
+            .groupby(["yr", "prio"], as_index=False)[["rev", "n"]].sum())
+        return g.astype({"rev": "int64", "n": "int64"})
+
+    fine = _finish_small(ds.map_batches(partial, batch_format="pandas"),
+                         ["yr", "prio"], {"rev": "revenue_e4",
+                                          "n": "n_orders"})
+    by_year = (fine.groupby("yr", as_index=False)
+               [["revenue_e4", "n_orders"]].sum())
+    by_year["prio"] = "ALL"
+    by_prio = (fine.groupby("prio", as_index=False)
+               [["revenue_e4", "n_orders"]].sum())
+    by_prio["yr"] = "ALL"
+    total = pd.DataFrame({"yr": ["ALL"], "prio": ["ALL"],
+                          "revenue_e4": [fine["revenue_e4"].sum()],
+                          "n_orders": [fine["n_orders"].sum()]})
+    out = pd.concat([fine, by_year, by_prio, total], ignore_index=True)
+    out = out[["yr", "prio", "revenue_e4", "n_orders"]].astype(
+        {"revenue_e4": "int64", "n_orders": "int64"})
+    return out.sort_values(["yr", "prio"]).reset_index(drop=True)
+
+
+REVENUE_CUBE_SQL = """
+SELECT COALESCE(CAST(y AS VARCHAR), 'ALL') AS yr,
+       COALESCE(p, 'ALL') AS prio,
+       CAST(sum(r) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM (SELECT strftime(o_orderdate, '%Y') y, o_orderpriority p,
+             CAST(floor(o_totalprice * 10000) AS BIGINT) r
+      FROM orders)
+GROUP BY CUBE(y, p) ORDER BY 1, 2
+""".strip()
+
+
+# --- distribution windows: PERCENT_RANK / CUME_DIST ---------------------
+
+
+def percent_rank_kernel(totals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """PERCENT_RANK + CUME_DIST over one partition's int64 values.
+
+    percent_rank = (min_rank - 1) / (n - 1)  (0.0 for a 1-row partition,
+    per the SQL standard); cume_dist = max_rank / n.  Both ranks come
+    from two searchsorteds against the sorted copy — no per-row Python
+    — and the divisions are int-over-int IEEE doubles, so both engines
+    produce bit-identical floats."""
+    n = len(totals)
+    srt = np.sort(totals)
+    rank_min = np.searchsorted(srt, totals, side="left") + 1
+    rank_max = np.searchsorted(srt, totals, side="right")
+    pr = ((rank_min - 1) / (n - 1) if n > 1
+          else np.zeros(n, dtype="float64"))
+    cd = rank_max / n
+    return pr.astype("float64"), cd.astype("float64")
+
+
+def events_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST of per-user spend within each event
+    class — the distribution-position windows completing the rank
+    family (RANK/DENSE_RANK in :func:`events_user_rank`, NTILE in
+    :func:`events_user_ntile`): where does each user's total sit in the
+    class's spend CDF?
+
+    Scale shape: per-(event_type, user) fixed-point totals finish in
+    ONE pair-hash exchange (high-cardinality key, no whale); the
+    distribution pass re-partitions by event_type and runs the
+    two-searchsorted kernel per class.  A class larger than one
+    partition takes the same value-bucket ladder as
+    :func:`events_user_rank_bucketed` (min/max ranks are offsetable by
+    higher-bucket counts); this entry keeps the direct shape."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"event_type": df["event_type"].astype(str),
+                           "user_id": df["user_id"].astype("int64"),
+                           "total": _e4(df["value"])})
+             .groupby(["event_type", "user_id"], as_index=False)["total"]
+             .sum())
+        return g.astype({"user_id": "int64", "total": "int64"})
+
+    def pair_finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["event_type", "user_id"], as_index=False)["total"]
+             .sum())
+        return g.astype({"user_id": "int64", "total": "int64"})
+
+    def dist_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in df.groupby("event_type", sort=False):
+            t = grp["total"].to_numpy("int64")
+            pr, cd = percent_rank_kernel(t)
+            out.append(pd.DataFrame(
+                {"event_type": np.full(len(t), et, dtype=object),
+                 "user_id": grp["user_id"].to_numpy("int64"),
+                 "total_e4": t,
+                 "pct_rank": pr,
+                 "cume_dist": cd}))
+        if not out:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=str),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "total_e4": pd.Series([], dtype="int64"),
+                 "pct_rank": pd.Series([], dtype="float64"),
+                 "cume_dist": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    totals = _hash_grouped(ds.map_batches(pair_partial,
+                                          batch_format="pandas"),
+                           ["event_type", "user_id"], pair_finish,
+                           num_parts=32)
+    return _hash_grouped(totals, ["event_type"], dist_part, num_parts=8)
+
+
+EVENTS_PERCENT_RANK_SQL = """
+WITH t AS (SELECT event_type, user_id,
+                  CAST(sum(CAST(floor(value*10000) AS BIGINT)) AS BIGINT)
+                       AS total_e4
+           FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, total_e4,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY total_e4)
+           AS pct_rank,
+       cume_dist() OVER (PARTITION BY event_type ORDER BY total_e4)
+           AS cume_dist
+FROM t
+""".strip()
+
+
+# --- set operators: INTERSECT / EXCEPT ----------------------------------
+
+
+def _user_day_flags(sf_dir: str, type_a: str, type_b: str):
+    """Shared base for the distributed set operators: one scan of
+    events filtered to the two classes, per-batch distinct
+    (user, day, did_a, did_b) partials, then ONE key-hash exchange
+    where boolean-max finishes the flags.  The exchange carries ≤ 1
+    row per (user, day, block) — never raw events.  The key is
+    (user, day) rather than bare user because the synthetic users are
+    dense across event classes (every user eventually does
+    everything); user-DAYS separate."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].astype(str)
+        mask = ((et == type_a) | (et == type_b)).to_numpy()
+        sub = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy("int64")[mask],
+             "day": df["ts"].dt.strftime("%Y-%m-%d").to_numpy(object)[mask],
+             "a": (et == type_a).to_numpy()[mask],
+             "b": (et == type_b).to_numpy()[mask]})
+        g = sub.groupby(["user_id", "day"], as_index=False)[["a", "b"]].max()
+        return g.astype({"user_id": "int64", "a": "bool", "b": "bool"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "day"], as_index=False)[["a", "b"]].max()
+        return g.astype({"user_id": "int64", "a": "bool", "b": "bool"})
+
+    return _hash_grouped(ds.map_batches(partial, batch_format="pandas"),
+                         ["user_id", "day"], finish, num_parts=32)
+
+
+def _setop_pick(flags_ds, keep_fn) -> pd.DataFrame:
+    parts = flags_ds.to_pandas()
+    keep = parts[keep_fn(parts)]
+    return (pd.DataFrame({"user_id": keep["user_id"].to_numpy("int64"),
+                          "day": keep["day"].astype(str).to_numpy(object)})
+            .sort_values(["user_id", "day"]).reset_index(drop=True))
+
+
+def events_user_days_intersect(sf_dir: str, type_a: str = "purchase",
+                               type_b: str = "error") -> pd.DataFrame:
+    """Distributed INTERSECT: distinct (user, day) pairs present in
+    BOTH event classes — user-days where a purchase and an error both
+    happened.  Ray Data has no set operators; INTERSECT over a
+    partitioned key is exactly a flags-and-filter over one key-hash
+    exchange (never a second scan or a sort).  The final frame is
+    answer-sized (distinct qualifying user-days)."""
+    return _setop_pick(_user_day_flags(sf_dir, type_a, type_b),
+                       lambda df: df["a"] & df["b"])
+
+
+def events_user_days_except(sf_dir: str, type_a: str = "purchase",
+                            type_b: str = "error") -> pd.DataFrame:
+    """Distributed EXCEPT: distinct (user, day) pairs in class A but
+    not class B — purchase-days with no error — the complement filter
+    over the same one-exchange flags base as
+    :func:`events_user_days_intersect`."""
+    return _setop_pick(_user_day_flags(sf_dir, type_a, type_b),
+                       lambda df: df["a"] & ~df["b"])
+
+
+EVENTS_USER_DAYS_INTERSECT_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id, strftime(ts, '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT CAST(user_id AS BIGINT), strftime(ts, '%Y-%m-%d')
+FROM events WHERE event_type = 'error'
+""".strip()
+
+EVENTS_USER_DAYS_EXCEPT_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id, strftime(ts, '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT CAST(user_id AS BIGINT), strftime(ts, '%Y-%m-%d')
+FROM events WHERE event_type = 'error'
+""".strip()

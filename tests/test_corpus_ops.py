@@ -1980,3 +1980,65 @@ def test_events_user_rank_bucketed_equals_plain(ray_session):
     pd.testing.assert_frame_equal(a, b)
     c = norm(an.events_user_rank_bucketed(SF, n_buckets=2))
     pd.testing.assert_frame_equal(a, c)
+
+
+# --- CUBE / PERCENT_RANK / set operators (round 4 batch 2) -----------
+
+
+def test_revenue_cube_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.revenue_cube(SF)
+    assert_matches_sql(got, con, an.REVENUE_CUBE_SQL)
+    # the four grains partition the fact rows: each grain's n_orders
+    # sums to the grand total
+    tot = int(got.loc[(got.yr == "ALL") & (got.prio == "ALL"),
+                      "n_orders"].iloc[0])
+    fine = got[(got.yr != "ALL") & (got.prio != "ALL")]
+    by_y = got[(got.yr != "ALL") & (got.prio == "ALL")]
+    by_p = got[(got.yr == "ALL") & (got.prio != "ALL")]
+    assert fine["n_orders"].sum() == by_y["n_orders"].sum() == \
+        by_p["n_orders"].sum() == tot
+
+
+def test_events_percent_rank_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_percent_rank(SF), con,
+                       an.EVENTS_PERCENT_RANK_SQL)
+
+
+def test_percent_rank_kernel_vs_naive():
+    from neocrawler_ray.pipelines.analytics import percent_rank_kernel
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 5, 64):
+        t = rng.integers(0, 8, size=n).astype("int64")  # force ties
+        pr, cd = percent_rank_kernel(t)
+        for i, v in enumerate(t):
+            lt = int((t < v).sum())
+            le = int((t <= v).sum())
+            want_pr = 0.0 if n == 1 else lt / (n - 1)
+            assert pr[i] == want_pr
+            assert cd[i] == le / n
+        assert (cd > 0).all() and (cd <= 1.0).all()
+
+
+def test_events_user_days_setops_match_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    inter = an.events_user_days_intersect(SF)
+    exc = an.events_user_days_except(SF)
+    assert_matches_sql(inter, con, an.EVENTS_USER_DAYS_INTERSECT_SQL)
+    assert_matches_sql(exc, con, an.EVENTS_USER_DAYS_EXCEPT_SQL)
+    # set algebra: intersect and except are disjoint and their union is
+    # all purchase user-days
+    ikeys = set(zip(inter.user_id, inter.day))
+    xkeys = set(zip(exc.user_id, exc.day))
+    assert not (ikeys & xkeys)
+    all_a = con.execute(
+        "SELECT count(*) FROM (SELECT DISTINCT user_id, "
+        "strftime(ts,'%Y-%m-%d') FROM events WHERE event_type='purchase')"
+    ).fetchone()[0]
+    assert len(ikeys) + len(xkeys) == all_a
+    assert len(ikeys) > 0 and len(xkeys) > 0

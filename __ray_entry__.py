@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": an.events_percent_rank,
         "events_user_days_intersect": an.events_user_days_intersect,
         "events_user_days_except": an.events_user_days_except,
+        # fixed-point PageRank (exact int64 masses; CTE-chain oracle)
+        "graph_pagerank": an.graph_pagerank,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -478,6 +480,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_percent_rank": an.EVENTS_PERCENT_RANK_SQL,
         "events_user_days_intersect": an.EVENTS_USER_DAYS_INTERSECT_SQL,
         "events_user_days_except": an.EVENTS_USER_DAYS_EXCEPT_SQL,
+        "graph_pagerank": an.GRAPH_PAGERANK_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

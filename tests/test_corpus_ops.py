@@ -2042,3 +2042,47 @@ def test_events_user_days_setops_match_sql(ray_session, con):
     ).fetchone()[0]
     assert len(ikeys) + len(xkeys) == all_a
     assert len(ikeys) > 0 and len(xkeys) > 0
+
+
+def test_graph_pagerank_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.graph_pagerank(SF).to_pandas()
+    assert_matches_sql(got, con, an.GRAPH_PAGERANK_SQL)
+    # fixed-point floor losses are bounded: ≥99.9% of the total mass
+    # survives three damped iterations, and node kinds partition the id
+    # space
+    assert got["pr_mass"].sum() >= 0.999 * an.PR_TOTAL
+    assert set(got["kind"]) == {"part", "supplier"}
+    # a supplier shipping many parts must out-rank one shipping few:
+    # rank correlates positively with degree on the supplier side
+    sup = got[got["kind"] == "supplier"]
+    assert sup["pr_mass"].corr(sup["degree"]) > 0.5
+
+
+def test_graph_pagerank_uniform_on_regular_graph(ray_session, tmp_path):
+    """On a biregular graph (every part ships via every supplier) the
+    stationary masses are equal within each side — the damped update
+    must preserve that symmetry exactly in integer arithmetic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    rows = [(p, s) for p in range(6) for s in range(4)]
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_orderkey": pa.array(range(len(rows)), pa.int64()),
+        "l_linenumber": pa.array([1] * len(rows), pa.int32()),
+        "l_quantity": pa.array([1.0] * len(rows)),
+        "l_extendedprice": pa.array([1.0] * len(rows)),
+        "l_discount": pa.array([0.0] * len(rows)),
+        "l_tax": pa.array([0.0] * len(rows)),
+        "l_returnflag": pa.array(["N"] * len(rows)),
+        "l_linestatus": pa.array(["O"] * len(rows)),
+        "l_shipdate": pa.array([0] * len(rows), pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    got = an.graph_pagerank(str(tmp_path)).to_pandas()
+    assert got[got["kind"] == "part"]["pr_mass"].nunique() == 1
+    assert got[got["kind"] == "supplier"]["pr_mass"].nunique() == 1

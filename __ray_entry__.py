@@ -209,9 +209,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_shards": co.doc_pack_shards,
         # ExactSubstr-style duplicated-span gate (Lee et al. 2022)
         "doc_dup_spans": co.doc_dup_spans,
-        # bloom-prefiltered semi-join (exact result; the filter only
-        # cuts exchange volume) — same oracle as the exact semijoin
-        "order_priority_semijoin_bloom": an.order_priority_semijoin_bloom,
         # whale-group exact ranking (value-range buckets + offset
         # ladder) — byte-identical to events_user_rank, same oracle
         "events_user_rank_bucketed": an.events_user_rank_bucketed,
@@ -224,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_days_except": an.events_user_days_except,
         # fixed-point PageRank (exact int64 masses; CTE-chain oracle)
         "graph_pagerank": an.graph_pagerank,
+        # Pass-Join edit-distance similarity join (banded-DP verify)
+        "dedup_edit_pairs": co.dedup_edit_pairs,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -243,8 +242,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative_sum": an.events_cumulative_sum,
         # whale-entity salt paths (same answers as their unsalted
         # siblings, hence the same SQL oracles)
-        "events_time_since_last_salted":
-            lambda sf: an.events_time_since_last(sf, salt_shift=33),
         "events_rolling_sum_salted":
             lambda sf: an.events_rolling_sum(sf, salt_shift=33),
         # shift 38 ≈ 76 h buckets — sized so a bucket holds many events
@@ -263,6 +260,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_heavy_hitters": co.doc_term_heavy_hitters,
         "doc_decontaminate": co.doc_decontaminate,
         # ================= driver cap (50) ends here =================
+        # ---- never driver-checked but oracle-shared: each reuses an
+        # oracle a sibling in the window (or a round-3 row) validates,
+        # and byte-equality to the sibling is pytest-covered; top
+        # candidates for round 5's window ----
+        "order_priority_semijoin_bloom": an.order_priority_semijoin_bloom,
+        "events_time_since_last_salted":
+            lambda sf: an.events_time_since_last(sf, salt_shift=33),
         # ---- least recently checked (green in round 2, cut by the
         # round-3 cap; green in the committed local sf0.01 gate) ----
         "q6_revenue": an.q6_revenue,
@@ -481,6 +485,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_user_days_intersect": an.EVENTS_USER_DAYS_INTERSECT_SQL,
         "events_user_days_except": an.EVENTS_USER_DAYS_EXCEPT_SQL,
         "graph_pagerank": an.GRAPH_PAGERANK_SQL,
+        "dedup_edit_pairs": co.DEDUP_EDIT_PAIRS_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

@@ -430,3 +430,51 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in seen}
+
+
+# --- edit distance (banded) -------------------------------------------
+
+
+def banded_levenshtein(a: str, b: str, k: int) -> int:
+    """Ukkonen banded Levenshtein: the exact distance if ≤ ``k``, else
+    ``k + 1`` (the caller only needs "within threshold or not").
+
+    Cost is O(len · k) instead of O(len²): only the |i−j| ≤ k diagonal
+    band is computed.  Each DP row is vectorized — substitution /
+    deletion are array shifts, and the insertion recurrence
+    ``cur[j] = min(cur[j], cur[j-1]+1)`` (a sequential scan in the
+    naive form) is rewritten as a prefix-min over ``cur[j] − j``, which
+    ``np.minimum.accumulate`` computes in C.  Distances are over
+    unicode CODEPOINTS (numpy '<U1' arrays), matching DuckDB's
+    ``levenshtein``; a byte-level DP would disagree on non-ASCII
+    text."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0 or lb == 0:
+        m = max(la, lb)
+        return m if m <= k else k + 1
+    B = np.array(list(b))
+    inf = np.int32(k + 1)
+    idx = np.arange(lb + 1, dtype=np.int32)
+    prev = np.full(lb + 1, inf, dtype=np.int32)
+    j0 = min(lb, k)
+    prev[:j0 + 1] = idx[:j0 + 1]
+    for i in range(1, la + 1):
+        cur = np.full(lb + 1, inf, dtype=np.int32)
+        jlo, jhi = max(1, i - k), min(lb, i + k)
+        sub = prev[jlo - 1:jhi] + (B[jlo - 1:jhi] != a[i - 1])
+        dele = prev[jlo:jhi + 1] + np.int32(1)
+        np.minimum(sub, dele, out=cur[jlo:jhi + 1])
+        lo = jlo
+        if i <= k:
+            cur[0] = i
+            lo = 0
+        t = cur[lo:jhi + 1] - idx[lo:jhi + 1]
+        np.minimum.accumulate(t, out=t)
+        cur[lo:jhi + 1] = t + idx[lo:jhi + 1]
+        if int(cur[lo:jhi + 1].min()) > k:
+            return k + 1
+        prev = cur
+    d = int(prev[lb])
+    return d if d <= k else k + 1

@@ -2600,3 +2600,264 @@ c AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens, CAST(before // {budget} AS BIGINT) AS shard_id
 FROM c ORDER BY doc_id
 """.strip()
+
+
+# --- edit-distance similarity join (Pass-Join) --------------------------
+
+EDIT_K = 4          # edit-distance threshold (the SQL oracle mirrors it)
+EDIT_MIN_CHARS = 20  # docs shorter than this skip the join (a sub-k-long
+#                      doc pairs with every other short doc — a hot
+#                      trivial bucket; both sides of the oracle filter)
+
+
+def _edit_segments(length: int, k: int = EDIT_K) -> list[tuple[int, int]]:
+    """Even split of a ``length``-char string into k+1 contiguous
+    segments (first ``length mod (k+1)`` segments one char longer) —
+    the Pass-Join partition scheme (Li, Deng, Feng 2011): if
+    ed(a, b) ≤ k, then b contains at least one of a's k+1 segments
+    verbatim (each edit destroys at most one segment), at a position
+    shifted by at most k."""
+    segs = k + 1
+    base, rem = divmod(length, segs)
+    out, p = [], 0
+    for i in range(segs):
+        ln = base + (1 if i < rem else 0)
+        out.append((p, ln))
+        p += ln
+    return out
+
+
+def dedup_edit_pairs(sf_dir: str, k: int = EDIT_K,
+                     min_chars: int = EDIT_MIN_CHARS):
+    """Edit-distance similarity join: all doc pairs with full-text
+    Levenshtein distance ≤ ``k`` — the METRIC near-dup operator next to
+    the set-based families (Jaccard n-gram / MinHash) and the bitwise
+    one (SimHash).  Candidates come from Pass-Join segment pigeonhole
+    (index side: each doc's k+1 even segments keyed by (segment#,
+    doc-length, content); probe side: every substring of the doc that
+    could equal segment i of a doc whose length differs by ≤ k, shifted
+    by ≤ k); verification is the banded O(len·k) DP
+    (:func:`..functions.dedup.banded_levenshtein`), never the full
+    quadratic matrix.
+
+    Scale shape: THREE key-hash exchanges, none carrying text except
+    where a candidate needs it — (1) segment-key rows (ids only;
+    ≤ (k+1)·(2k+1)² ≈ 405 short rows per probe doc at k=4 — the
+    documented enumeration constant; Pass-Join's multi-match-aware
+    selection can cut it ~4× if it ever dominates) produce candidate
+    id pairs, deduped per partition; (2) pair sides ∪ doc texts
+    co-partition on doc_id to attach payloads (the
+    dedup_minhash_verified attach shape); (3) pair-key partitions run
+    the banded DP.  A segment shared verbatim by d docs emits ≤ d·p
+    candidate rows in its one partition (p = probes matching it) —
+    the same hot-key shape as dedup_ngram_pairs, whose df-block
+    sub-partition guard applies if a corpus has megadup segments.
+
+    Reference: the reference engine dedups only by exact content md5
+    (spider/spider.js content_md5); this operator is part of the
+    training-data layer's near-dup family, not a reference port."""
+    import numpy as np
+
+    from ..functions.dedup import banded_levenshtein
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"],
+                 rows_per_block=512)
+
+    key_schema = pa.schema([("key", pa.string()), ("doc_id", pa.int64()),
+                            ("probe", pa.bool_())])
+
+    def emit_keys(df: pd.DataFrame) -> pa.Table:
+        # segment CONTENT rides as an 8-byte blake2b digest, not the raw
+        # substring: full-text segments are ~len/(k+1) chars, and the
+        # raw form puts ~100 MB through the key exchange at 500 docs
+        # (measured 16 s → 6 s).  A digest collision can only ADD a
+        # candidate (the banded-DP verify rejects it), never lose one.
+        from hashlib import blake2b
+
+        def seg_key(i: int, ls: int, seg: str) -> str:
+            h = blake2b(seg.encode("utf-8", "surrogatepass"),
+                        digest_size=8).hexdigest()
+            return f"{i}|{ls}|{h}"
+
+        df = df[df["n_chars"] >= min_chars]
+        keys: list[str] = []
+        ids: list[int] = []
+        probe: list[bool] = []
+        for did, t in zip(df["doc_id"].astype("int64"),
+                          df["text"].fillna("")):
+            t = str(t)
+            l = len(t)
+            seen: set[str] = set()
+            for i, (st, ln) in enumerate(_edit_segments(l, k)):
+                if ln == 0:
+                    continue
+                kk = seg_key(i, l, t[st:st + ln])
+                if kk not in seen:
+                    seen.add(kk)
+                    keys.append(kk)
+                    ids.append(int(did))
+                    probe.append(False)
+            pseen: set[str] = set()
+            for ls in range(max(min_chars, l - k), l + k + 1):
+                for i, (st, ln) in enumerate(_edit_segments(ls, k)):
+                    if ln == 0:
+                        continue
+                    for dlt in range(-k, k + 1):
+                        p0 = st + dlt
+                        if p0 < 0 or p0 + ln > l:
+                            continue
+                        kk = seg_key(i, ls, t[p0:p0 + ln])
+                        if kk not in pseen:
+                            pseen.add(kk)
+                            keys.append(kk)
+                            ids.append(int(did))
+                            probe.append(True)
+        return pa.Table.from_pydict(
+            {"key": keys, "doc_id": ids, "probe": probe}, schema=key_schema)
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def cand_pairs(df: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        # prefilter in C before any per-key Python: almost every key is
+        # a singleton (one doc's unique segment) — only keys carrying
+        # BOTH an index row and a probe row can produce a candidate.
+        # A python groupby over all keys measured 10.4 s at 166k keys;
+        # the run-boundary scan below leaves a handful of groups.
+        df = df.sort_values("key", kind="mergesort")
+        k_arr = df["key"].to_numpy()
+        if len(k_arr) == 0:
+            return pair_schema.empty_table()
+        new = np.concatenate([[True], k_arr[1:] != k_arr[:-1]])
+        gid = np.cumsum(new) - 1
+        pr_m = df["probe"].to_numpy()
+        n_g = int(gid[-1]) + 1
+        has_p = np.zeros(n_g, dtype=bool)
+        has_i = np.zeros(n_g, dtype=bool)
+        np.logical_or.at(has_p, gid, pr_m)
+        np.logical_or.at(has_i, gid, ~pr_m)
+        df = df[(has_p & has_i)[gid]]
+
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, g in df.groupby("key", sort=False):
+            pm = g["probe"].to_numpy()
+            idx_ids = g["doc_id"].to_numpy("int64")[~pm]
+            pr_ids = g["doc_id"].to_numpy("int64")[pm]
+            if len(idx_ids) == 0 or len(pr_ids) == 0:
+                continue
+            A = np.repeat(idx_ids, len(pr_ids))
+            B = np.tile(pr_ids, len(idx_ids))
+            lo, hi = np.minimum(A, B), np.maximum(A, B)
+            m = lo < hi
+            out_a.append(lo[m])
+            out_b.append(hi[m])
+        if not out_a:
+            return pair_schema.empty_table()
+        pairs = (pd.DataFrame({"doc_a": np.concatenate(out_a),
+                               "doc_b": np.concatenate(out_b)})
+                 .drop_duplicates())
+        return pa.Table.from_pandas(pairs, schema=pair_schema,
+                                    preserve_index=False)
+
+    parts = _parts_for(sf_dir, "documents", rows_per_part=600, lo=8)
+    cands = _hash_grouped(docs.map_batches(emit_keys, batch_format="pandas"),
+                          ["key"], cand_pairs, num_parts=parts)
+
+    # attach texts: explode pairs to (pair_key, side, doc_id) rows,
+    # co-partition with (doc_id, text) rows, then verify per pair_key
+    union_schema = pa.schema([("doc_id", pa.int64()),
+                              ("pair_key", pa.string()),
+                              ("side", pa.int64()),
+                              ("payload", pa.string())])
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        a = df["doc_a"].astype("int64")
+        b = df["doc_b"].astype("int64")
+        pk = [f"{x}:{y}" for x, y in zip(a, b)]
+        return pa.Table.from_pydict(
+            {"doc_id": list(a) + list(b),
+             "pair_key": pk + pk,
+             "side": [0] * len(df) + [1] * len(df),
+             "payload": [""] * (2 * len(df))},
+            schema=union_schema)
+
+    def doc_rows(df: pd.DataFrame) -> pa.Table:
+        df = df[df["n_chars"] >= min_chars]
+        return pa.Table.from_pydict(
+            {"doc_id": df["doc_id"].astype("int64").tolist(),
+             "pair_key": [""] * len(df),
+             "side": [-1] * len(df),
+             "payload": [str(t) for t in df["text"].fillna("")]},
+            schema=union_schema)
+
+    unioned = (cands.map_batches(explode, batch_format="pandas")
+               .union(docs.map_batches(doc_rows, batch_format="pandas")))
+
+    attach_schema = pa.schema([("pair_key", pa.string()),
+                               ("side", pa.int64()),
+                               ("payload", pa.string())])
+
+    def attach_text(df: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        pr = df[df["side"] >= 0]
+        if pr.empty:
+            return attach_schema.empty_table()
+        pr = pr.drop_duplicates(["pair_key", "side"])
+        sh = df[df["side"] < 0]
+        sh_ids = sh["doc_id"].to_numpy(dtype="int64")
+        order = np.argsort(sh_ids, kind="stable")
+        sh_ids = sh_ids[order]
+        sh_pay = sh["payload"].to_numpy()[order]
+        q = pr["doc_id"].to_numpy(dtype="int64")
+        pos = np.searchsorted(sh_ids, q)
+        ok = pos < len(sh_ids)
+        ok[ok] = sh_ids[pos[ok]] == q[ok]
+        return pa.Table.from_pydict(
+            {"pair_key": pr["pair_key"].tolist(),
+             "side": pr["side"].tolist(),
+             "payload": [str(sh_pay[p]) if o else ""
+                         for p, o in zip(pos, ok)]},
+            schema=attach_schema)
+
+    co = _hash_grouped(unioned, ["doc_id"], attach_text, num_parts=parts)
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("dist", pa.int64())])
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["pair_key", "side"])
+        oa: list[int] = []
+        ob: list[int] = []
+        od: list[int] = []
+        for pk, g in df.groupby("pair_key", sort=False):
+            if len(g) < 2:
+                continue
+            texts = g.sort_values("side")["payload"].tolist()
+            d = banded_levenshtein(texts[0], texts[1], k)
+            if d <= k:
+                a_s, b_s = pk.split(":")
+                oa.append(int(a_s))
+                ob.append(int(b_s))
+                od.append(d)
+        return pa.Table.from_pydict({"doc_a": oa, "doc_b": ob, "dist": od},
+                                    schema=out_schema)
+
+    return _hash_grouped(co, ["pair_key"], verify, num_parts=max(8, parts // 2))
+
+
+def dedup_edit_pairs_sql(k: int = EDIT_K,
+                         min_chars: int = EDIT_MIN_CHARS) -> str:
+    return f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= {k}
+WHERE a.n_chars >= {min_chars} AND b.n_chars >= {min_chars}
+  AND levenshtein(a.text, b.text) <= {k}
+""".strip()
+
+
+DEDUP_EDIT_PAIRS_SQL = dedup_edit_pairs_sql()

@@ -2086,3 +2086,81 @@ def test_graph_pagerank_uniform_on_regular_graph(ray_session, tmp_path):
     got = an.graph_pagerank(str(tmp_path)).to_pandas()
     assert got[got["kind"] == "part"]["pr_mass"].nunique() == 1
     assert got[got["kind"] == "supplier"]["pr_mass"].nunique() == 1
+
+
+# --- edit-distance similarity join ------------------------------------
+
+
+def test_banded_levenshtein_vs_full_dp():
+    import random
+
+    from neocrawler_ray.functions.dedup import banded_levenshtein
+
+    def full(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev = dp[:]
+            dp[0] = i
+            for j in range(1, lb + 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (a[i - 1] != b[j - 1]))
+        return dp[lb]
+
+    rng = random.Random(1234)
+    for _ in range(800):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 16)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 16)))
+        k = rng.randint(0, 6)
+        t = full(a, b)
+        assert banded_levenshtein(a, b, k) == (t if t <= k else k + 1)
+    # unicode codepoints, not bytes
+    assert banded_levenshtein("héllo", "hèllo", 2) == 1
+
+
+def test_dedup_edit_pairs_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.dedup_edit_pairs(SF).to_pandas()
+    assert_matches_sql(got, con, co.DEDUP_EDIT_PAIRS_SQL)
+    assert (got["dist"] <= co.EDIT_K).all()
+    assert len(got) > 0
+
+
+def test_dedup_edit_pairs_planted(ray_session, tmp_path):
+    """Planted edits at every boundary the pigeonhole must survive:
+    substitution mid-segment, insertion (length change), deletion,
+    edits in k different segments, and an over-threshold pair that
+    must NOT be reported."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = {
+        0: base,
+        1: base.replace("quick", "quack"),            # 1 substitution
+        2: base[:20] + "X" + base[20:],                # 1 insertion
+        3: base[:40] + base[41:],                      # 1 deletion
+        4: base[:5] + "Z" + base[5:30] + "Q" + base[31:],  # 2 edits apart
+        5: "a completely different sentence about databases and engines",
+        6: base + " and far beyond the distant hills today",  # way over k
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values())),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["t"] * len(docs)),
+        "n_chars": pa.array([len(v) for v in docs.values()], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    got = co.dedup_edit_pairs(str(tmp_path)).to_pandas()
+    pairs = {(a, b): d for a, b, d in
+             zip(got["doc_a"], got["doc_b"], got["dist"])}
+    assert pairs[(0, 1)] == 1          # quick→quack = 1 substitution (i→a)
+    assert pairs[(0, 2)] == 1
+    assert pairs[(0, 3)] == 1
+    assert pairs[(0, 4)] == 2
+    assert (0, 5) not in pairs
+    assert (0, 6) not in pairs         # distance > k
+    assert all(d <= co.EDIT_K for d in pairs.values())

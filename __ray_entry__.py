@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": an.graph_pagerank,
         # Pass-Join edit-distance similarity join (banded-DP verify)
         "dedup_edit_pairs": co.dedup_edit_pairs,
+        # SemDeDup within-cluster semantic near-dup pruning
+        "dedup_semantic": co.dedup_semantic,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -240,10 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": an.events_transition_matrix,
         "events_user_ntile": an.events_user_ntile,
         "events_cumulative_sum": an.events_cumulative_sum,
-        # whale-entity salt paths (same answers as their unsalted
-        # siblings, hence the same SQL oracles)
-        "events_rolling_sum_salted":
-            lambda sf: an.events_rolling_sum(sf, salt_shift=33),
+        # whale-entity salt path (same answer as the unsalted sibling,
+        # hence the same SQL oracle)
         # shift 38 ≈ 76 h buckets — sized so a bucket holds many events
         # (the salt exists for whale entities; a too-fine bucket makes
         # everything boundary — see the sizing rule in the docstring)
@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_semijoin_bloom": an.order_priority_semijoin_bloom,
         "events_time_since_last_salted":
             lambda sf: an.events_time_since_last(sf, salt_shift=33),
+        "events_rolling_sum_salted":
+            lambda sf: an.events_rolling_sum(sf, salt_shift=33),
         # ---- least recently checked (green in round 2, cut by the
         # round-3 cap; green in the committed local sf0.01 gate) ----
         "q6_revenue": an.q6_revenue,
@@ -486,6 +488,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_user_days_except": an.EVENTS_USER_DAYS_EXCEPT_SQL,
         "graph_pagerank": an.GRAPH_PAGERANK_SQL,
         "dedup_edit_pairs": co.DEDUP_EDIT_PAIRS_SQL,
+        "dedup_semantic": co.DEDUP_SEMANTIC_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

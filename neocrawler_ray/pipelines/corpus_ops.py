@@ -2861,3 +2861,128 @@ WHERE a.n_chars >= {min_chars} AND b.n_chars >= {min_chars}
 
 
 DEDUP_EDIT_PAIRS_SQL = dedup_edit_pairs_sql()
+
+
+# --- semantic dedup (SemDeDup) ------------------------------------------
+
+SEMDEDUP_K = 8          # centroid count (the SQL oracle mirrors it)
+SEMDEDUP_THRESHOLD = 0.35  # within-cluster cosine dup threshold
+
+
+def dedup_semantic(sf_dir: str, k_clusters: int = SEMDEDUP_K,
+                   threshold: float = SEMDEDUP_THRESHOLD):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    call a row a duplicate iff a LOWER-id row in the SAME cluster has
+    cosine similarity ≥ ``threshold`` — semantic near-dup pruning that
+    never compares across clusters, so the all-pairs cost is bounded by
+    the largest cluster, not the corpus.
+
+    For cross-engine exactness the centroids are not k-means fit but
+    the embeddings of the ``k_clusters`` smallest vec_ids (a
+    deterministic, SQL-expressible codebook; the IVF op keeps the
+    k-means path).  Assignment is argmax cosine with ties to the
+    smallest centroid id — bit-identical to the oracle's
+    ``row_number() OVER (ORDER BY sim DESC, cid)`` pick because both
+    sides compute float64 cosines on exactly-widened float32 inputs
+    (testdata margins: min |sim − threshold| ≥ 7.8e-6 and min
+    argmax gap ≥ 4.7e-5 across sf0.001-0.1, ~1e9 ULPs).
+
+    Scale shape: the codebook is tiny and broadcast (closure capture
+    here; ``ray.put`` on a real cluster); ONE cluster-key exchange
+    ships each row once as (vec_id, cluster, float32 vector bytes —
+    exact to widen, half the float64 bandwidth); each cluster partition
+    runs one C matmul over its members.  Per-cluster all-pairs is the
+    published SemDeDup design point — k_clusters grows with the corpus
+    so cluster size stays bounded; a megacluster would take the same
+    df-block sub-partition guard as dedup_ngram_pairs.
+
+    Reference: the reference engine dedups only by exact content md5
+    (spider/spider.js content_md5); this operator is part of the
+    training-data layer's near-dup family, not a reference port."""
+    import numpy as np
+
+    cents = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def cent_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.less(batch["vec_id"], k_clusters))
+
+    cdf = (cents.map_batches(cent_filter, batch_format="pyarrow")
+           .to_pandas().sort_values("vec_id"))
+    C = sim.batch_to_matrix(cdf["embedding"].to_numpy())  # (k, d) float64
+
+    assign_schema = pa.schema([("vec_id", pa.int64()),
+                               ("cluster", pa.int64()),
+                               ("vb", pa.binary())])
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        ids = df["vec_id"].to_numpy(dtype="int64")
+        m = sim.batch_to_matrix(df["embedding"].to_numpy())
+        s = sim.cosine_matrix(m, C)
+        cl = np.argmax(s, axis=1)  # first max → smallest centroid id
+        vb = [r.astype(np.float32).tobytes() for r in m]
+        return pa.Table.from_pydict(
+            {"vec_id": ids, "cluster": cl.astype("int64"), "vb": vb},
+            schema=assign_schema)
+
+    out_schema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64()),
+                            ("kept", pa.int64())])
+
+    def per_cluster(df: pd.DataFrame) -> pa.Table:
+        ov: list[np.ndarray] = []
+        oc: list[np.ndarray] = []
+        ok: list[np.ndarray] = []
+        for cl, g in df.groupby("cluster", sort=False):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy(dtype="int64")
+            m = np.stack([np.frombuffer(b, dtype=np.float32).astype(np.float64)
+                          for b in g["vb"]])
+            s = sim.cosine_matrix(m, m)
+            # dup iff any strictly-earlier (lower-id) member is ≥ thr:
+            # strict lower triangle of the sorted-by-id sim matrix
+            hit = (s >= threshold) & np.tri(len(ids), k=-1, dtype=bool)
+            dup = hit.any(axis=1)
+            ov.append(ids)
+            oc.append(np.full(len(ids), int(cl), dtype="int64"))
+            ok.append((~dup).astype("int64"))
+        if not ov:
+            return out_schema.empty_table()
+        return pa.Table.from_pydict(
+            {"vec_id": np.concatenate(ov), "cluster": np.concatenate(oc),
+             "kept": np.concatenate(ok)}, schema=out_schema)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    parts = max(8, min(64, k_clusters))
+    return _hash_grouped(ds.map_batches(assign, batch_format="pandas"),
+                         ["cluster"], per_cluster, num_parts=parts)
+
+
+def dedup_semantic_sql(k_clusters: int = SEMDEDUP_K,
+                       threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    return f"""
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < {k_clusters}),
+s AS (SELECT e.vec_id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS sim
+      FROM embeddings e, c),
+a AS (SELECT vec_id, cid FROM
+        (SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid) AS r FROM s)
+      WHERE r = 1),
+d AS (SELECT x.vec_id
+      FROM a x JOIN a y ON x.cid = y.cid AND y.vec_id < x.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id
+      WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                   CAST(ey.embedding AS DOUBLE[]))
+            >= {threshold}
+      GROUP BY x.vec_id)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       CAST(a.vec_id NOT IN (SELECT vec_id FROM d) AS BIGINT) AS kept
+FROM a
+""".strip()
+
+
+DEDUP_SEMANTIC_SQL = dedup_semantic_sql()

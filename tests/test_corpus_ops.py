@@ -2164,3 +2164,53 @@ def test_dedup_edit_pairs_planted(ray_session, tmp_path):
     assert (0, 5) not in pairs
     assert (0, 6) not in pairs         # distance > k
     assert all(d <= co.EDIT_K for d in pairs.values())
+
+
+# --- semantic dedup (SemDeDup) -----------------------------------------
+
+
+def test_dedup_semantic_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.dedup_semantic(SF).to_pandas()
+    assert_matches_sql(got, con, co.DEDUP_SEMANTIC_SQL)
+    assert len(got) > 0
+    assert set(got["kept"].unique()) <= {0, 1}
+    assert (got["kept"] == 0).any()      # threshold actually drops rows
+
+
+def test_dedup_semantic_planted(ray_session, tmp_path):
+    """Within-cluster near-dups drop (lowest id survives); the same
+    vector in ANOTHER cluster is untouched — SemDeDup never compares
+    across clusters."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    d = 16
+    # two orthogonal centroid seeds (ids 0, 1 become the codebook —
+    # NOTE they are corpus rows too, so planted vectors must sit far
+    # from their centroid or the centroid row itself dedups them)
+    c0 = np.zeros(d, dtype=np.float32); c0[0] = 1.0
+    c1 = np.zeros(d, dtype=np.float32); c1[1] = 1.0
+    e2 = np.zeros(d, dtype=np.float32); e2[2] = 1.0
+    # v: nearest c0 but only cos≈0.30 to it; v' = near-identical dup.
+    # w: same e2 bulk but nearest c1 — cos(v, w)≈0.91 ≥ 0.9, yet the
+    # pair is never compared because the clusters differ.
+    v = (0.3 * c0 + 0.95 * e2).astype(np.float32)
+    vp = (v + 1e-4).astype(np.float32)
+    w = (0.3 * c1 + 0.95 * e2).astype(np.float32)
+    rows = [c0, c1, v, vp, w]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(rows)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+    got = (co.dedup_semantic(str(tmp_path), k_clusters=2, threshold=0.9)
+           .to_pandas().set_index("vec_id"))
+    assert got.loc[2, "cluster"] == 0 and got.loc[4, "cluster"] == 1
+    assert got.loc[2, "kept"] == 1 and got.loc[3, "kept"] == 0
+    assert got.loc[4, "kept"] == 1   # cross-cluster near-dup untouched

@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_edit_pairs": co.dedup_edit_pairs,
         # SemDeDup within-cluster semantic near-dup pruning
         "dedup_semantic": co.dedup_semantic,
+        # global ORDER BY row_number (range buckets + offset ladder)
+        "doc_global_rank": co.doc_global_rank,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -242,13 +244,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": an.events_transition_matrix,
         "events_user_ntile": an.events_user_ntile,
         "events_cumulative_sum": an.events_cumulative_sum,
-        # whale-entity salt path (same answer as the unsalted sibling,
-        # hence the same SQL oracle)
-        # shift 38 ≈ 76 h buckets — sized so a bucket holds many events
-        # (the salt exists for whale entities; a too-fine bucket makes
-        # everything boundary — see the sizing rule in the docstring)
-        "events_sessions_salted":
-            lambda sf: an.events_sessions(sf, salt_shift=38),
         "user_top_event": an.user_top_event,
         "doc_lm_score": co.doc_lm_score,
         # actor-pool model-inference stage (weights load once per actor)
@@ -269,6 +264,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: an.events_time_since_last(sf, salt_shift=33),
         "events_rolling_sum_salted":
             lambda sf: an.events_rolling_sum(sf, salt_shift=33),
+        # shift 38 ≈ 76 h buckets — sized so a bucket holds many events
+        # (the salt exists for whale entities; a too-fine bucket makes
+        # everything boundary — see the sizing rule in the docstring)
+        "events_sessions_salted":
+            lambda sf: an.events_sessions(sf, salt_shift=38),
         # ---- least recently checked (green in round 2, cut by the
         # round-3 cap; green in the committed local sf0.01 gate) ----
         "q6_revenue": an.q6_revenue,
@@ -489,6 +489,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "graph_pagerank": an.GRAPH_PAGERANK_SQL,
         "dedup_edit_pairs": co.DEDUP_EDIT_PAIRS_SQL,
         "dedup_semantic": co.DEDUP_SEMANTIC_SQL,
+        "doc_global_rank": co.DOC_GLOBAL_RANK_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

@@ -2986,3 +2986,106 @@ FROM a
 
 
 DEDUP_SEMANTIC_SQL = dedup_semantic_sql()
+
+
+# --- distributed global order-by rank -----------------------------------
+
+GLOBAL_RANK_BUCKETS = 32
+
+
+def doc_global_rank(sf_dir: str, n_buckets: int = GLOBAL_RANK_BUCKETS):
+    """Global ROW_NUMBER over a total order — every document ranked by
+    (n_chars DESC, doc_id ASC) across the whole corpus.  The missing
+    piece next to the per-group window ops: a GLOBAL ``ORDER BY`` +
+    ``row_number()`` with no partition key at all, which naively
+    funnels the corpus through one sort task.
+
+    Decomposition (the events_user_rank_bucketed shape, ungrouped):
+    rows are bucketed by n_chars VALUE RANGE from per-block sampled
+    edges (sampling skew shifts only balance, never correctness —
+    ``side="right"`` pins every tie group to ONE bucket, so the
+    doc_id tie-break never crosses a boundary); each bucket partition
+    sorts locally and numbers its rows; bucket row-counts reduce to an
+    answer-sized (n_buckets) descending offset ladder broadcast into a
+    final map.  Nothing corpus-sized touches the driver and no single
+    task holds more than one bucket.
+
+    Reference: neocrawler's scheduler orders its whole queue by
+    priority weight before popping (scheduler.js zset range over the
+    full queue) — this is that global-order shape over Parquet."""
+    import numpy as np
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["n_chars"].to_numpy("int64"))
+        k = min(64, len(v))
+        idx = np.linspace(0, len(v) - 1, k).astype(int)
+        return pd.DataFrame({"v": v[idx]})
+
+    samp = ds.map_batches(sample, batch_format="pandas").to_pandas()
+    v = np.sort(samp["v"].to_numpy("int64"))
+    qs = np.linspace(0, len(v) - 1,
+                     min(n_buckets, max(1, len(v))) + 1)[1:-1].astype(int)
+    edges = np.unique(v[qs]) if len(v) else np.empty(0, dtype="int64")
+    edges_ref = ray.put(edges)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(edges_ref)
+        df = df[["doc_id", "n_chars"]].copy()
+        df["bucket"] = np.searchsorted(
+            e, df["n_chars"].to_numpy("int64"), side="right").astype("int64")
+        return df
+
+    def local_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b, grp in df.groupby("bucket", sort=False):
+            grp = grp.sort_values(["n_chars", "doc_id"],
+                                  ascending=[False, True])
+            out.append(pd.DataFrame(
+                {"bucket": np.full(len(grp), int(b), dtype="int64"),
+                 "doc_id": grp["doc_id"].to_numpy("int64"),
+                 "n_chars": grp["n_chars"].to_numpy("int64"),
+                 "l_rank": np.arange(1, len(grp) + 1, dtype="int64")}))
+        if not out:
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "n_chars": pd.Series([], dtype="int64"),
+                 "l_rank": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    ranked = _hash_grouped(ds.map_batches(add_bucket, batch_format="pandas"),
+                           ["bucket"], local_rank,
+                           num_parts=min(32, n_buckets)).materialize()
+
+    # answer-sized ladder: offset(b) = rows in strictly-HIGHER buckets
+    # (higher bucket index ⇔ larger n_chars ⇔ earlier in the DESC order)
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False).agg(n=("doc_id", "size"))
+        return g.astype({"bucket": "int64", "n": "int64"})
+
+    summ = (ranked.map_batches(bucket_counts, batch_format="pandas")
+            .to_pandas().groupby("bucket", as_index=False)["n"].sum()
+            .sort_values("bucket", ascending=False))
+    cr = summ["n"].cumsum().shift(fill_value=0).to_numpy("int64")
+    offs = {int(b): int(r) for b, r in zip(summ["bucket"], cr)}
+    offs_ref = ray.put(offs)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(offs_ref)
+        ro = np.array([o[int(b)] for b in df["bucket"]], dtype="int64")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy("int64"),
+             "n_chars": df["n_chars"].to_numpy("int64"),
+             "global_rank": df["l_rank"].to_numpy("int64") + ro})
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
+DOC_GLOBAL_RANK_SQL = (
+    "SELECT doc_id, n_chars, "
+    "CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) "
+    "AS global_rank FROM documents"
+)

@@ -2214,3 +2214,41 @@ def test_dedup_semantic_planted(ray_session, tmp_path):
     assert got.loc[2, "cluster"] == 0 and got.loc[4, "cluster"] == 1
     assert got.loc[2, "kept"] == 1 and got.loc[3, "kept"] == 0
     assert got.loc[4, "kept"] == 1   # cross-cluster near-dup untouched
+
+
+# --- distributed global order-by rank ----------------------------------
+
+
+def test_doc_global_rank_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.doc_global_rank(SF).to_pandas()
+    assert_matches_sql(got, con, co.DOC_GLOBAL_RANK_SQL)
+    n = len(got)
+    assert sorted(got["global_rank"]) == list(range(1, n + 1))
+
+
+def test_doc_global_rank_tie_stress(ray_session, tmp_path):
+    """Heavy ties + tiny forced buckets: every n_chars value repeated
+    many times, more buckets than distinct values — side='right'
+    bucketing must keep each tie group whole and the doc_id tie-break
+    exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    n = 300
+    lens = [50 + (i % 3) * 10 for i in range(n)]     # 3 distinct values
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x" * l for l in lens]),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["t"] * n),
+        "n_chars": pa.array(lens, pa.int64()),
+    }), tmp_path / "documents.parquet")
+    got = (co.doc_global_rank(str(tmp_path), n_buckets=16)
+           .to_pandas().sort_values("global_rank").reset_index(drop=True))
+    exp = sorted(range(n), key=lambda i: (-lens[i], i))
+    assert got["doc_id"].tolist() == exp
+    assert got["global_rank"].tolist() == list(range(1, n + 1))

@@ -255,10 +255,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_heavy_hitters": co.doc_term_heavy_hitters,
         "doc_decontaminate": co.doc_decontaminate,
         # ================= driver cap (50) ends here =================
-        # ---- never driver-checked but oracle-shared: each reuses an
-        # oracle a sibling in the window (or a round-3 row) validates,
-        # and byte-equality to the sibling is pytest-covered; top
-        # candidates for round 5's window ----
+        # ---- never driver-checked; first candidates for round 5's
+        # window.  events_outliers reuses the exact-quantile histogram
+        # machinery (driver-validated via events_value_quantiles) and
+        # is locally oracle-green at sf0.001+sf0.01; the others reuse
+        # an oracle a sibling in the window (or a round-3 row)
+        # validates, with byte-equality to the sibling pytest-covered --
+        "events_outliers": an.events_outliers,
         "order_priority_semijoin_bloom": an.order_priority_semijoin_bloom,
         "events_time_since_last_salted":
             lambda sf: an.events_time_since_last(sf, salt_shift=33),
@@ -490,6 +493,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "dedup_edit_pairs": co.DEDUP_EDIT_PAIRS_SQL,
         "dedup_semantic": co.DEDUP_SEMANTIC_SQL,
         "doc_global_rank": co.DOC_GLOBAL_RANK_SQL,
+        "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

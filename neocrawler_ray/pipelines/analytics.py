@@ -4584,3 +4584,105 @@ r0 AS (SELECT id, d, CAST({PR_TOTAL} // nn.n AS BIGINT) AS r
 
 
 GRAPH_PAGERANK_SQL = graph_pagerank_sql()
+
+
+# --- robust outlier detection (median + MAD) ----------------------------
+
+OUTLIER_MAD_FACTOR = 3
+
+
+def events_outliers(sf_dir: str, factor: int = OUTLIER_MAD_FACTOR):
+    """Robust per-group outlier flagging: an event is an outlier iff
+    |value − median| > ``factor`` × MAD, where MAD is the median
+    absolute deviation — the robust-statistics analogue of the z-score
+    (median/MAD shrug off the very outliers a mean/stddev gate would
+    absorb).  All arithmetic is int64 fixed-point (e4) with the exact
+    lower-median convention of :func:`events_value_quantiles`, so the
+    comparison is bit-identical cross-engine — no float interpolation
+    anywhere.
+
+    Scale shape: two value-domain histogram exchanges (each bounded by
+    |distinct e4 values| × |groups|, never row count — the exact-
+    quantile seam; an unbounded domain would swap in the t-digest) for
+    median then MAD, each reduced to an answer-sized per-type dict
+    broadcast via ``ray.put``; one final streaming map emits only the
+    outlier rows.  The full corpus never leaves the map stages.
+
+    Reference: monitor.js's daily crawl counters eyeball anomalies by
+    hand; this is that health check as a distributed operator."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame({"event_type": df["event_type"].astype(str),
+                            "v": _e4(df["value"])})
+        g = tmp.groupby(["event_type", "v"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    def lower_median(hist: pd.DataFrame) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for etype, g in hist.groupby("event_type"):
+            g = g.sort_values("v")
+            cum = g["cnt"].cumsum().to_numpy()
+            idx = (int(cum[-1]) - 1) // 2
+            out[str(etype)] = int(
+                g["v"].to_numpy()[np.searchsorted(cum, idx, side="right")])
+        return out
+
+    med = lower_median(
+        ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+        .groupby(["event_type", "v"], as_index=False)["cnt"].sum())
+    med_ref = ray.put(med)
+
+    def dev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(med_ref)
+        et = df["event_type"].astype(str)
+        v = _e4(df["value"])
+        d = np.abs(v - np.array([m[t] for t in et], dtype="int64"))
+        g = (pd.DataFrame({"event_type": et, "v": d})
+             .groupby(["event_type", "v"], as_index=False).size())
+        return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    mad = lower_median(
+        ds.map_batches(dev_partial, batch_format="pandas").to_pandas()
+        .groupby(["event_type", "v"], as_index=False)["cnt"].sum())
+    mad_ref = ray.put(mad)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(med_ref)
+        s = ray.get(mad_ref)
+        et = df["event_type"].astype(str)
+        v = _e4(df["value"])
+        mm = np.array([m[t] for t in et], dtype="int64")
+        ss = np.array([s[t] for t in et], dtype="int64")
+        keep = np.abs(v - mm) > factor * ss
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy("int64")[keep],
+             "event_type": et.to_numpy()[keep],
+             "value_e4": v[keep]})
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+def events_outliers_sql(factor: int = OUTLIER_MAD_FACTOR) -> str:
+    return f"""
+WITH v AS (SELECT event_id, event_type,
+                  CAST(floor(value*10000) AS BIGINT) AS v FROM events),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) rn,
+             count(*) OVER (PARTITION BY event_type) n FROM v),
+med AS (SELECT event_type, v AS m FROM r WHERE rn = (n - 1) // 2 + 1),
+a AS (SELECT v.event_type, abs(v.v - med.m) AS d
+      FROM v JOIN med USING (event_type)),
+r2 AS (SELECT event_type, d,
+              row_number() OVER (PARTITION BY event_type ORDER BY d) rn,
+              count(*) OVER (PARTITION BY event_type) n FROM a),
+mad AS (SELECT event_type, d AS md FROM r2 WHERE rn = (n - 1) // 2 + 1)
+SELECT v.event_id, v.event_type, v.v AS value_e4
+FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE abs(v.v - med.m) > {factor} * mad.md
+""".strip()
+
+
+EVENTS_OUTLIERS_SQL = events_outliers_sql()

@@ -2252,3 +2252,38 @@ def test_doc_global_rank_tie_stress(ray_session, tmp_path):
     exp = sorted(range(n), key=lambda i: (-lens[i], i))
     assert got["doc_id"].tolist() == exp
     assert got["global_rank"].tolist() == list(range(1, n + 1))
+
+
+# --- robust outlier detection (median + MAD) ---------------------------
+
+
+def test_events_outliers_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_outliers(SF).to_pandas()
+    assert_matches_sql(got, con, an.EVENTS_OUTLIERS_SQL)
+    assert len(got) > 0
+
+
+def test_events_outliers_robust_to_planted_whale(ray_session, tmp_path):
+    """A mean/stddev gate would be dragged by the planted whale value;
+    the median/MAD gate must flag exactly the whale and nothing else."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    n = 101
+    vals = [10.0 + (i % 5) * 0.1 for i in range(n - 1)] + [10_000.0]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01T00:00:00") +
+                        np.timedelta64(i, "m") for i in range(n)]),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    got = an.events_outliers(str(tmp_path)).to_pandas()
+    assert got["event_id"].tolist() == [n - 1]

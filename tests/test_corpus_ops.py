@@ -2287,3 +2287,41 @@ def test_events_outliers_robust_to_planted_whale(ray_session, tmp_path):
     }), tmp_path / "events.parquet")
     got = an.events_outliers(str(tmp_path)).to_pandas()
     assert got["event_id"].tolist() == [n - 1]
+
+
+# --- distributed k-means (fixed-iteration Lloyd) ------------------------
+
+
+def test_embedding_kmeans_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.embedding_kmeans(SF).to_pandas()
+    assert_matches_sql(got, con, co.EMBEDDING_KMEANS_SQL)
+    assert got["cluster"].nunique() == co.KMEANS_OP_K
+
+
+def test_embedding_kmeans_empty_cluster_vanishes(ray_session, tmp_path):
+    """Duplicate seeds: every row ties to the lower cid, so the second
+    cluster empties after round 1 and must VANISH (not resurrect at its
+    stale centroid) — the SQL-side semantics where its cid drops out of
+    the rebuilt centroid table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    d = 4
+    rows = [np.zeros(d, dtype=np.float32),          # seed 0
+            np.zeros(d, dtype=np.float32)]          # seed 1 (identical)
+    rng = np.random.RandomState(3)
+    rows += [rng.standard_normal(d).astype(np.float32) for _ in range(20)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(rows)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+    got = (co.embedding_kmeans(str(tmp_path), k_clusters=2, n_iter=2)
+           .to_pandas())
+    assert (got["cluster"] == 0).all()

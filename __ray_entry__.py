@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # validates, with byte-equality to the sibling pytest-covered --
         "events_outliers": an.events_outliers,
         "embedding_kmeans": co.embedding_kmeans,
+        "doc_sample_weighted": co.doc_sample_weighted,
         "order_priority_semijoin_bloom": an.order_priority_semijoin_bloom,
         "events_time_since_last_salted":
             lambda sf: an.events_time_since_last(sf, salt_shift=33),
@@ -496,6 +497,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "doc_global_rank": co.DOC_GLOBAL_RANK_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
+        "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,
         "revenue_by_nation": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(o_totalprice*10000) AS BIGINT)) AS BIGINT) "

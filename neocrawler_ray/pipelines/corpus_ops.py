@@ -3216,3 +3216,72 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a{n_iter}""")
 
 
 EMBEDDING_KMEANS_SQL = embedding_kmeans_sql()
+
+
+# --- weighted sampling without replacement (priority sampling) -----------
+
+WEIGHTED_SAMPLE_N = 50
+
+
+def doc_sample_weighted(sf_dir: str, n: int = WEIGHTED_SAMPLE_N):
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield, Lund, Thorup 2004): each doc draws priority u/w where u
+    is a deterministic md5(doc_id) uniform and w = n_chars; the sample
+    is the n SMALLEST priorities — longer docs draw stochastically
+    smaller priorities, so inclusion probability rises with weight
+    (the scheme behind unbiased subset-sum estimation; here the
+    training-data use is "sample docs ∝ size/quality weight").
+
+    Cross-engine exactness without trusting libm: u is the first 13
+    md5 hex digits — a 52-BIT integer, exactly representable in
+    float64 — and the priority is ONE IEEE division of that integer by
+    the int weight, which both engines round identically (no ln/pow
+    anywhere, unlike the Efraimidis-Spirakis exponential form).
+    doc_id breaks priority ties (md5 collisions at 2^-52).
+
+    Scale shape: per-block vectorized hex→int + one lexsort keeps the
+    n smallest; the driver reduce sees n × blocks rows (answer-sized).
+    Zero shuffle."""
+    import numpy as np
+
+    from ..functions import dedup as _dd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    pow16 = (16 ** np.arange(12, -1, -1)).astype(np.int64)
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_chars"] > 0]
+        ids = df["doc_id"].astype("int64").to_numpy()
+        h = _dd.md5_hex_series(pd.Series(ids).astype(str))
+        # vectorized 13-hex-digit → int64: ASCII nibbles dot powers of 16
+        a = np.frombuffer("".join(s[:13] for s in h).encode("ascii"),
+                          dtype=np.uint8).reshape(-1, 13).astype(np.int64)
+        nib = a - 48 - 39 * (a >= 97)
+        u = nib @ pow16                       # < 2^52, float64-exact
+        prio = u.astype(np.float64) / df["n_chars"].to_numpy("int64")
+        keep = np.lexsort((ids, prio))[:n]
+        return pd.DataFrame({"doc_id": ids[keep],
+                             "prio": prio[keep]})
+
+    cand = ds.map_batches(local_top, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["prio", "doc_id"], kind="mergesort").head(n)
+    return pd.DataFrame(
+        {"doc_id": cand["doc_id"].to_numpy("int64"),
+         "rank": np.arange(1, len(cand) + 1, dtype="int64")})
+
+
+def doc_sample_weighted_sql(n: int = WEIGHTED_SAMPLE_N) -> str:
+    return f"""
+WITH k AS (SELECT doc_id,
+                  CAST(CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                       AS BIGINT) AS DOUBLE)
+                  / CAST(n_chars AS DOUBLE) AS prio
+           FROM documents WHERE n_chars > 0)
+SELECT doc_id, CAST(r AS BIGINT) AS rank FROM
+  (SELECT doc_id, row_number() OVER (ORDER BY prio, doc_id) AS r FROM k)
+WHERE r <= {n}
+""".strip()
+
+
+DOC_SAMPLE_WEIGHTED_SQL = doc_sample_weighted_sql()

@@ -2325,3 +2325,32 @@ def test_embedding_kmeans_empty_cluster_vanishes(ray_session, tmp_path):
     got = (co.embedding_kmeans(str(tmp_path), k_clusters=2, n_iter=2)
            .to_pandas())
     assert (got["cluster"] == 0).all()
+
+
+def test_doc_sample_weighted_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.doc_sample_weighted(SF)
+    assert_matches_sql(got, con, co.DOC_SAMPLE_WEIGHTED_SQL)
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+
+def test_doc_sample_weighted_favors_heavy_docs(ray_session, tmp_path):
+    """Priority sampling property: with weights w and w' = 100w, the
+    heavy stratum must dominate the sample far beyond its 50% count
+    share (inclusion probability scales with weight)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    n_chars = np.where(ids < n // 2, 10, 1000).astype(np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids), "n_chars": pa.array(n_chars),
+    }), tmp_path / "documents.parquet")
+    got = co.doc_sample_weighted(str(tmp_path), n=100)
+    heavy = (got["doc_id"].to_numpy() >= n // 2).sum()
+    assert heavy >= 90   # E[heavy] ≈ 100·(100/101); uniform would give ~50

@@ -162,9 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracle_sql()-backed queries — more than one round's gate can hold.
     # Order is therefore a ROTATION policy, derived from the committed
     # CORRECTNESS_r01/r02/r03 artifacts (the only driver rows that
-    # exist): the 50 oracle-backed entries with NO green row in any of
+    # exist): the oracle-backed entries with NO green row in any of
     # them come first (operators new this round + those that earlier
-    # caps truncated) — exactly the 50-row window.  Directly after the
+    # caps truncated); never-checked entries past the 50-row window
+    # are first in line for round 5's window.  Directly after the
     # cap sit the entries last checked in round 2 (q6_revenue,
     # revenue_by_nation, top_customers), then the round-3-green
     # re-checks.  The oracle-backed entries placed past the cap were ALL
@@ -209,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_shards": co.doc_pack_shards,
         # ExactSubstr-style duplicated-span gate (Lee et al. 2022)
         "doc_dup_spans": co.doc_dup_spans,
+        # C4-style line-level dedup (keep global-first occurrence,
+        # order-sensitive reassembly signature; Raffel et al. 2020)
+        "corpus_line_dedup": co.corpus_line_dedup,
         # whale-group exact ranking (value-range buckets + offset
         # ladder) — byte-identical to events_user_rank, same oracle
         "events_user_rank_bucketed": an.events_user_rank_bucketed,
@@ -372,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_pairs": co.dedup_ngram_pairs_sql(),
         "doc_dup_spans": co.doc_dup_spans_sql(),
+        "corpus_line_dedup": co.corpus_line_dedup_sql(),
         "doc_decontaminate": co.doc_decontaminate_sql(),
         "doc_chunks": co.doc_chunks_sql(),
         "doc_term_df": co.doc_term_df_sql(),

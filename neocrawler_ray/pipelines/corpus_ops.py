@@ -1323,6 +1323,147 @@ ORDER BY sp.doc_id
 """.strip()
 
 
+LINE_TOKENS = 10         # "line" unit for C4-style line-level dedup
+
+
+def corpus_line_dedup(sf_dir: str,
+                      line_tokens: int = LINE_TOKENS) -> pd.DataFrame:
+    """C4-style line-level corpus deduplication (Raffel et al. 2020
+    §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once in the data set"; same family as
+    RefinedWeb/Dolma line dedup).  The testdata corpus has no
+    newline/sentence structure, so the "line" unit is a fixed
+    non-overlapping window of ``line_tokens`` whitespace tokens
+    (trailing partial line kept) — the segmentation ``doc_chunks``
+    already mirrors in SQL.  Policy: an occurrence of a line survives
+    iff it is the GLOBAL FIRST occurrence of that exact line text
+    (min (doc_id, line_idx)); every later occurrence, in the same or
+    another document, is removed.  Output per document: line counts,
+    surviving token count, and ``out_sig`` — the md5 of the surviving
+    lines' md5s concatenated in line order, i.e. an
+    order-sensitive signature of the reassembled document that the
+    oracle recomputes independently from line text.  Documents with
+    zero tokens have no lines and are dropped (mirrored by the
+    oracle's ``len(t) > 0``).
+
+    Scale shape (two digest exchanges, one corpus scan): the scan
+    collapses each line occurrence to (md5(line), doc_id, line_idx,
+    line_len) — 50-ish bytes, text never leaves the scan.  Exchange 1
+    partitions by line hash; within a partition one vectorized sort +
+    ``duplicated()`` marks the global-first occurrence (same hash →
+    same partition, so partition-local first IS global first).
+    Exchange 2 re-keys every marked occurrence by doc_id and folds
+    each document's verdict vector into the per-doc row — no pair
+    emission, no driver-side state; a boilerplate line duplicated in
+    10^6 docs costs one linear group, not a quadratic walk.  The
+    reassembly itself emits a 128-bit signature instead of text so no
+    exchange carries document bodies; a production variant that must
+    WRITE the deduped text would route the kept-line texts through
+    exchange 2 (one unavoidable O(corpus-bytes) shuffle) and
+    ``write_parquet`` per doc-hash partition.  Reference anchor: this
+    generalizes the reference's per-page content fingerprint dedup
+    (spider/core/spider.js:411 md5-of-content) from whole-document to
+    sub-document granularity.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64").to_numpy()
+        line_texts: list[str] = []
+        line_lens: list[int] = []
+        counts = np.empty(len(df), dtype=np.int64)
+        for j, t in enumerate(df["text"].fillna("")):
+            toks = t.lower().split()
+            n = len(toks)
+            k = -(-n // line_tokens)
+            counts[j] = k
+            for g in range(k):
+                seg = toks[g * line_tokens:(g + 1) * line_tokens]
+                line_texts.append(" ".join(seg))
+                line_lens.append(len(seg))
+        total = int(counts.sum())
+        offsets = np.repeat(np.cumsum(counts) - counts, counts)
+        return pd.DataFrame(
+            {"line_h": dd.md5_hex_series(
+                pd.Series(line_texts, dtype="string")).astype(object),
+             "doc_id": np.repeat(ids, counts),
+             "line_idx": np.arange(total, dtype=np.int64) - offsets,
+             "line_len": np.asarray(line_lens, dtype=np.int64)})
+
+    def mark_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["line_h", "doc_id", "line_idx"],
+                            kind="mergesort")
+        return df.assign(
+            kept=(~df["line_h"].duplicated()).astype("int64"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "line_idx"], kind="mergesort")
+        g = df.groupby("doc_id", sort=True)
+        kd = df[df["kept"].astype(bool)]
+        kg = kd.groupby("doc_id")
+        base = pd.DataFrame(
+            {"doc_id": g.size().index.astype("int64"),
+             "n_lines": g.size().to_numpy("int64"),
+             "n_kept": g["kept"].sum().to_numpy("int64")})
+        base["kept_tokens"] = (base["doc_id"]
+                               .map(kg["line_len"].sum())
+                               .fillna(0).astype("int64"))
+        sig_src = base["doc_id"].map(kg["line_h"].agg("".join)).fillna("")
+        base["out_sig"] = dd.md5_hex_series(
+            sig_src.astype("string")).astype(object)
+        return base
+
+    parts = _parts_for(sf_dir, "documents", rows_per_part=500)
+    marked = _hash_grouped(ds.map_batches(explode, batch_format="pandas"),
+                           ["line_h"], mark_first, num_parts=parts)
+    out = _hash_grouped(marked, ["doc_id"], finish,
+                        num_parts=max(4, parts // 4)).to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def corpus_line_dedup_sql(line_tokens: int = LINE_TOKENS) -> str:
+    """Oracle recomputes the same policy from line TEXT (no internal
+    hashes shared with the Ray side except md5-of-line, which both
+    sides derive independently from the same string)."""
+    L = line_tokens
+    return f"""
+WITH toks AS (
+  SELECT doc_id, coalesce(regexp_extract_all(lower(text), '\\S+'),
+                          CAST([] AS VARCHAR[])) AS t
+  FROM documents
+), expanded AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0,
+             CAST(ceil(len(t) / {L}.0) AS BIGINT) - 1)) AS g
+  FROM toks WHERE len(t) > 0
+), lines AS (
+  SELECT doc_id,
+         CAST(g AS BIGINT) AS line_idx,
+         array_to_string(t[g*{L}+1 : least((g+1)*{L}, len(t))], ' ')
+           AS line_text,
+         CAST(least({L}, len(t) - g*{L}) AS BIGINT) AS line_len
+  FROM expanded
+), marked AS (
+  SELECT doc_id, line_idx, line_len, md5(line_text) AS line_h,
+         CASE WHEN row_number() OVER (PARTITION BY line_text
+                ORDER BY doc_id, line_idx) = 1 THEN 1 ELSE 0 END AS kept
+  FROM lines
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN kept = 1 THEN line_len END), 0)
+            AS BIGINT) AS kept_tokens,
+       md5(coalesce(string_agg(CASE WHEN kept = 1 THEN line_h END, ''
+            ORDER BY line_idx), '')) AS out_sig
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+""".strip()
+
+
 def dedup_clusters(sf_dir: str, lsh_threshold: float = 0.7,
                    jaccard_threshold: float = 0.8) -> pd.DataFrame:
     """Near-dup cluster assignment: union-find over verified pairs.

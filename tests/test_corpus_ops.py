@@ -171,6 +171,42 @@ def test_dup_spans_matches_sql(ray_session, con):
         assert row["n_spans"] == 0 or row["has_cross_dup"] == 1
 
 
+def test_corpus_line_dedup_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    out = co.corpus_line_dedup(SF)
+    assert_matches_sql(out, con, co.corpus_line_dedup_sql())
+    # the corpus must actually exercise the drop path, and an exact-dup
+    # doc pair must have the LATER copy fully deduplicated away
+    assert (out["n_lines"] - out["n_kept"]).sum() > 0
+    dups = con.execute(
+        "select min(doc_id) keep, max(doc_id) drop_ from documents "
+        "group by text having count(*) >= 2 and min(doc_id) <> max(doc_id)"
+    ).fetchall()
+    idx = out.set_index("doc_id")
+    for keep, drop in dups:
+        assert idx.loc[int(drop), "n_kept"] == 0
+        assert idx.loc[int(keep), "n_kept"] > 0
+
+
+def test_corpus_line_dedup_first_occurrence_policy(ray_session, con):
+    """Global totals sanity: kept lines == distinct line texts (every
+    distinct line survives exactly once, everywhere else dropped)."""
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    out = co.corpus_line_dedup(SF)
+    distinct = con.execute("""
+        WITH toks AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+        expanded AS (SELECT doc_id, t, unnest(generate_series(0,
+               CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)) AS g
+          FROM toks WHERE len(t) > 0)
+        SELECT count(distinct array_to_string(
+            t[g*10+1 : least((g+1)*10, len(t))], ' ')) FROM expanded
+    """).fetchone()[0]
+    assert int(out["n_kept"].sum()) == int(distinct)
+
+
 def test_doc_extract_byte_identical(ray_session, con):
     from neocrawler_ray.pipelines import doc_extract as de
 

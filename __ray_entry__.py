@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_days_except": an.events_user_days_except,
         # fixed-point PageRank (exact int64 masses; CTE-chain oracle)
         "graph_pagerank": an.graph_pagerank,
+        # degree-oriented exact triangle count (wedge-edge join)
+        "graph_triangles": an.graph_triangles,
         # Pass-Join edit-distance similarity join (banded-DP verify)
         "dedup_edit_pairs": co.dedup_edit_pairs,
         # SemDeDup within-cluster semantic near-dup pruning
@@ -497,6 +499,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_user_days_intersect": an.EVENTS_USER_DAYS_INTERSECT_SQL,
         "events_user_days_except": an.EVENTS_USER_DAYS_EXCEPT_SQL,
         "graph_pagerank": an.GRAPH_PAGERANK_SQL,
+        "graph_triangles": an.GRAPH_TRIANGLES_SQL,
         "dedup_edit_pairs": co.DEDUP_EDIT_PAIRS_SQL,
         "dedup_semantic": co.DEDUP_SEMANTIC_SQL,
         "doc_global_rank": co.DOC_GLOBAL_RANK_SQL,

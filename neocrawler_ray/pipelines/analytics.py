@@ -4586,6 +4586,184 @@ r0 AS (SELECT id, d, CAST({PR_TOTAL} // nn.n AS BIGINT) AS r
 GRAPH_PAGERANK_SQL = graph_pagerank_sql()
 
 
+def graph_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count over the part co-purchase graph (node =
+    part, undirected edge = "these two parts appear in the same
+    order") — the enumeration member of the graph family next to
+    connected components (reachability) and PageRank (value
+    propagation).  Algorithm: degree orientation + wedge-edge join
+    (the MapReduce-era standard, Suri & Vassilvitskii 2011 "Counting
+    Triangles and the Curse of the Last Reducer"): orient every edge
+    from its lower (degree, id) endpoint to the higher, so each
+    triangle has exactly ONE node with two out-edges; emit that node's
+    out-neighbor pairs (wedges) and count wedges that are themselves
+    edges.  Orientation bounds per-node out-degree by O(√m), which is
+    precisely the hot-key guard — a mega-degree hub (a part in every
+    order) generates NO wedges because all its edges point inward.
+
+    Scale shape: per-order pair emission is bounded by basket size
+    (k² for k items per order — single digits in order data, so no
+    df² blowup like raw shingle joins); every later step is a digest
+    exchange over (int64, int64) edge rows — distinct-pair dedup,
+    endpoint degree count, two tagged-union exchanges attaching
+    deg(u)/deg(v) to each edge, a src-hash wedge walk, and a pair-hash
+    wedge∩edge membership join whose output is per-partition partial
+    COUNTS (the answer is one row; nothing corpus-sized ever lands on
+    the driver)."""
+    from .corpus_ops import _bucketed_pairs, _hash_grouped, _parts_for
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    parts = _parts_for(sf_dir, "lineitem", rows_per_part=4000)
+
+    def op_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"o": df["l_orderkey"].to_numpy("int64"),
+                              "p": df["l_partkey"].to_numpy("int64")})
+                .drop_duplicates())
+
+    def basket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ps = np.unique(g["p"].to_numpy("int64"))
+        iu, iv = np.triu_indices(len(ps), k=1)
+        return pd.DataFrame({"u": ps[iu], "v": ps[iv]})
+
+    raw_pairs = _bucketed_pairs(
+        line.map_batches(op_partial, batch_format="pandas"),
+        "o", basket_pairs, num_parts=parts)
+
+    def edge_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    edges = _hash_grouped(raw_pairs, ["u", "v"], edge_dedup,
+                          num_parts=parts).materialize()
+    n_edges = edges.count()
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": np.concatenate(
+            [df["u"].to_numpy("int64"), df["v"].to_numpy("int64")])})
+
+    def deg_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("id", as_index=False).size()
+        return pd.DataFrame({"id": g["id"].to_numpy("int64"),
+                             "deg": g["size"].to_numpy("int64")})
+
+    degs = _hash_grouped(edges.map_batches(endpoints, batch_format="pandas"),
+                         ["id"], deg_fn, num_parts=parts).materialize()
+    n_nodes = degs.count()
+
+    # attach deg(u) then deg(v): tagged union keyed by the endpoint —
+    # deg rows carry other == -1 (node ids are positive partkeys)
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["id"].to_numpy("int64"),
+                             "other": np.full(len(df), -1, dtype="int64"),
+                             "d0": df["deg"].to_numpy("int64")})
+
+    def attach_u(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = df[df["other"] == -1]
+        e = df[df["other"] != -1]
+        m = e.merge(dmap[["key", "d0"]].rename(columns={"d0": "du"}),
+                    on="key", how="left")
+        return pd.DataFrame({"u": m["key"].to_numpy("int64"),
+                             "v": m["other"].to_numpy("int64"),
+                             "du": m["du"].to_numpy("int64")})
+
+    def tag_edge_u(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["u"].to_numpy("int64"),
+                             "other": df["v"].to_numpy("int64"),
+                             "d0": np.zeros(len(df), dtype="int64")})
+
+    with_du = _hash_grouped(
+        edges.map_batches(tag_edge_u, batch_format="pandas")
+        .union(degs.map_batches(tag_deg, batch_format="pandas")),
+        ["key"], attach_u, num_parts=parts)
+
+    def tag_edge_v(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["v"].to_numpy("int64"),
+                             "other": df["u"].to_numpy("int64"),
+                             "d0": np.zeros(len(df), dtype="int64"),
+                             "du": df["du"].to_numpy("int64")})
+
+    def attach_v(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = df[df["other"] == -1]
+        e = df[df["other"] != -1]
+        m = e.merge(dmap[["key", "d0"]].rename(columns={"d0": "dv"}),
+                    on="key", how="left")
+        return pd.DataFrame({"v": m["key"].to_numpy("int64"),
+                             "u": m["other"].to_numpy("int64"),
+                             "du": m["du"].to_numpy("int64"),
+                             "dv": m["dv"].to_numpy("int64")})
+
+    def tag_deg_v(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["id"].to_numpy("int64"),
+                             "other": np.full(len(df), -1, dtype="int64"),
+                             "d0": df["deg"].to_numpy("int64"),
+                             "du": np.zeros(len(df), dtype="int64")})
+
+    annotated = _hash_grouped(
+        with_du.map_batches(tag_edge_v, batch_format="pandas")
+        .union(degs.map_batches(tag_deg_v, batch_format="pandas")),
+        ["key"], attach_v, num_parts=parts)
+
+    # orient low (deg, id) → high; wedges = out-neighbor pairs per src
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy("int64")
+        v = df["v"].to_numpy("int64")
+        du = df["du"].to_numpy("int64")
+        dv = df["dv"].to_numpy("int64")
+        u_first = np.where(du != dv, du < dv, u < v)
+        return pd.DataFrame({"src": np.where(u_first, u, v),
+                             "dst": np.where(u_first, v, u)})
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ns = np.unique(g["dst"].to_numpy("int64"))
+        iu, iv = np.triu_indices(len(ns), k=1)
+        return pd.DataFrame({"u": ns[iu], "v": ns[iv],
+                             "w": np.ones(len(iu), dtype="int64")})
+
+    wedges = _bucketed_pairs(
+        annotated.map_batches(orient, batch_format="pandas"),
+        "src", wedge_pairs, num_parts=parts)
+
+    # wedge ∩ edge membership: same pair-hash exchange, edges carry
+    # w == 0; per partition count wedges whose (u, v) is an edge
+    def tag_edge_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["u"].to_numpy("int64"),
+                             "v": df["v"].to_numpy("int64"),
+                             "w": np.zeros(len(df), dtype="int64")})
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["w"] == 0][["u", "v"]]
+        wd = df[df["w"] == 1]
+        m = wd.merge(e, on=["u", "v"], how="inner")
+        return pd.DataFrame({"tri_partial": [np.int64(len(m))]})
+
+    partials = _hash_grouped(
+        wedges.union(edges.map_batches(tag_edge_pair,
+                                       batch_format="pandas")),
+        ["u", "v"], count_partial, num_parts=parts).to_pandas()
+
+    return pd.DataFrame(
+        {"n_nodes": pd.Series([n_nodes], dtype="int64"),
+         "n_edges": pd.Series([n_edges], dtype="int64"),
+         "n_triangles": pd.Series([int(partials["tri_partial"].sum())],
+                                  dtype="int64")})
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+nodes AS (SELECT u AS x FROM edges UNION SELECT v FROM edges),
+tri AS (
+  SELECT count(*) AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles
+""".strip()
+
+
 # --- robust outlier detection (median + MAD) ----------------------------
 
 OUTLIER_MAD_FACTOR = 3

@@ -2124,6 +2124,45 @@ def test_graph_pagerank_uniform_on_regular_graph(ray_session, tmp_path):
     assert got[got["kind"] == "supplier"]["pr_mass"].nunique() == 1
 
 
+def test_graph_triangles_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.graph_triangles(SF)
+    assert_matches_sql(got, con, an.GRAPH_TRIANGLES_SQL)
+    assert int(got["n_triangles"].iloc[0]) > 0
+
+
+def test_graph_triangles_known_graph(ray_session, tmp_path):
+    """K4 plus a pendant edge: 4 triangles, 7 edges, 5 nodes.  Orders
+    encode one edge each (the degree-orientation path must count each
+    triangle exactly once regardless of which node is its apex)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 4)]
+    rows = [(o, p) for o, (u, v) in enumerate(edges) for p in (u, v)]
+    n = len(rows)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([1.0] * n),
+        "l_extendedprice": pa.array([1.0] * n),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([0.0] * n),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    got = an.graph_triangles(str(tmp_path))
+    assert got.to_dict("records") == [
+        {"n_nodes": 5, "n_edges": 7, "n_triangles": 4}]
+
+
 # --- edit-distance similarity join ------------------------------------
 
 

@@ -4864,3 +4864,199 @@ WHERE abs(v.v - med.m) > {factor} * mad.md
 
 
 EVENTS_OUTLIERS_SQL = events_outliers_sql()
+
+
+# --- interval-overlap counting (no pair emission) ------------------------
+
+SESSION_OVERLAP_BUCKETS = 32
+
+
+def events_session_overlap(sf_dir: str,
+                           n_buckets: int = SESSION_OVERLAP_BUCKETS):
+    """For every session, how many OTHER sessions (any user) overlap it
+    in time (inclusive interval intersection).  The interval-overlap
+    JOIN shape — naive form is a self-join with two inequality
+    predicates, O(n²) pairs — reduced to two global order statistics
+    with NO pair emission:
+
+        overlap(i) = #{j : start_j <= end_i} - #{j : end_j < start_i} - 1
+
+    (every session either overlaps i, ends before i starts, or starts
+    after i ends; the two counts separate the three classes, and the
+    -1 removes i itself from the first count).
+
+    Distribution is the value-range-bucket + answer-sized-ladder shape
+    shared with :func:`~..pipelines.corpus_ops.doc_global_rank`: sampled
+    edges over the combined boundary domain; one exchange ships 4
+    8-byte-keyed rows per session (start point, end point, and the two
+    rank queries) to their value bucket, where a sorted
+    ``np.searchsorted`` answers the within-bucket rank; cross-bucket
+    mass arrives via a per-bucket cumulative ladder (n_buckets rows,
+    driver-side).  A final user-keyed exchange sums each session's two
+    partial contributions.  Nothing corpus-sized touches the driver and
+    no task ever holds more than one value bucket — at 100 TB the
+    exchange volume is 4 rows × ~40 bytes per session, independent of
+    how many sessions overlap (a hot window that would explode a pair
+    join only shifts counts between ladder entries).
+
+    Tie semantics (exact, mirrored in the SQL oracle's ``ORDER BY v, k``
+    window): starts equal to an end COUNT as overlap (``side="right"``);
+    ends equal to a start are NOT "ended before" (``side="left"``).
+
+    Reference: neocrawler tracks concurrently-open crawl tasks per time
+    window (spider.js interval stats); this is that concurrency measure
+    over the sessionized event stream."""
+    import ray
+
+    from .corpus_ops import _hash_grouped
+
+    sess = events_sessions(sf_dir).materialize()
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(np.concatenate(
+            [df["start_us"].to_numpy("int64"),
+             df["end_us"].to_numpy("int64")]))
+        if not len(v):
+            return pd.DataFrame({"v": pd.Series([], dtype="int64")})
+        idx = np.linspace(0, len(v) - 1, min(64, len(v))).astype(int)
+        return pd.DataFrame({"v": v[idx]})
+
+    samp = sess.map_batches(sample, batch_format="pandas").to_pandas()
+    v = np.sort(samp["v"].to_numpy("int64"))
+    qs = np.linspace(0, max(0, len(v) - 1),
+                     min(n_buckets, max(1, len(v))) + 1)[1:-1].astype(int)
+    edges = np.unique(v[qs]) if len(v) else np.empty(0, dtype="int64")
+    edges_ref = ray.put(edges)
+    nb = len(edges) + 1
+
+    # answer-sized ladder: starts/ends mass strictly BELOW each bucket
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(edges_ref)
+        sb = np.searchsorted(e, df["start_us"].to_numpy("int64"),
+                             side="right")
+        eb = np.searchsorted(e, df["end_us"].to_numpy("int64"),
+                             side="right")
+        return pd.DataFrame(
+            {"bucket": np.arange(nb, dtype="int64"),
+             "n_s": np.bincount(sb, minlength=nb).astype("int64"),
+             "n_e": np.bincount(eb, minlength=nb).astype("int64")})
+
+    cnt = (sess.map_batches(bucket_counts, batch_format="pandas")
+           .to_pandas().groupby("bucket", as_index=False).sum()
+           .sort_values("bucket"))
+    below_s = np.zeros(nb, dtype="int64")
+    below_e = np.zeros(nb, dtype="int64")
+    b_idx = cnt["bucket"].to_numpy("int64")
+    below_s[b_idx] = cnt["n_s"].to_numpy("int64")
+    below_e[b_idx] = cnt["n_e"].to_numpy("int64")
+    below_s = np.concatenate([[0], np.cumsum(below_s)[:-1]])
+    below_e = np.concatenate([[0], np.cumsum(below_e)[:-1]])
+    ladder_ref = ray.put((below_s, below_e))
+
+    # kinds: 0 = start point, 1 = end point,
+    #        2 = rank query A (v = end_us,   counts starts <= v),
+    #        3 = rank query B (v = start_us, counts ends   <  v)
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(edges_ref)
+        uid = df["user_id"].to_numpy("int64")
+        sno = df["session_no"].to_numpy("int64")
+        s = df["start_us"].to_numpy("int64")
+        t = df["end_us"].to_numpy("int64")
+        zero = np.zeros(len(df), dtype="int64")
+
+        def mk(vals, kind, u, n):
+            return pd.DataFrame(
+                {"bucket": np.searchsorted(e, vals, side="right")
+                 .astype("int64"),
+                 "kind": np.full(len(vals), kind, dtype="int64"),
+                 "v": vals, "user_id": u, "session_no": n})
+
+        return pd.concat(
+            [mk(s, 0, zero, zero), mk(t, 1, zero, zero),
+             mk(t, 2, uid, sno), mk(s, 3, uid, sno)], ignore_index=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        bs, be = ray.get(ladder_ref)
+        out = []
+        for b, g in df.groupby("bucket", sort=False):
+            k = g["kind"].to_numpy("int64")
+            val = g["v"].to_numpy("int64")
+            sv = np.sort(val[k == 0])
+            ev = np.sort(val[k == 1])
+            qa = g[k == 2]
+            qb = g[k == 3]
+            a = bs[int(b)] + np.searchsorted(
+                sv, qa["v"].to_numpy("int64"), side="right")
+            bpart = be[int(b)] + np.searchsorted(
+                ev, qb["v"].to_numpy("int64"), side="left")
+            out.append(pd.DataFrame(
+                {"user_id": qa["user_id"].to_numpy("int64"),
+                 "session_no": qa["session_no"].to_numpy("int64"),
+                 "contrib": a.astype("int64")}))
+            out.append(pd.DataFrame(
+                {"user_id": qb["user_id"].to_numpy("int64"),
+                 "session_no": qb["session_no"].to_numpy("int64"),
+                 "contrib": (-bpart).astype("int64")}))
+        if not out:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "session_no": pd.Series([], dtype="int64"),
+                 "contrib": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    part = _hash_grouped(sess.map_batches(emit, batch_format="pandas"),
+                         ["bucket"], per_bucket,
+                         num_parts=min(32, nb))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "session_no"],
+                       as_index=False)["contrib"].sum()
+        return pd.DataFrame(
+            {"user_id": g["user_id"].astype("int64"),
+             "session_no": g["session_no"].astype("int64"),
+             "overlap_cnt": (g["contrib"] - 1).astype("int64")})
+
+    return _hash_grouped(part, ["user_id"], combine, num_parts=32)
+
+
+EVENTS_SESSION_OVERLAP_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o),
+sess AS (
+  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+         min(ts_us) AS start_us, max(ts_us) AS end_us
+  FROM s GROUP BY 1, 2),
+pa AS (
+  SELECT start_us AS v, 0 AS k, CAST(NULL AS BIGINT) AS uid,
+         CAST(NULL AS BIGINT) AS sno FROM sess
+  UNION ALL
+  SELECT end_us, 1, user_id, session_no FROM sess),
+ra AS (
+  SELECT uid, sno,
+         SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END)
+             OVER (ORDER BY v, k ROWS UNBOUNDED PRECEDING) AS a
+  FROM pa),
+pb AS (
+  SELECT end_us AS v, 1 AS k, CAST(NULL AS BIGINT) AS uid,
+         CAST(NULL AS BIGINT) AS sno FROM sess
+  UNION ALL
+  SELECT start_us, 0, user_id, session_no FROM sess),
+rb AS (
+  SELECT uid, sno,
+         SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END)
+             OVER (ORDER BY v, k ROWS UNBOUNDED PRECEDING) AS b
+  FROM pb)
+SELECT ra.uid AS user_id, ra.sno AS session_no,
+       CAST(ra.a - rb.b - 1 AS BIGINT) AS overlap_cnt
+FROM ra JOIN rb ON ra.uid = rb.uid AND ra.sno = rb.sno
+""".strip()

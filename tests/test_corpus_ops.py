@@ -2429,3 +2429,37 @@ def test_doc_sample_weighted_favors_heavy_docs(ray_session, tmp_path):
     got = co.doc_sample_weighted(str(tmp_path), n=100)
     heavy = (got["doc_id"].to_numpy() >= n // 2).sum()
     assert heavy >= 90   # E[heavy] ≈ 100·(100/101); uniform would give ~50
+
+
+def test_session_overlap_match_sql_and_brute(ray_session, con):
+    """Interval-overlap counts match the window-SQL oracle AND a brute
+    O(n²) pair count (the oracle shares the rank identity with the Ray
+    implementation, so only the brute check validates the identity:
+    overlap = #starts<=end_i - #ends<start_i - 1)."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    out = an.events_session_overlap(SF)
+    assert_matches_sql(out, con, an.EVENTS_SESSION_OVERLAP_SQL)
+
+    sess = an.events_sessions(SF).to_pandas()
+    s = sess["start_us"].to_numpy("int64")
+    e = sess["end_us"].to_numpy("int64")
+    brute = ((s[None, :] <= e[:, None]) & (e[None, :] >= s[:, None])
+             ).sum(axis=1) - 1
+    truth = sess[["user_id", "session_no"]].copy()
+    truth["overlap_cnt"] = brute.astype("int64")
+    got = (out.to_pandas()
+           .sort_values(["user_id", "session_no"]).reset_index(drop=True))
+    want = (truth.sort_values(["user_id", "session_no"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_no", "overlap_cnt"]].astype("int64"), want)
+
+
+def test_session_overlap_single_bucket_edge(ray_session, con):
+    """n_buckets=1 (no edges at all) must stay exact — everything rides
+    the within-bucket searchsorted, the ladder is a single zero."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_session_overlap(SF, n_buckets=1), con,
+                       an.EVENTS_SESSION_OVERLAP_SQL)

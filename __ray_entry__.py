@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interval-overlap counting over sessions (rank identity — no
         # pair emission; value-bucket exchange + answer-sized ladder)
         "events_session_overlap": an.events_session_overlap,
+        # streaming watermark / late-data classifier (global exclusive
+        # prefix-max over a deterministic md5-jittered arrival order)
+        "events_late_arrivals": an.events_late_arrivals,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -507,6 +510,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "dedup_semantic": co.DEDUP_SEMANTIC_SQL,
         "doc_global_rank": co.DOC_GLOBAL_RANK_SQL,
         "events_session_overlap": an.EVENTS_SESSION_OVERLAP_SQL,
+        "events_late_arrivals": an.EVENTS_LATE_ARRIVALS_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

@@ -2463,3 +2463,41 @@ def test_session_overlap_single_bucket_edge(ray_session, con):
 
     assert_matches_sql(an.events_session_overlap(SF, n_buckets=1), con,
                        an.EVENTS_SESSION_OVERLAP_SQL)
+
+
+def test_late_arrivals_match_sql_and_sequential(ray_session, con):
+    """Watermark classifier matches the window-SQL oracle AND a
+    sequential replay of the streaming rule (the replay is the
+    semantics; SQL and Ray share the prefix-max formulation)."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    out = an.events_late_arrivals(SF)
+    assert_matches_sql(out, con, an.EVENTS_LATE_ARRIVALS_SQL)
+
+    got = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    # both classes must be populated or the op tests nothing
+    assert 0.01 < got["is_late"].mean() < 0.9
+
+    arr = con.execute(
+        "SELECT event_id, epoch_us(ts) ts_us, epoch_us(ts) + "
+        "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13))"
+        f" AS BIGINT) % {an.LATE_JITTER_US} AS arrival_us FROM events "
+        "ORDER BY arrival_us, event_id").fetchdf()
+    wm = -1
+    rows = []
+    for eid, ts in zip(arr["event_id"].to_numpy("int64"),
+                       arr["ts_us"].to_numpy("int64")):
+        late = int(wm >= 0 and wm - ts > an.LATE_ALLOWED_US)
+        wm = max(wm, ts)
+        rows.append((eid, wm, late))
+    seq = (pd.DataFrame(rows, columns=["event_id", "wm_us", "is_late"])
+           .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["event_id", "wm_us", "is_late"]].astype("int64"), seq)
+
+
+def test_late_arrivals_single_bucket(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_late_arrivals(SF, n_buckets=1), con,
+                       an.EVENTS_LATE_ARRIVALS_SQL)

@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming watermark / late-data classifier (global exclusive
         # prefix-max over a deterministic md5-jittered arrival order)
         "events_late_arrivals": an.events_late_arrivals,
+        # multi-source BFS hop distance (frontier-expansion rounds;
+        # recursive-CTE oracle) — the traversal member of the graph family
+        "graph_bfs_hops": an.graph_bfs_hops,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -511,6 +514,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "doc_global_rank": co.DOC_GLOBAL_RANK_SQL,
         "events_session_overlap": an.EVENTS_SESSION_OVERLAP_SQL,
         "events_late_arrivals": an.EVENTS_LATE_ARRIVALS_SQL,
+        "graph_bfs_hops": an.GRAPH_BFS_HOPS_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

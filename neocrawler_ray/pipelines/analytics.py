@@ -5210,3 +5210,179 @@ SELECT event_id, COALESCE(GREATEST(prev_wm, ts_us), ts_us) AS wm_us,
             AS BIGINT) AS is_late
 FROM w
 """.strip()
+
+
+# --- distributed BFS (nearest-seed hop distance) --------------------------
+
+BFS_MAX_HOPS = 4
+BFS_SEED_SUPPKEY_MAX = 3
+
+
+def graph_bfs_hops(sf_dir: str, max_hops: int = BFS_MAX_HOPS):
+    """Multi-source BFS over the part↔supplier co-occurrence graph:
+    hop distance from the NEAREST seed (suppliers with key ≤ 3) for
+    every node, −1 when unreached within ``max_hops`` — the traversal
+    member of the graph family next to value propagation
+    (:func:`graph_pagerank`, fixed-round) and structure counting
+    (:func:`graph_triangles`).
+
+    Classic frontier-expansion rounds, each two exchanges (the
+    PageRank step shape, but with a SHRINKING left side): (1) frontier
+    ∪ edges co-partitioned on src — per-partition merge emits
+    next-hop candidates, deduped before they ship; (2) candidates ∪
+    the reached-set co-partitioned on node id — BFS monotonicity makes
+    the rule trivially mergeable (first reach wins; already-reached
+    candidates are dropped, the rest become the next frontier).  The
+    reached set and frontier are node-sized Datasets materialized per
+    round (K small plans instead of one K-deep lazy chain); nothing
+    graph-sized touches the driver.  At 100 TB the bytes per round are
+    bounded by the frontier's out-edge count — the same edge-cut cost
+    as any BSP BFS (Pregel's canonical example).
+
+    Reference: neocrawler's drill ladder IS a bounded-depth BFS from
+    the seed URLs (spider.js depth counter gating link feedback);
+    this is that traversal over an explicit graph."""
+    import ray  # noqa: F401  (parity with sibling ops; not used directly)
+
+    from .corpus_ops import _hash_grouped
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"pk": df["l_partkey"].to_numpy("int64"),
+                              "sk": df["l_suppkey"].to_numpy("int64")})
+                .drop_duplicates())
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates()
+        pk2 = g["pk"].to_numpy("int64") * 2
+        sk2 = g["sk"].to_numpy("int64") * 2 + 1
+        return pd.DataFrame({"src": np.concatenate([pk2, sk2]),
+                             "dst": np.concatenate([sk2, pk2])})
+
+    edges = _hash_grouped(
+        line.map_batches(pair_partial, batch_format="pandas"),
+        ["pk", "sk"], to_edges, num_parts=32).materialize()
+
+    def node_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": np.unique(df["src"].to_numpy("int64"))})
+
+    nodes = _hash_grouped(edges, ["src"], node_fn,
+                          num_parts=32).materialize()
+
+    # exchange-A rows: (key, dst, h) — edge rows carry h = -1,
+    # frontier rows carry dst = -1 and their hop count
+    def edge_to_row(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["src"].to_numpy("int64"),
+                             "dst": df["dst"].to_numpy("int64"),
+                             "h": np.full(len(df), -1, dtype="int64")})
+
+    edge_rows = edges.map_batches(edge_to_row,
+                                  batch_format="pandas").materialize()
+
+    def seed_fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy("int64")
+        m = (ids % 2 == 1) & (ids // 2 <= BFS_SEED_SUPPKEY_MAX)
+        return pd.DataFrame({"id": ids[m],
+                             "h": np.zeros(m.sum(), dtype="int64")})
+
+    reached = nodes.map_batches(seed_fn,
+                                batch_format="pandas").materialize()
+    frontier = reached
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        is_f = (df["dst"] == -1).to_numpy()
+        f = df[is_f]
+        e = df[~is_f]
+        m = e[["key", "dst"]].merge(f[["key", "h"]], on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                 "h": pd.Series([], dtype="int64")})
+        g = (pd.DataFrame({"id": m["dst"].to_numpy("int64"),
+                           "h": m["h"].to_numpy("int64") + 1})
+             .groupby("id", as_index=False)["h"].min())
+        return g.astype({"id": "int64", "h": "int64"})
+
+    def settle(df: pd.DataFrame) -> pd.DataFrame:
+        # flag 0 = already-reached row, 1 = candidate; first reach wins
+        old = df[df["flag"] == 0]
+        cand = df[df["flag"] == 1]
+        fresh = cand[~cand["id"].isin(old["id"])]
+        if not fresh.empty:
+            fresh = fresh.groupby("id", as_index=False)["h"].min()
+        out = pd.concat(
+            [old[["id", "h"]],
+             fresh[["id", "h"]].assign(new=1)], ignore_index=True)
+        out["new"] = out["new"].fillna(0).astype("int64")
+        return out.astype({"id": "int64", "h": "int64"})
+
+    import pyarrow.compute as pc
+
+    for r in range(1, max_hops + 1):
+        def front_to_row(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["id"].to_numpy("int64"),
+                 "dst": np.full(len(df), -1, dtype="int64"),
+                 "h": df["h"].to_numpy("int64")})
+
+        cand = _hash_grouped(
+            edge_rows.union(frontier.map_batches(front_to_row,
+                                                 batch_format="pandas")),
+            ["key"], expand, num_parts=32)
+        tagged = (reached.map_batches(
+            lambda df: df[["id", "h"]].assign(flag=0),
+            batch_format="pandas")
+            .union(cand.map_batches(
+                lambda df: df.assign(flag=1), batch_format="pandas")))
+        merged = _hash_grouped(tagged, ["id"], settle,
+                               num_parts=32).materialize()
+        reached = merged.map_batches(
+            lambda tb: tb.select(["id", "h"]),
+            batch_format="pyarrow").materialize()
+        frontier = merged.map_batches(
+            lambda tb: tb.filter(pc.equal(tb.column("new"), 1))
+            .select(["id", "h"]), batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+
+    # unreached nodes → hops -1 (one node-hash exchange)
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        is_n = (df["h"] == -2).to_numpy()
+        j = df[is_n][["id"]].merge(df[~is_n], on="id", how="left")
+        ids = j["id"].to_numpy("int64")
+        return pd.DataFrame(
+            {"kind": np.where(ids % 2 == 0, "part", "supplier"),
+             "key": ids // 2,
+             "hops": j["h"].fillna(-1).astype("int64")})
+
+    tagged = (nodes.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": df["id"].to_numpy("int64"),
+             "h": np.full(len(df), -2, dtype="int64")}),
+        batch_format="pandas").union(reached))
+    return _hash_grouped(tagged, ["id"], finish, num_parts=32)
+
+
+def graph_bfs_hops_sql(max_hops: int = BFS_MAX_HOPS) -> str:
+    return f"""
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT l_partkey pk, l_suppkey sk FROM lineitem),
+edges AS (SELECT pk*2 AS src, sk*2+1 AS dst FROM e0
+          UNION ALL SELECT sk*2+1, pk*2 FROM e0),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, h) AS (
+  SELECT id, 0 FROM nodes
+  WHERE id % 2 = 1 AND id // 2 <= {BFS_SEED_SUPPKEY_MAX}
+  UNION
+  SELECT e.dst, w.h + 1 FROM walk w
+  JOIN edges e ON e.src = w.id WHERE w.h < {max_hops}),
+d AS (SELECT id, CAST(min(h) AS BIGINT) AS hops FROM walk GROUP BY 1)
+SELECT CASE WHEN n.id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+       CAST(n.id // 2 AS BIGINT) AS key,
+       COALESCE(d.hops, -1) AS hops
+FROM nodes n LEFT JOIN d ON d.id = n.id
+""".strip()
+
+
+GRAPH_BFS_HOPS_SQL = graph_bfs_hops_sql()

@@ -2163,6 +2163,53 @@ def test_graph_triangles_known_graph(ray_session, tmp_path):
         {"n_nodes": 5, "n_edges": 7, "n_triangles": 4}]
 
 
+def test_graph_bfs_hops_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.graph_bfs_hops(SF).to_pandas()
+    assert_matches_sql(got, con, an.GRAPH_BFS_HOPS_SQL)
+    # seeds must be present at hop 0 and every hop value is in
+    # {-1, 0..max_hops}
+    sup0 = got[(got["kind"] == "supplier")
+               & (got["key"] <= an.BFS_SEED_SUPPKEY_MAX)]
+    assert (sup0["hops"] == 0).all() and len(sup0) > 0
+    assert got["hops"].isin(list(range(-1, an.BFS_MAX_HOPS + 1))).all()
+    # bipartite invariant: parts sit at odd hops, non-seed suppliers at
+    # even hops (when reached)
+    parts = got[(got["kind"] == "part") & (got["hops"] >= 0)]
+    assert (parts["hops"] % 2 == 1).all()
+
+
+def test_graph_bfs_hops_known_graph(ray_session, tmp_path):
+    """Path p0-s1(seed), p0-s7, p2-s7 gives hops s1=0, p0=1, s7=2,
+    p2=3; the disconnected edge p3-s9 stays unreached (-1 both)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    pairs = [(0, 1), (0, 7), (2, 7), (3, 9)]
+    n = len(pairs)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([p for p, _ in pairs], pa.int64()),
+        "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([1.0] * n),
+        "l_extendedprice": pa.array([1.0] * n),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([0.0] * n),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    got = an.graph_bfs_hops(str(tmp_path)).to_pandas()
+    want = {("supplier", 1): 0, ("part", 0): 1, ("supplier", 7): 2,
+            ("part", 2): 3, ("part", 3): -1, ("supplier", 9): -1}
+    assert {(r["kind"], r["key"]): r["hops"]
+            for _, r in got.iterrows()} == want
+
+
 # --- edit-distance similarity join ------------------------------------
 
 

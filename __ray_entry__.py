@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-source BFS hop distance (frontier-expansion rounds;
         # recursive-CTE oracle) — the traversal member of the graph family
         "graph_bfs_hops": an.graph_bfs_hops,
+        # end-to-end exact n-gram dedup: pairs → distributed CC → keep
+        # min-id rep; first oracle drive of connected_components_ds
+        "dedup_ngram_keep": co.dedup_ngram_keep,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -515,6 +518,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_session_overlap": an.EVENTS_SESSION_OVERLAP_SQL,
         "events_late_arrivals": an.EVENTS_LATE_ARRIVALS_SQL,
         "graph_bfs_hops": an.GRAPH_BFS_HOPS_SQL,
+        "dedup_ngram_keep": co.DEDUP_NGRAM_KEEP_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

@@ -1612,6 +1612,89 @@ def dedup_clusters_distributed(sf_dir: str, lsh_threshold: float = 0.7,
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def dedup_ngram_keep(sf_dir: str, threshold_num: int = 1,
+                     threshold_den: int = 2, num_parts: int = 16):
+    """End-to-end EXACT n-gram dedup: keep one representative per
+    near-dup component — the materializing tail of the dedup family,
+    and the first ORACLE-checkable drive of the distributed
+    connected-components stage (:func:`connected_components_ds`;
+    previously pytest-only via an equivalence test).
+
+    Pipeline: :func:`dedup_ngram_pairs` (exact inverted-index join,
+    itself oracle-green) → pointer-jumping CC over the pair Dataset →
+    one doc_id-hash exchange joining component reps onto the full
+    corpus id column.  Output per document: its component
+    representative ``rep`` (own id for singletons) and
+    ``kept = (doc_id == rep)`` — the deterministic keep-min policy of
+    :func:`dedup_clusters`, here verified against a recursive-CTE
+    min-label-propagation DuckDB oracle end to end.
+
+    Scale shape: everything corpus-sized moves as 8-16 byte id rows
+    (pairs, labels, the final rep join); text never leaves the scan
+    stage inside ``dedup_ngram_pairs``.  Reference: generalizes the
+    reference's exact content-dedup keep-first policy
+    (README.md:575-576) to graded-overlap components."""
+    import numpy as np
+
+    pairs = dedup_ngram_pairs(sf_dir, threshold_num, threshold_den)
+    comp = connected_components_ds(pairs, num_parts=num_parts)
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def corpus_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy("int64"),
+             "rep": np.full(len(df), -1, dtype="int64")})
+
+    def comp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy("int64"),
+             "rep": df["cluster_rep"].to_numpy("int64")})
+
+    def settle(df: pd.DataFrame) -> pd.DataFrame:
+        # each doc_id has exactly one corpus row (rep = -1) and at most
+        # one component row (rep ≥ 0): max() picks the component rep
+        # when present, then -1 singletons fall back to their own id
+        g = df.groupby("doc_id", as_index=False)["rep"].max()
+        ids = g["doc_id"].to_numpy("int64")
+        rep = g["rep"].to_numpy("int64")
+        rep = np.where(rep < 0, ids, rep)
+        return pd.DataFrame(
+            {"doc_id": ids, "rep": rep,
+             "kept": (ids == rep).astype("int64")})
+
+    tagged = (docs.map_batches(corpus_rows, batch_format="pandas")
+              .union(comp.map_batches(comp_rows, batch_format="pandas")))
+    return _hash_grouped(tagged, ["doc_id"], settle, num_parts=num_parts)
+
+
+def dedup_ngram_keep_sql(threshold_num: int = 1,
+                         threshold_den: int = 2) -> str:
+    """Recursive-CTE oracle: min-label propagation over the undirected
+    pair graph (seeded (u, u), labels flood along edges, component rep
+    = min reachable id), LEFT-joined onto the corpus."""
+    pairs = dedup_ngram_pairs_sql(threshold_num, threshold_den)
+    return f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({pairs}) t),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+walk(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.node),
+r AS (SELECT node, min(lab) AS rep FROM walk GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(r.rep, d.doc_id) AS BIGINT) AS rep,
+       CAST(CASE WHEN COALESCE(r.rep, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents d LEFT JOIN r ON r.node = d.doc_id
+ORDER BY d.doc_id
+""".strip()
+
+
+DEDUP_NGRAM_KEEP_SQL = dedup_ngram_keep_sql()
+
+
 def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup pairs: 64-bit sketch, band blocking, verify
     true Hamming distance inside each band bucket.

@@ -910,6 +910,53 @@ def test_ngram_pairs_match_sql(ray_session, con):
                        co.dedup_ngram_pairs_sql())
 
 
+def test_dedup_ngram_keep_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.dedup_ngram_keep(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert_matches_sql(got, con, co.DEDUP_NGRAM_KEEP_SQL)
+    # the keep policy is consistent with the pair graph: every dropped
+    # doc names a kept, strictly smaller representative
+    dropped = got[got["kept"] == 0]
+    reps = set(got[got["kept"] == 1]["doc_id"])
+    assert (dropped["rep"] < dropped["doc_id"]).all()
+    assert set(dropped["rep"]).issubset(reps)
+
+
+def test_dedup_ngram_keep_transitive_chain(ray_session, tmp_path):
+    """A ~ B and B ~ C but A !~ C directly: CC must still merge the
+    chain into ONE component with rep A — a pairwise-threshold keep
+    (drop the larger of each pair) would get this right only by
+    accident; component closure is the point of the CC stage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    base = [f"w{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[8:] + [f"x{i}" for i in range(8)])   # ~62% with a
+    c = " ".join(base[16:] + [f"x{i}" for i in range(16)])  # ~52% w/ b
+    lone = " ".join(f"z{i}" for i in range(40))
+    d = tmp_path / "chain"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+                  "text": pa.array([a, b, c, lone], pa.string())}),
+        d / "documents.parquet")
+    pairs = (co.dedup_ngram_pairs(str(d)).to_pandas()
+             [["doc_a", "doc_b"]].apply(tuple, axis=1).tolist())
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    got = (co.dedup_ngram_keep(str(d)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.to_dict("records") == [
+        {"doc_id": 1, "rep": 1, "kept": 1},
+        {"doc_id": 2, "rep": 1, "kept": 0},
+        {"doc_id": 3, "rep": 1, "kept": 0},
+        {"doc_id": 9, "rep": 9, "kept": 1}]
+
+
 def test_embedding_pairs_brute_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 

@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end exact n-gram dedup: pairs → distributed CC → keep
         # min-id rep; first oracle drive of connected_components_ds
         "dedup_ngram_keep": co.dedup_ngram_keep,
+        # grouped OLS trend from 5 exact sufficient statistics (one
+        # combiner pass, answer-sized big-int reduce; HUGEINT oracle)
+        "events_value_trend": an.events_value_trend,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -519,6 +522,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_late_arrivals": an.EVENTS_LATE_ARRIVALS_SQL,
         "graph_bfs_hops": an.GRAPH_BFS_HOPS_SQL,
         "dedup_ngram_keep": co.DEDUP_NGRAM_KEEP_SQL,
+        "events_value_trend": an.EVENTS_VALUE_TREND_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

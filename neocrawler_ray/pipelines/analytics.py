@@ -5386,3 +5386,96 @@ FROM nodes n LEFT JOIN d ON d.id = n.id
 
 
 GRAPH_BFS_HOPS_SQL = graph_bfs_hops_sql()
+
+
+# --- grouped OLS trend (exact sufficient statistics) -----------------------
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division truncated toward zero (DuckDB ``//`` semantics;
+    Python's ``//`` floors, which differs for negative numerators)."""
+    q = abs(num) // abs(den)
+    return -q if (num < 0) != (den < 0) else q
+
+
+def events_value_trend(sf_dir: str):
+    """Per-event-type least-squares trend of value over time — the
+    grouped-regression shape every feature/EDA pipeline needs (drift
+    detection, per-segment trends), built the decomposable way: OLS
+    needs only the five sufficient statistics (n, Σx, Σy, Σxy, Σx²),
+    each a plain SUM, so the whole regression is ONE combiner
+    map_batches + an answer-sized reduce — no shuffle, no second pass.
+
+    Exactness across engines: x = hours-since-epoch (int64; squares
+    and cross terms stay well inside int64 per 50k-row batch), y =
+    the shared e4 fixed point; the answer-sized final reduce sums in
+    PYTHON ints (arbitrary precision — per-block partials can overflow
+    int64 when summed at 10⁹-row scale), and the closed forms
+    slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²),
+    icept = (Σy·den − num·Σx)/(n·den)
+    are emitted as toward-zero-truncated fixed-point ints
+    (slope_e6 per hour, icept_e4), so the DuckDB HUGEINT oracle is
+    bit-identical — no float in the pipeline at all.
+
+    Reference: monitor.js's per-day series (A3) fit client-side trend
+    lines; this is that computation done exactly, in-engine."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["ts"].astype("int64").to_numpy() // 3_600_000_000)
+        y = _e4(df["value"])
+        g = (pd.DataFrame({"event_type": df["event_type"], "x": x, "y": y,
+                           "xy": x * y, "x2": x * x})
+             .groupby("event_type", as_index=False)
+             .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                  sxy=("xy", "sum"), sx2=("x2", "sum")))
+        return g
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    # answer-sized: groups × blocks rows — finish in Python big ints
+    for c in ["n", "sx", "sy", "sxy", "sx2"]:
+        parts[c] = parts[c].map(int).astype(object)
+    g = parts.groupby("event_type", as_index=False).sum()
+    out = []
+    for _, r in g.iterrows():
+        n, sx, sy, sxy, sx2 = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sx2"]))
+        num = n * sxy - sx * sy
+        den = n * sx2 - sx * sx
+        if den == 0:  # all events in one hour bucket: flat line at mean
+            slope, icept = 0, _trunc_div(sy, n)
+        else:
+            slope = _trunc_div(num * 1_000_000, den)
+            icept = _trunc_div(sy * den - num * sx, n * den)
+        out.append((r["event_type"], n, slope, icept))
+    out.sort()
+    return pd.DataFrame(
+        {"event_type": pd.Series([o[0] for o in out], dtype="object"),
+         "n": pd.Series([o[1] for o in out], dtype="int64"),
+         "slope_e6": pd.Series([o[2] for o in out], dtype="int64"),
+         "icept_e4": pd.Series([o[3] for o in out], dtype="int64")})
+
+
+EVENTS_VALUE_TREND_SQL = """
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS x,
+         CAST(floor(value * 10000) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sx2
+  FROM b GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN 0
+            ELSE (n * sxy - sx * sy) * 1000000 // (n * sx2 - sx * sx)
+            END AS BIGINT) AS slope_e6,
+       CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN sy // n
+            ELSE (sy * (n * sx2 - sx * sx) - (n * sxy - sx * sy) * sx)
+                 // (n * (n * sx2 - sx * sx))
+            END AS BIGINT) AS icept_e4
+FROM s ORDER BY event_type
+""".strip()

@@ -2210,6 +2210,45 @@ def test_graph_triangles_known_graph(ray_session, tmp_path):
         {"n_nodes": 5, "n_edges": 7, "n_triangles": 4}]
 
 
+def test_events_value_trend_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_value_trend(SF)
+    assert_matches_sql(got, con, an.EVENTS_VALUE_TREND_SQL)
+    assert (got["n"] > 0).all() and len(got) == 5
+
+
+def test_events_value_trend_known_line(ray_session, tmp_path):
+    """Points exactly on y = 2.5·x + 7 (x in hours) must recover
+    slope_e6 = 2.5e4·1e6/1e4… i.e. slope in e4-units/hour = 25000,
+    so slope_e6 = 25_000_000_000 — and a negative-slope group checks
+    the toward-zero truncation against Python floor semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    xs = [0, 1, 2, 3, 10]
+    up = [2.5 * x + 7 for x in xs]        # slope 2.5/hour, icept 7
+    dn = [-1.25 * x + 3 for x in xs]      # negative slope
+    n = len(xs) * 2
+    ts = [x * 3_600_000_000 for x in xs] * 2
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["up"] * 5 + ["dn"] * 5),
+        "value": pa.array(up + dn, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    got = an.events_value_trend(str(tmp_path))
+    rec = {r["event_type"]: r for r in got.to_dict("records")}
+    assert rec["up"]["slope_e6"] == 25_000 * 1_000_000
+    assert rec["up"]["icept_e4"] == 7 * 10_000
+    assert rec["dn"]["slope_e6"] == -12_500 * 1_000_000
+    assert rec["dn"]["icept_e4"] == 3 * 10_000
+
+
 def test_graph_bfs_hops_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

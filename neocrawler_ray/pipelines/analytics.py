@@ -5479,3 +5479,69 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
             END AS BIGINT) AS icept_e4
 FROM s ORDER BY event_type
 """.strip()
+
+
+# --- skyline (Pareto frontier) ---------------------------------------------
+
+
+def _skyline2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2-D max-max skyline of (price, date) — vectorized
+    staircase: a row is dominated iff some row has BOTH dims ≥ with one
+    strict, i.e. iff the max date among STRICTLY higher prices ≥ its
+    date, or the max date at EQUAL price > its date (equal-equal ties
+    all survive).  Sort by price desc, prefix-max the date over the
+    preceding strictly-greater-price run."""
+    if df.empty:
+        return df
+    d = df.sort_values(["o_totalprice", "o_orderdate"],
+                       ascending=False, kind="mergesort")
+    p = d["o_totalprice"].to_numpy()
+    t = d["o_orderdate"].to_numpy().astype("int64")
+    # prefix max date over all rows of STRICTLY greater price: group
+    # rows by price run; carry the running max of prior runs
+    new_run = np.r_[True, p[1:] != p[:-1]]
+    run_id = np.cumsum(new_run) - 1
+    # per-run max date = first date in run (sorted desc within run)
+    run_max = t[new_run]
+    prior = np.maximum.accumulate(run_max)
+    prior = np.r_[np.iinfo("int64").min, prior[:-1]][run_id]
+    eq_max = run_max[run_id]
+    keep = (prior < t) & ~(eq_max > t)
+    return d[keep]
+
+
+def orders_skyline(sf_dir: str):
+    """Distributed skyline / Pareto frontier of orders maximizing
+    (o_totalprice, o_orderdate) — "no other order is both more
+    valuable and more recent".  The dominance-filter operator class
+    (multi-objective top-k) that plain SQL needs a quadratic
+    NOT EXISTS for.
+
+    Shape: the skyline operator admits a perfect combiner — a global
+    skyline member is never dominated within its own block, so
+    per-block local skylines (vectorized staircase, O(b log b)) are a
+    superset-preserving partial, and the final skyline of the
+    concatenated local skylines (answer-sized: staircases of real data
+    are tiny; worst case = fully anticorrelated dims, documented) is
+    exact.  One map_batches + a driver-side finish on partial rows —
+    zero shuffles, the same partial/combine discipline as the sum
+    aggregates.  Float prices pass through untouched (comparisons
+    only), so the oracle match is bit-exact."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderdate"])
+    parts = orders.map_batches(_skyline2d, batch_format="pandas").to_pandas()
+    out = _skyline2d(parts).sort_values("o_orderkey").reset_index(drop=True)
+    return out[["o_orderkey", "o_totalprice", "o_orderdate"]]
+
+
+ORDERS_SKYLINE_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE b.o_totalprice >= a.o_totalprice
+    AND b.o_orderdate >= a.o_orderdate
+    AND (b.o_totalprice > a.o_totalprice
+         OR b.o_orderdate > a.o_orderdate))
+ORDER BY o_orderkey
+""".strip()

@@ -2249,6 +2249,37 @@ def test_events_value_trend_known_line(ray_session, tmp_path):
     assert rec["dn"]["icept_e4"] == 3 * 10_000
 
 
+def test_orders_skyline_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.orders_skyline(SF)
+    assert_matches_sql(got, con, an.ORDERS_SKYLINE_SQL)
+    assert len(got) > 0
+    # staircase invariant: sorted by price desc, dates strictly increase
+    s = got.sort_values("o_totalprice", ascending=False)
+    d = s["o_orderdate"].to_numpy().astype("int64")
+    p = s["o_totalprice"].to_numpy()
+    assert all(d[i] < d[i + 1] or p[i] == p[i + 1]
+               for i in range(len(s) - 1))
+
+
+def test_skyline2d_ties_and_dominance():
+    """Equal-equal ties both survive; equal price + lower date is
+    dominated; strictly-higher-price-and-date dominates."""
+    from neocrawler_ray.pipelines.analytics import _skyline2d
+
+    df = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5, 6],
+        "o_totalprice": [10.0, 10.0, 10.0, 5.0, 5.0, 1.0],
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-05", "2024-01-05", "2024-01-01",  # tie, tie, dom
+             "2024-02-01", "2024-01-03",                # keep, dom
+             "2024-03-01"]),                            # keep (max date)
+    })
+    keep = sorted(_skyline2d(df)["o_orderkey"].tolist())
+    assert keep == [1, 2, 4, 6]
+
+
 def test_graph_bfs_hops_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

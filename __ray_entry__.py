@@ -251,6 +251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 2-D skyline / Pareto frontier (dominance filter with a
         # perfect local-skyline combiner; quadratic NOT EXISTS oracle)
         "orders_skyline": an.orders_skyline,
+        # per-column data-quality profile: n_rows/n_null/exact distinct
+        # in ONE pass (hash-partitioned unique counting)
+        "documents_profile": co.table_profile,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -527,6 +530,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "dedup_ngram_keep": co.DEDUP_NGRAM_KEEP_SQL,
         "events_value_trend": an.EVENTS_VALUE_TREND_SQL,
         "orders_skyline": an.ORDERS_SKYLINE_SQL,
+        "documents_profile": co.DOCUMENTS_PROFILE_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

@@ -3509,3 +3509,96 @@ WHERE r <= {n}
 
 
 DOC_SAMPLE_WEIGHTED_SQL = doc_sample_weighted_sql()
+
+
+# --- table profiler (data-quality scan) -----------------------------------
+
+
+def table_profile(sf_dir: str, table: str = "documents",
+                  num_parts: int = 32):
+    """Per-column data-quality profile — n_rows / n_null / n_distinct
+    for every column in ONE pass over the table: the ingest-validation
+    scan a 100-TB pipeline runs before anything else (schema drift,
+    null regressions, key-cardinality checks).
+
+    Exact-distinct shape: each batch emits its per-column UNIQUE
+    64-bit value hashes (nulls masked out, SQL COUNT(DISTINCT)
+    semantics) plus one tiny per-column count partial, all into one
+    exchange hash-partitioned on (col, h) — same key ⇒ same partition,
+    so per-partition unique counts sum to the exact global distinct.
+    Count partials ride the same exchange under a sentinel hash.  The
+    reduce output is answer-sized (columns × partitions rows).
+    Distinctness is counted over 64-bit hashes: collision probability
+    is birthday-bounded (~d²/2⁶⁵ — negligible below ~10⁸ distincts;
+    carry two independent hashes for the 128-bit upgrade at frontier
+    scale).  Text bodies never leave the scan stage — only their
+    hashes enter the exchange.
+
+    Reference: the reference's monitor/stat pages report per-day row
+    counts only (monitor.js); this is the per-column generalization."""
+    import numpy as np
+
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, table, None)
+    cols = ds.schema().names
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_col, out_h, out_n, out_nn = [], [], [], []
+        for i, c in enumerate(cols):
+            s = df[c]
+            mask = s.notna()
+            h = pd.util.hash_pandas_object(
+                s[mask], index=False).to_numpy(dtype="uint64")
+            uh = np.unique(h).view("int64")
+            out_col.append(np.full(len(uh), i, dtype="int64"))
+            out_h.append(uh)
+            out_n.append(np.full(len(uh), -1, dtype="int64"))
+            out_nn.append(np.full(len(uh), -1, dtype="int64"))
+            # one count-partial row per column per batch (sentinel h)
+            out_col.append(np.array([i], dtype="int64"))
+            out_h.append(np.array([np.iinfo("int64").min], dtype="int64"))
+            out_n.append(np.array([len(s)], dtype="int64"))
+            out_nn.append(np.array([int((~mask).sum())], dtype="int64"))
+        return pd.DataFrame(
+            {"col": np.concatenate(out_col), "h": np.concatenate(out_h),
+             "n": np.concatenate(out_n), "nn": np.concatenate(out_nn)})
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        is_cnt = df["n"] >= 0
+        cnt = (df[is_cnt].groupby("col", as_index=False)
+               [["n", "nn"]].sum())
+        dis = (df[~is_cnt][["col", "h"]].drop_duplicates()
+               .groupby("col", as_index=False).size()
+               .rename(columns={"size": "nd"}))
+        m = cnt.merge(dis, on="col", how="outer").fillna(0)
+        return m.astype({"col": "int64", "n": "int64", "nn": "int64",
+                         "nd": "int64"})
+
+    parts = _hash_grouped(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["col", "h"], reduce_part, num_parts=num_parts).to_pandas()
+    g = parts.groupby("col", as_index=False)[["n", "nn", "nd"]].sum()
+    g["col_name"] = g["col"].map(dict(enumerate(cols)))
+    g = g.sort_values("col_name").reset_index(drop=True)
+    return pd.DataFrame(
+        {"col_name": g["col_name"].astype(object),
+         "n_rows": g["n"].astype("int64"),
+         "n_null": g["nn"].astype("int64"),
+         "n_distinct": g["nd"].astype("int64")})
+
+
+def table_profile_sql(table: str = "documents",
+                      cols: tuple[str, ...] = (
+                          "doc_id", "lang", "n_chars", "source", "text"),
+                      ) -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_null, "
+        f"COUNT(DISTINCT {c}) AS n_distinct FROM {table}"
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+DOCUMENTS_PROFILE_SQL = table_profile_sql()

@@ -2249,6 +2249,40 @@ def test_events_value_trend_known_line(ray_session, tmp_path):
     assert rec["dn"]["icept_e4"] == 3 * 10_000
 
 
+def test_table_profile_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.table_profile(SF)
+    assert_matches_sql(got, con, co.DOCUMENTS_PROFILE_SQL)
+    rec = {r["col_name"]: r for r in got.to_dict("records")}
+    assert rec["doc_id"]["n_distinct"] == rec["doc_id"]["n_rows"]
+
+
+def test_table_profile_nulls_and_dupes(ray_session, tmp_path):
+    """Nulls are excluded from distinct (SQL COUNT(DISTINCT)
+    semantics) and counted in n_null; duplicate values collapse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", "a", None, "b"], pa.string()),
+        "lang": pa.array([None, None, None, "en"], pa.string()),
+        "source": pa.array(["s", "s", "s", "s"], pa.string()),
+        "n_chars": pa.array([1, 1, 0, 1], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    got = co.table_profile(str(tmp_path))
+    rec = {r["col_name"]: (r["n_rows"], r["n_null"], r["n_distinct"])
+           for r in got.to_dict("records")}
+    assert rec["text"] == (4, 1, 2)
+    assert rec["lang"] == (4, 3, 1)
+    assert rec["source"] == (4, 0, 1)
+    assert rec["n_chars"] == (4, 0, 2)
+    assert rec["doc_id"] == (4, 0, 4)
+
+
 def test_orders_skyline_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

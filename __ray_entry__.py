@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-column data-quality profile: n_rows/n_null/exact distinct
         # in ONE pass (hash-partitioned unique counting)
         "documents_profile": co.table_profile,
+        # PPJoin prefix-filtered exact similarity join at t=0.8 —
+        # ~20% of postings indexed, same answer as the full join
+        "dedup_ngram_pairs_prefix": co.dedup_ngram_pairs_prefix,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -531,6 +534,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_value_trend": an.EVENTS_VALUE_TREND_SQL,
         "orders_skyline": an.ORDERS_SKYLINE_SQL,
         "documents_profile": co.DOCUMENTS_PROFILE_SQL,
+        "dedup_ngram_pairs_prefix": co.DEDUP_NGRAM_PAIRS_PREFIX_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

@@ -3602,3 +3602,176 @@ def table_profile_sql(table: str = "documents",
 
 
 DOCUMENTS_PROFILE_SQL = table_profile_sql()
+
+
+# --- PPJoin-style prefix-filtered exact similarity join --------------------
+
+
+def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
+                             threshold_den: int = 5,
+                             num_parts: int | None = None):
+    """EXACT n-gram Jaccard self-join at a HIGH threshold via PREFIX
+    FILTERING (Chaudhuri/Bayardo/Xiao's all-pairs trick) — same answer
+    as :func:`dedup_ngram_pairs` at the same threshold, but only each
+    document's prefix enters the inverted index.
+
+    Guarantee: order every shingle set by a fixed global total order
+    (ascending 64-bit hash here); for J(a,b) ≥ t = tn/td the overlap
+    has ≥ ⌈t·|x|⌉ elements for BOTH sides, so the smallest common
+    element sits within the first |x| − ⌈t·|x|⌉ + 1 elements of EACH
+    side — index only those prefixes and no qualifying pair is missed.
+    At t = 0.8 that indexes ~20% of postings, cutting the quadratic
+    per-shingle pair emission ~25× — the difference between a feasible
+    and an infeasible exact join on a near-dup-heavy crawl.
+
+    Candidates are then verified with the exact set intersection via
+    the same co-grouped payload join as :func:`dedup_minhash_verified`
+    (shingle sets computed AT SCAN, shipped once per candidate side;
+    nothing corpus-sized on the driver).  Output and oracle are
+    byte-identical to ``dedup_ngram_pairs(tn, td)``.
+
+    Production notes (documented trade-offs): hash order is
+    correctness-sufficient; the classic df-ascending order makes
+    prefixes rare-shingle-biased and composes with
+    ``dedup_ngram_pairs``'s hot-shingle block split when a template
+    shingle still lands in many prefixes."""
+    import numpy as np
+
+    tn, td = int(threshold_num), int(threshold_den)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=256)
+
+    union_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pair_key", pa.string()),
+         ("side", pa.int64()), ("payload", pa.binary())])
+    attach_schema = pa.schema(
+        [("pair_key", pa.string()), ("side", pa.int64()),
+         ("payload", pa.binary())])
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_sh, out_id = [], []
+        for i, t in zip(df["doc_id"].astype("int64"),
+                        df["text"].fillna("")):
+            h = dd.shingle_hashes(str(t))  # sorted unique uint64
+            s = len(h)
+            if s == 0:
+                continue
+            # prefix length |x| − ⌈t·|x|⌉ + 1 in integer arithmetic
+            plen = s - ((tn * s + td - 1) // td) + 1
+            pre = h[:max(plen, 1)]
+            out_sh.append(pre.view("int64"))
+            out_id.append(np.full(len(pre), i, dtype="int64"))
+        if not out_sh:
+            return pd.DataFrame({"shingle": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame({"shingle": np.concatenate(out_sh),
+                             "doc_id": np.concatenate(out_id)})
+
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64")})
+        if len(df) < 2:
+            return empty
+        sh = df["shingle"].to_numpy("int64")
+        ids = df["doc_id"].to_numpy("int64")
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        counts = np.diff(np.r_[starts, len(sh)])
+        out_a, out_b = [], []
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            g = ids[s:s + int(c)]
+            ii, jj = np.triu_indices(int(c), k=1)
+            out_a.append(g[ii]); out_b.append(g[jj])
+        if not out_a:
+            return empty
+        p = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                          "doc_b": np.concatenate(out_b)})
+        # local combiner: a pair sharing k prefix shingles in this
+        # partition ships once
+        return p.drop_duplicates().astype("int64")
+
+    cands = _hash_grouped(
+        docs.map_batches(prefix_rows, batch_format="pandas"),
+        ["shingle"], cand_pairs, num_parts=num_parts or 32)
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        pk = (df["doc_a"].astype(str) + ":"
+              + df["doc_b"].astype(str)).tolist()
+        return pa.Table.from_pydict(
+            {"doc_id": df["doc_a"].tolist() + df["doc_b"].tolist(),
+             "pair_key": pk + pk,
+             "side": [0] * len(df) + [1] * len(df),
+             "payload": [b""] * (2 * len(df))},
+            schema=union_schema)
+
+    def shingle_rows(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": df["doc_id"].astype("int64").tolist(),
+             "pair_key": [""] * len(df),
+             "side": [-1] * len(df),
+             "payload": [dd.shingle_hashes(str(t)).tobytes()
+                         for t in df["text"].fillna("")]},
+            schema=union_schema)
+
+    unioned = (cands.map_batches(explode, batch_format="pandas")
+               .union(docs.map_batches(shingle_rows,
+                                       batch_format="pandas")))
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        pr = df[df["side"] >= 0]
+        if pr.empty:
+            return attach_schema.empty_table()
+        # the same pair can arrive from several shingle partitions —
+        # dedupe before shipping payloads
+        pr = pr.drop_duplicates(["pair_key", "side"])
+        sh = df[df["side"] < 0]
+        sh_ids = sh["doc_id"].to_numpy(dtype="int64")
+        order = np.argsort(sh_ids, kind="stable")
+        sh_ids = sh_ids[order]
+        sh_pay = sh["payload"].to_numpy()[order]
+        q = pr["doc_id"].to_numpy(dtype="int64")
+        pos = np.searchsorted(sh_ids, q)
+        ok = pos < len(sh_ids)
+        ok[ok] = sh_ids[pos[ok]] == q[ok]
+        return pa.Table.from_pydict(
+            {"pair_key": pr["pair_key"].tolist(),
+             "side": pr["side"].tolist(),
+             "payload": [bytes(sh_pay[p]) if o else b""
+                         for p, o in zip(pos, ok)]},
+            schema=attach_schema)
+
+    parts = _parts_for(sf_dir, "documents", rows_per_part=600, lo=8)
+    co_located = _hash_grouped(unioned, ["doc_id"], attach,
+                               num_parts=parts)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["pair_key", "side"])
+        out = {"doc_a": [], "doc_b": [], "n_intersect": [], "n_union": []}
+        for pk, g in df.groupby("pair_key", sort=False):
+            if len(g) < 2:
+                continue
+            blobs = g.sort_values("side")["payload"].tolist()
+            sa = np.frombuffer(blobs[0], dtype=np.uint64)
+            sb = np.frombuffer(blobs[1], dtype=np.uint64)
+            c = len(np.intersect1d(sa, sb, assume_unique=True))
+            u = len(sa) + len(sb) - c
+            if c >= 1 and td * c >= tn * u:
+                a, b = pk.split(":")
+                out["doc_a"].append(int(a)); out["doc_b"].append(int(b))
+                out["n_intersect"].append(c); out["n_union"].append(u)
+        return pd.DataFrame(out).astype("int64") if out["doc_a"] else \
+            pd.DataFrame({k: pd.Series(dtype="int64") for k in out})
+
+    return _hash_grouped(co_located, ["pair_key"], verify,
+                         num_parts=max(parts // 2, 4))
+
+
+def dedup_ngram_pairs_prefix_sql(threshold_num: int = 4,
+                                 threshold_den: int = 5) -> str:
+    """Same oracle as the unfiltered exact join at this threshold —
+    prefix filtering is a pure candidate-pruning optimization."""
+    return dedup_ngram_pairs_sql(threshold_num, threshold_den)
+
+
+DEDUP_NGRAM_PAIRS_PREFIX_SQL = dedup_ngram_pairs_prefix_sql()

@@ -910,6 +910,55 @@ def test_ngram_pairs_match_sql(ray_session, con):
                        co.dedup_ngram_pairs_sql())
 
 
+def test_dedup_ngram_pairs_prefix_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = (co.dedup_ngram_pairs_prefix(SF).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert_matches_sql(got, con, co.DEDUP_NGRAM_PAIRS_PREFIX_SQL)
+
+
+def test_prefix_join_equals_full_join_and_prunes(ray_session, tmp_path):
+    """Prefix filtering must (a) return EXACTLY the unfiltered exact
+    join's answer at the same threshold and (b) actually index fewer
+    postings — the 25×-at-t=0.8 claim, checked here as a strict
+    reduction on a planted near-dup corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = [" ".join(vocab[rng.randint(0, 400)] for _ in range(60))
+             for _ in range(25)]
+    ids = list(range(25))
+    for j in range(4):  # 1-word edits → J ≈ 57/63 ≈ 0.9 ≥ 0.8
+        w = texts[j].split()
+        w[20] = "EDITED"
+        texts.append(" ".join(w))
+        ids.append(100 + j)
+    d = tmp_path / "pp"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet")
+    pref = (co.dedup_ngram_pairs_prefix(str(d)).to_pandas()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    full = (co.dedup_ngram_pairs(str(d), 4, 5).to_pandas()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(pref, full)
+    assert len(pref) >= 4  # the planted edits all survive t = 0.8
+    # pruning: prefix postings ≈ (1-t)·full postings
+    n_full = sum(len(dd.shingle_hashes(t)) for t in texts)
+    n_pref = sum(
+        len(dd.shingle_hashes(t))
+        - ((4 * len(dd.shingle_hashes(t)) + 4) // 5) + 1
+        for t in texts if len(dd.shingle_hashes(t)))
+    assert n_pref < 0.3 * n_full
+
+
 def test_dedup_ngram_keep_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 

@@ -192,6 +192,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             an.events_user_rank_bucketed(sf_dir)),
         # ExactSubstr-style duplicated-span gate (span-hash exchange)
         "doc_dup_spans": lambda: consume(co.doc_dup_spans(sf_dir)),
+        # second round-4 continuation: graph traversal, end-to-end CC
+        # dedup, prefix-filtered exact join, one-pass column profiler
+        "graph_bfs_hops": lambda: consume(an.graph_bfs_hops(sf_dir)),
+        "dedup_ngram_keep": lambda: consume(co.dedup_ngram_keep(sf_dir)),
+        "dedup_ngram_prefix": lambda: consume(
+            co.dedup_ngram_pairs_prefix(sf_dir)),
+        "documents_profile": lambda: consume(co.table_profile(sf_dir)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

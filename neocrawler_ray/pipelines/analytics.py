@@ -5226,23 +5226,25 @@ def graph_bfs_hops(sf_dir: str, max_hops: int = BFS_MAX_HOPS):
     (:func:`graph_pagerank`, fixed-round) and structure counting
     (:func:`graph_triangles`).
 
-    Classic frontier-expansion rounds, each two exchanges (the
-    PageRank step shape, but with a SHRINKING left side): (1) frontier
-    ∪ edges co-partitioned on src — per-partition merge emits
-    next-hop candidates, deduped before they ship; (2) candidates ∪
-    the reached-set co-partitioned on node id — BFS monotonicity makes
-    the rule trivially mergeable (first reach wins; already-reached
-    candidates are dropped, the rest become the next frontier).  The
-    reached set and frontier are node-sized Datasets materialized per
-    round (K small plans instead of one K-deep lazy chain); nothing
-    graph-sized touches the driver.  At 100 TB the bytes per round are
-    bounded by the frontier's out-edge count — the same edge-cut cost
-    as any BSP BFS (Pregel's canonical example).
+    Broadcast-frontier rounds: synchronous BFS gives every round-r
+    frontier node the SAME hop r−1, so the frontier is just an ID SET
+    — ``ray.put`` its sorted array once per round and expand with a
+    zero-shuffle vectorized ``searchsorted`` map over the (materialized
+    once) edge Dataset; only the per-block-deduped candidates enter the
+    one node-sized settle exchange (candidates ∪ reached co-partitioned
+    on id; first reach wins, fresh ids become the next frontier).  A
+    first cut instead co-partitioned frontier∪edges per round — that
+    re-ships EVERY edge every round (32 s at sf0.1 vs ~3 s for this
+    shape); the broadcast variant's per-round exchange bytes are
+    bounded by the frontier's edge-cut, the canonical BSP BFS cost.
+    Assumption (documented trade): the per-round frontier id array
+    fits in the object store (8 B/node; a 10⁸-node frontier is
+    800 MB) — beyond that, fall back to the co-partitioned exchange.
 
     Reference: neocrawler's drill ladder IS a bounded-depth BFS from
     the seed URLs (spider.js depth counter gating link feedback);
     this is that traversal over an explicit graph."""
-    import ray  # noqa: F401  (parity with sibling ops; not used directly)
+    import ray
 
     from .corpus_ops import _hash_grouped
 
@@ -5271,16 +5273,6 @@ def graph_bfs_hops(sf_dir: str, max_hops: int = BFS_MAX_HOPS):
     nodes = _hash_grouped(edges, ["src"], node_fn,
                           num_parts=32).materialize()
 
-    # exchange-A rows: (key, dst, h) — edge rows carry h = -1,
-    # frontier rows carry dst = -1 and their hop count
-    def edge_to_row(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"key": df["src"].to_numpy("int64"),
-                             "dst": df["dst"].to_numpy("int64"),
-                             "h": np.full(len(df), -1, dtype="int64")})
-
-    edge_rows = edges.map_batches(edge_to_row,
-                                  batch_format="pandas").materialize()
-
     def seed_fn(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["id"].to_numpy("int64")
         m = (ids % 2 == 1) & (ids // 2 <= BFS_SEED_SUPPKEY_MAX)
@@ -5289,20 +5281,8 @@ def graph_bfs_hops(sf_dir: str, max_hops: int = BFS_MAX_HOPS):
 
     reached = nodes.map_batches(seed_fn,
                                 batch_format="pandas").materialize()
-    frontier = reached
-
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
-        is_f = (df["dst"] == -1).to_numpy()
-        f = df[is_f]
-        e = df[~is_f]
-        m = e[["key", "dst"]].merge(f[["key", "h"]], on="key", how="inner")
-        if m.empty:
-            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
-                                 "h": pd.Series([], dtype="int64")})
-        g = (pd.DataFrame({"id": m["dst"].to_numpy("int64"),
-                           "h": m["h"].to_numpy("int64") + 1})
-             .groupby("id", as_index=False)["h"].min())
-        return g.astype({"id": "int64", "h": "int64"})
+    frontier_ids = np.sort(
+        reached.to_pandas()["id"].to_numpy("int64"))
 
     def settle(df: pd.DataFrame) -> pd.DataFrame:
         # flag 0 = already-reached row, 1 = candidate; first reach wins
@@ -5310,7 +5290,7 @@ def graph_bfs_hops(sf_dir: str, max_hops: int = BFS_MAX_HOPS):
         cand = df[df["flag"] == 1]
         fresh = cand[~cand["id"].isin(old["id"])]
         if not fresh.empty:
-            fresh = fresh.groupby("id", as_index=False)["h"].min()
+            fresh = fresh.drop_duplicates("id")
         out = pd.concat(
             [old[["id", "h"]],
              fresh[["id", "h"]].assign(new=1)], ignore_index=True)
@@ -5320,30 +5300,38 @@ def graph_bfs_hops(sf_dir: str, max_hops: int = BFS_MAX_HOPS):
     import pyarrow.compute as pc
 
     for r in range(1, max_hops + 1):
-        def front_to_row(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"key": df["id"].to_numpy("int64"),
-                 "dst": np.full(len(df), -1, dtype="int64"),
-                 "h": df["h"].to_numpy("int64")})
+        fr_ref = ray.put(frontier_ids)
 
-        cand = _hash_grouped(
-            edge_rows.union(frontier.map_batches(front_to_row,
-                                                 batch_format="pandas")),
-            ["key"], expand, num_parts=32)
+        def expand(df: pd.DataFrame, hop=r) -> pd.DataFrame:
+            fr = ray.get(fr_ref)  # zero-copy shared array
+            src = df["src"].to_numpy("int64")
+            pos = np.searchsorted(fr, src)
+            ok = pos < len(fr)
+            ok[ok] = fr[pos[ok]] == src[ok]
+            cand_ids = np.unique(df["dst"].to_numpy("int64")[ok])
+            return pd.DataFrame(
+                {"id": cand_ids,
+                 "h": np.full(len(cand_ids), hop, dtype="int64")})
+
+        cand = edges.map_batches(expand, batch_format="pandas")
         tagged = (reached.map_batches(
             lambda df: df[["id", "h"]].assign(flag=0),
             batch_format="pandas")
             .union(cand.map_batches(
                 lambda df: df.assign(flag=1), batch_format="pandas")))
         merged = _hash_grouped(tagged, ["id"], settle,
-                               num_parts=32).materialize()
+                               num_parts=16).materialize()
         reached = merged.map_batches(
             lambda tb: tb.select(["id", "h"]),
             batch_format="pyarrow").materialize()
-        frontier = merged.map_batches(
+        fdf = merged.map_batches(
             lambda tb: tb.filter(pc.equal(tb.column("new"), 1))
-            .select(["id", "h"]), batch_format="pyarrow").materialize()
-        if frontier.count() == 0:
+            .select(["id"]), batch_format="pyarrow").to_pandas()
+        # an all-empty filter result loses the pandas schema
+        frontier_ids = (np.sort(fdf["id"].to_numpy("int64"))
+                        if "id" in fdf.columns
+                        else np.array([], dtype="int64"))
+        if len(frontier_ids) == 0:
             break
 
     # unreached nodes → hops -1 (one node-hash exchange)

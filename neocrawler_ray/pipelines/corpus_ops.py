@@ -3634,7 +3634,11 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
     correctness-sufficient; the classic df-ascending order makes
     prefixes rare-shingle-biased and composes with
     ``dedup_ngram_pairs``'s hot-shingle block split when a template
-    shingle still lands in many prefixes."""
+    shingle still lands in many prefixes.  On DUP-LIGHT corpora (the
+    sf benchmark tables) the two text scans + payload verify dominate
+    and the unfiltered join is actually faster — prefix filtering pays
+    off exactly when Σ df² pair emission dominates, i.e. on the
+    near-dup-heavy crawls it exists for."""
     import numpy as np
 
     tn, td = int(threshold_num), int(threshold_den)

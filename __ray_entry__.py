@@ -257,6 +257,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PPJoin prefix-filtered exact similarity join at t=0.8 —
         # ~20% of postings indexed, same answer as the full join
         "dedup_ngram_pairs_prefix": co.dedup_ngram_pairs_prefix,
+        # CUSUM change-point scan (cross-multiplied exact ints, all
+        # argmax ties flagged; HUGEINT window oracle)
+        "events_daily_cusum": an.events_daily_cusum,
+        # declared-vs-detected language confusion matrix (corpus QA)
+        "doc_lang_confusion": co.doc_lang_confusion,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -535,6 +540,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "orders_skyline": an.ORDERS_SKYLINE_SQL,
         "documents_profile": co.DOCUMENTS_PROFILE_SQL,
         "dedup_ngram_pairs_prefix": co.DEDUP_NGRAM_PAIRS_PREFIX_SQL,
+        "events_daily_cusum": an.EVENTS_DAILY_CUSUM_SQL,
+        "doc_lang_confusion": co.DOC_LANG_CONFUSION_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

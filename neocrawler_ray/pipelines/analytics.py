@@ -5533,3 +5533,82 @@ WHERE NOT EXISTS (
          OR b.o_orderdate > a.o_orderdate))
 ORDER BY o_orderkey
 """.strip()
+
+
+# --- CUSUM change-point detection over daily series ------------------------
+
+
+def events_daily_cusum(sf_dir: str):
+    """CUSUM drift / change-point scan over each event type's daily
+    value series — flags the day(s) where the cumulative deviation
+    from the type's mean peaks (Page's classic sequential statistic,
+    the standard "did this metric shift?" monitor).
+
+    Exactness: the running statistic is kept as the cross-multiplied
+    integer C_k = N·Σ_{d≤k} s_d − (Σ_{d≤k} n_d)·T (s_d = day's e4
+    value sum, n_d = day's row count, T/N = the type's totals), i.e.
+    n·den-scaled so no division ever happens; peaks are |C_k| argmax
+    with ALL ties flagged — deterministic cross-engine.  Distribution
+    shape: one combiner map_batches produces (type, day) partials —
+    answer-sized (days × types) — and the prefix scan runs on the
+    driver in Python big ints.  Magnitude: C ≤ N·Σ|s| — int64-safe to
+    ~10⁷ rows/type at e4 scale; the HUGEINT oracle and the Python-int
+    finish are exact beyond that (emit would need a wider column).
+
+    Reference: monitor.js's per-day crawl-count series (A3) eyeballed
+    for regressions; this is the in-engine statistic for it."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.strftime("%Y-%m-%d")
+        return (pd.DataFrame({"event_type": df["event_type"], "day": day,
+                              "s": _e4(df["value"]), "n": 1})
+                .groupby(["event_type", "day"], as_index=False)
+                .agg(s=("s", "sum"), n=("n", "sum")))
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    for c in ("s", "n"):
+        parts[c] = parts[c].map(int).astype(object)
+    d = parts.groupby(["event_type", "day"], as_index=False).sum()
+    d = d.sort_values(["event_type", "day"]).reset_index(drop=True)
+    rows = []
+    for et, g in d.groupby("event_type", sort=True):
+        T = int(g["s"].sum())
+        N = int(g["n"].sum())
+        cs = cn = 0
+        cus = []
+        for _, r in g.iterrows():
+            cs += int(r["s"])
+            cn += int(r["n"])
+            cus.append(N * cs - cn * T)
+        peak = max(abs(c) for c in cus)
+        for (_, r), c in zip(g.iterrows(), cus):
+            rows.append((et, r["day"], c, 1 if abs(c) == peak else 0))
+    return pd.DataFrame(
+        {"event_type": pd.Series([r[0] for r in rows], dtype="object"),
+         "day": pd.Series([r[1] for r in rows], dtype="object"),
+         "cusum_scaled": pd.Series([r[2] for r in rows], dtype="int64"),
+         "is_peak": pd.Series([r[3] for r in rows], dtype="int64")})
+
+
+EVENTS_DAILY_CUSUM_SQL = """
+WITH d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS HUGEINT) AS s,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, sum(s) AS tt, sum(n) AS nn FROM d GROUP BY 1
+), c AS (
+  SELECT d.event_type, d.day,
+         t.nn * sum(d.s) OVER w - sum(d.n) OVER w * t.tt AS cus
+  FROM d JOIN t USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, day, CAST(cus AS BIGINT) AS cusum_scaled,
+       CAST(CASE WHEN abs(cus) = max(abs(cus))
+                 OVER (PARTITION BY event_type)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+FROM c ORDER BY event_type, day
+""".strip()

@@ -3779,3 +3779,44 @@ def dedup_ngram_pairs_prefix_sql(threshold_num: int = 4,
 
 
 DEDUP_NGRAM_PAIRS_PREFIX_SQL = dedup_ngram_pairs_prefix_sql()
+
+
+# --- language confusion matrix (corpus QA) ---------------------------------
+
+
+def doc_lang_confusion(sf_dir: str):
+    """Declared-vs-detected language confusion matrix — the corpus QA
+    table that catches mislabeled scrapes before they poison a
+    per-language training mix (composes :func:`doc_lang_id`'s
+    marker-word argmax with the table's declared ``lang``).
+
+    One combiner map_batches (detect + local (lang, pred) counts) →
+    answer-sized reduce; text never leaves the scan stage."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame(
+            {"lang": df["lang"].astype(object),
+             "lang_pred": ts.lang_id_markers(df["text"]).to_numpy(
+                 dtype=object)})
+            .groupby(["lang", "lang_pred"], as_index=False)
+            .agg(n_docs=("lang", "size")))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = (parts.groupby(["lang", "lang_pred"], as_index=False)["n_docs"]
+         .sum().sort_values(["lang", "lang_pred"]).reset_index(drop=True))
+    g["n_docs"] = g["n_docs"].astype("int64")
+    return g
+
+
+def doc_lang_confusion_sql() -> str:
+    inner = ts.lang_id_markers_sql()
+    return f"""
+WITH p AS ({inner})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN p ON p.doc_id = d.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
+DOC_LANG_CONFUSION_SQL = doc_lang_confusion_sql()

@@ -2259,6 +2259,55 @@ def test_graph_triangles_known_graph(ray_session, tmp_path):
         {"n_nodes": 5, "n_edges": 7, "n_triangles": 4}]
 
 
+def test_events_daily_cusum_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_daily_cusum(SF)
+    assert_matches_sql(got, con, an.EVENTS_DAILY_CUSUM_SQL)
+    # per type: exactly ≥1 peak, the statistic telescopes to 0 at the
+    # last day (C_K = N·T − N·T)
+    for _, g in got.groupby("event_type"):
+        assert g["is_peak"].sum() >= 1
+        assert g.sort_values("day")["cusum_scaled"].iloc[-1] == 0
+
+
+def test_events_daily_cusum_planted_shift(ray_session, tmp_path):
+    """A mean shift mid-series must put the CUSUM peak exactly on the
+    last pre-shift day."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    days = [f"2024-01-{d:02d}" for d in range(1, 11)]
+    vals = [10.0] * 5 + [20.0] * 5      # shift after day 5
+    n = len(days)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime(days).values),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["m"] * n),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    got = an.events_daily_cusum(str(tmp_path)).sort_values("day")
+    peak_days = got[got["is_peak"] == 1]["day"].tolist()
+    assert peak_days == ["2024-01-05"]
+
+
+def test_doc_lang_confusion_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.doc_lang_confusion(SF)
+    assert_matches_sql(got, con, co.DOC_LANG_CONFUSION_SQL)
+    # structure: every declared lang appears, counts partition the
+    # corpus, and the detector agrees on at least part of it (the
+    # disagreement mass is exactly what the op exists to surface)
+    assert got["n_docs"].sum() == 500
+    diag = got[got["lang"] == got["lang_pred"]]["n_docs"].sum()
+    assert diag > 0
+
+
 def test_events_value_trend_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_cusum": an.events_daily_cusum,
         # declared-vs-detected language confusion matrix (corpus QA)
         "doc_lang_confusion": co.doc_lang_confusion,
+        # PMI collocation mining (log-free exact rational ranking)
+        "doc_bigram_pmi": co.doc_bigram_pmi,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -542,6 +544,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "dedup_ngram_pairs_prefix": co.DEDUP_NGRAM_PAIRS_PREFIX_SQL,
         "events_daily_cusum": an.EVENTS_DAILY_CUSUM_SQL,
         "doc_lang_confusion": co.DOC_LANG_CONFUSION_SQL,
+        "doc_bigram_pmi": co.DOC_BIGRAM_PMI_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

@@ -3820,3 +3820,133 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 DOC_LANG_CONFUSION_SQL = doc_lang_confusion_sql()
+
+
+# --- PMI collocation mining -------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def doc_bigram_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT,
+                   k: int = PMI_TOP_K, num_parts: int = 16):
+    """Top-``k`` collocations by pointwise mutual information — the
+    standard "these two tokens belong together" statistic (phrase
+    mining, tokenizer-merge candidates, boilerplate discovery).
+
+    Log-free exact form: PMI's argument p(xy)/(p(x)p(y)) =
+    c_xy·N_uni² / (N_big·c_x·c_y), a ratio of exact integers; ranking
+    and the emitted ``pmi_e6`` use toward-zero truncated big-int
+    division, so the HUGEINT oracle is bit-identical (the log is
+    monotone — ranks are unchanged by skipping it).
+
+    Shape: unigram and bigram occurrence counts are vocab-partitioned
+    exchanges with per-batch ``value_counts`` combiners (one row per
+    (gram, block) ships); N_uni / N_big come from a scalar per-doc
+    token-count reduce, NOT from materializing the unfiltered bigram
+    vocabulary; the ``min_count`` gate bounds the scored candidate set
+    (Zipf tail cut) which joins its two unigram counts driver-side —
+    at frontier scale that join is the term-hash exchange
+    ``doc_tfidf_top`` already implements."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df["text"].astype("string").fillna("")
+             .astype(str).str.split(" ").explode())
+        s = s[s != ""]
+        vc = s.value_counts(sort=False)
+        return pd.DataFrame({"term": vc.index.astype(str),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df["text"].astype("string").fillna("")
+             .astype(str).str.split(" ").explode())
+        s = s[s != ""]
+        vals = s.to_numpy(dtype=object)
+        idx = s.index.to_numpy()
+        if len(vals) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                                 "c": pd.Series([], dtype="int64")})
+        same_doc = idx[:-1] == idx[1:]
+        left = pd.Series(vals[:-1][same_doc])
+        big = left.str.cat(pd.Series(vals[1:][same_doc]), sep=" ")
+        vc = big.value_counts(sort=False)
+        return pd.DataFrame({"bigram": vc.index.astype(str),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    def sum_terms(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(df.columns[0], as_index=False)["c"].sum()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    uni = _hash_grouped(ds.map_batches(uni_partial, batch_format="pandas"),
+                        ["term"], sum_terms, num_parts=num_parts).to_pandas()
+
+    def big_gate(df: pd.DataFrame) -> pd.DataFrame:
+        g = sum_terms(df)
+        return g[g["c"] >= min_count]
+
+    big = _hash_grouped(ds.map_batches(big_partial, batch_format="pandas"),
+                        ["bigram"], big_gate,
+                        num_parts=num_parts).to_pandas()
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].astype("string").fillna("")
+             .astype(str).str.split(" ")
+             .map(lambda t: sum(1 for x in t if x)))
+        n = n.to_numpy(dtype="int64")
+        return pd.DataFrame({"nu": [int(n.sum())],
+                             "nb": [int(np.maximum(n - 1, 0).sum())]})
+
+    tots = ds.map_batches(tok_counts, batch_format="pandas").to_pandas()
+    n_uni = int(tots["nu"].sum())
+    n_big = int(tots["nb"].sum())
+
+    ucount = dict(zip(uni["term"], uni["c"].map(int)))
+    rows = []
+    for bg, cxy in zip(big["bigram"], big["c"].map(int)):
+        a, b = bg.split(" ")
+        cx, cy = ucount[a], ucount[b]
+        pmi_e6 = _td(cxy * n_uni * n_uni * 1_000_000, n_big * cx * cy)
+        rows.append((bg, cxy, pmi_e6))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:k]
+    return pd.DataFrame(
+        {"bigram": pd.Series([r[0] for r in rows], dtype="object"),
+         "n_cooc": pd.Series([r[1] for r in rows], dtype="int64"),
+         "pmi_e6": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+def _td(num: int, den: int) -> int:
+    """Toward-zero integer division (DuckDB ``//`` semantics)."""
+    q = abs(num) // abs(den)
+    return -q if (num < 0) != (den < 0) else q
+
+
+def doc_bigram_pmi_sql(min_count: int = PMI_MIN_COUNT,
+                       k: int = PMI_TOP_K) -> str:
+    return f"""
+WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+uni AS (SELECT unnest(ts) AS term FROM t),
+uc AS (SELECT term, CAST(count(*) AS HUGEINT) AS c FROM uni GROUP BY 1),
+nu AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM uni),
+b AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t),
+bp AS (SELECT ts[i] AS a, ts[i + 1] AS bb FROM b),
+nb AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM bp),
+bc AS (SELECT a, bb, CAST(count(*) AS HUGEINT) AS c FROM bp
+       GROUP BY 1, 2 HAVING count(*) >= {min_count})
+SELECT bc.a || ' ' || bc.bb AS bigram,
+       CAST(bc.c AS BIGINT) AS n_cooc,
+       CAST(bc.c * nu.n * nu.n * 1000000 // (nb.n * ua.c * ub.c)
+            AS BIGINT) AS pmi_e6
+FROM bc, nu, nb
+JOIN uc ua ON ua.term = bc.a
+JOIN uc ub ON ub.term = bc.bb
+ORDER BY pmi_e6 DESC, bigram LIMIT {k}
+""".strip()
+
+
+DOC_BIGRAM_PMI_SQL = doc_bigram_pmi_sql()

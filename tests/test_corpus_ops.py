@@ -2259,6 +2259,40 @@ def test_graph_triangles_known_graph(ray_session, tmp_path):
         {"n_nodes": 5, "n_edges": 7, "n_triangles": 4}]
 
 
+def test_doc_bigram_pmi_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.doc_bigram_pmi(SF)
+    assert_matches_sql(got, con, co.DOC_BIGRAM_PMI_SQL)
+    assert (got["n_cooc"] >= co.PMI_MIN_COUNT).all()
+    assert (got["pmi_e6"].diff().dropna() <= 0).all()
+
+
+def test_doc_bigram_pmi_planted_collocation(ray_session, tmp_path):
+    """A token pair that ALWAYS co-occurs ("hong kong") must out-rank a
+    pair of independently frequent tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    rng = np.random.RandomState(3)
+    common = ["the", "of", "and", "to", "in"]
+    texts = []
+    for i in range(40):
+        toks = [common[rng.randint(0, 5)] for _ in range(30)]
+        toks[10:10] = ["hong", "kong"]   # always adjacent, only here
+        texts.append(" ".join(toks))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    got = co.doc_bigram_pmi(str(tmp_path), min_count=5, k=10)
+    assert got.iloc[0]["bigram"] == "hong kong"
+    top_common = got[got["bigram"].str.split(" ").str[0].isin(common)]
+    assert got.iloc[0]["pmi_e6"] > top_common["pmi_e6"].max()
+
+
 def test_events_daily_cusum_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

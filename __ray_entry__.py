@@ -264,6 +264,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_confusion": co.doc_lang_confusion,
         # PMI collocation mining (log-free exact rational ranking)
         "doc_bigram_pmi": co.doc_bigram_pmi,
+        # winsorized robust mean from the quantile histogram (no
+        # second pass); k-anonymity privacy audit
+        "events_value_winsorized": an.events_value_winsorized,
+        "customer_k_anonymity": an.customer_k_anonymity,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -545,6 +549,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_daily_cusum": an.EVENTS_DAILY_CUSUM_SQL,
         "doc_lang_confusion": co.DOC_LANG_CONFUSION_SQL,
         "doc_bigram_pmi": co.DOC_BIGRAM_PMI_SQL,
+        "events_value_winsorized": an.EVENTS_VALUE_WINSORIZED_SQL,
+        "customer_k_anonymity": an.CUSTOMER_K_ANONYMITY_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

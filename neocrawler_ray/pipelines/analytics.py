@@ -5612,3 +5612,119 @@ SELECT event_type, day, CAST(cus AS BIGINT) AS cusum_scaled,
             THEN 1 ELSE 0 END AS BIGINT) AS is_peak
 FROM c ORDER BY event_type, day
 """.strip()
+
+
+# --- winsorized robust mean -------------------------------------------------
+
+WINSOR_LO_PCT = 10
+WINSOR_HI_PCT = 90
+
+
+def events_value_winsorized(sf_dir: str, lo_pct: int = WINSOR_LO_PCT,
+                            hi_pct: int = WINSOR_HI_PCT):
+    """Per-type winsorized (clipped) mean — the robust-statistics gate
+    every metric pipeline wants before an outlier-prone average (heavy
+    tails, instrumentation spikes).
+
+    Everything falls out of the SAME answer-sized value-domain
+    histogram :func:`events_value_quantiles` builds (one combiner
+    exchange bounded by distinct e4 values × groups, never rows): the
+    exact p_lo/p_hi cut values use the shared 0-based
+    ``((n−1)·q)//100`` rank convention, and the winsorized SUM is
+    Σ clip(v)·cnt over that histogram — no second pass over the data.
+    ``wmean_e4`` is toward-zero big-int division (DuckDB ``//``), so
+    the oracle matches bit-for-bit."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame({"event_type": df["event_type"].astype(str),
+                            "v": _e4(df["value"])})
+        g = tmp.groupby(["event_type", "v"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    hist = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+            .groupby(["event_type", "v"], as_index=False)["cnt"].sum())
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v")
+        cnt = g["cnt"].to_numpy("int64")
+        vals = g["v"].to_numpy("int64")
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, ((n - 1) * lo_pct) // 100,
+                                      side="right")])
+        hi = int(vals[np.searchsorted(cum, ((n - 1) * hi_pct) // 100,
+                                      side="right")])
+        clipped = np.clip(vals, lo, hi)
+        total = sum(int(c) * int(v) for c, v in zip(cnt, clipped))
+        rows.append((etype, n, lo, hi, _trunc_div(total, n)))
+    return pd.DataFrame(
+        {"event_type": pd.Series([r[0] for r in rows], dtype="object"),
+         "n": pd.Series([r[1] for r in rows], dtype="int64"),
+         "lo_e4": pd.Series([r[2] for r in rows], dtype="int64"),
+         "hi_e4": pd.Series([r[3] for r in rows], dtype="int64"),
+         "wmean_e4": pd.Series([r[4] for r in rows], dtype="int64")})
+
+
+EVENTS_VALUE_WINSORIZED_SQL = f"""
+WITH v AS (SELECT event_type, CAST(floor(value*10000) AS BIGINT) v
+           FROM events),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) rn,
+             count(*) OVER (PARTITION BY event_type) n
+      FROM v),
+cuts AS (SELECT event_type, max(n) AS n,
+                max(CASE WHEN rn = ((n-1) * {WINSOR_LO_PCT}) // 100 + 1
+                    THEN v END) AS lo,
+                max(CASE WHEN rn = ((n-1) * {WINSOR_HI_PCT}) // 100 + 1
+                    THEN v END) AS hi
+         FROM r GROUP BY 1)
+SELECT v.event_type, CAST(c.n AS BIGINT) AS n, c.lo AS lo_e4,
+       c.hi AS hi_e4,
+       CAST(sum(CAST(least(greatest(v.v, c.lo), c.hi) AS HUGEINT))
+            // c.n AS BIGINT) AS wmean_e4
+FROM v JOIN cuts c USING (event_type)
+GROUP BY v.event_type, c.n, c.lo, c.hi ORDER BY 1
+""".strip()
+
+
+# --- k-anonymity audit (privacy QA) -----------------------------------------
+
+K_ANON_K = 5
+
+
+def customer_k_anonymity(sf_dir: str, k: int = K_ANON_K):
+    """k-anonymity audit over the customer quasi-identifier pair
+    (nation, market segment) — the privacy-QA sibling of
+    ``doc_pii_scrub``: before releasing or training on user-adjacent
+    tables, report each equivalence class's size and whether it meets
+    the k threshold (a class smaller than k re-identifies its members
+    by the quasi-identifiers alone; Sweeney 2002).
+
+    One combiner map_batches (per-batch class counts) → answer-sized
+    reduce (classes = |nations| × |segments|); no row-level data
+    leaves the scan."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["c_nationkey", "c_mktsegment"],
+                           as_index=False)
+                .agg(n=("c_nationkey", "size")))
+
+    parts = cust.map_batches(partial, batch_format="pandas").to_pandas()
+    g = (parts.groupby(["c_nationkey", "c_mktsegment"], as_index=False)
+         ["n"].sum()
+         .sort_values(["c_nationkey", "c_mktsegment"])
+         .reset_index(drop=True))
+    g["n"] = g["n"].astype("int64")
+    g["c_nationkey"] = g["c_nationkey"].astype("int64")
+    g["meets_k"] = (g["n"] >= k).astype("int64")
+    return g
+
+
+CUSTOMER_K_ANONYMITY_SQL = f"""
+SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN count(*) >= {K_ANON_K} THEN 1 ELSE 0 END
+            AS BIGINT) AS meets_k
+FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

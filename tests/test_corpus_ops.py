@@ -2259,6 +2259,49 @@ def test_graph_triangles_known_graph(ray_session, tmp_path):
         {"n_nodes": 5, "n_edges": 7, "n_triangles": 4}]
 
 
+def test_events_value_winsorized_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_value_winsorized(SF)
+    assert_matches_sql(got, con, an.EVENTS_VALUE_WINSORIZED_SQL)
+    # the winsorized mean sits inside the clip band
+    assert ((got["wmean_e4"] >= got["lo_e4"])
+            & (got["wmean_e4"] <= got["hi_e4"])).all()
+
+
+def test_winsorized_mean_resists_outlier(ray_session, tmp_path):
+    """One absurd spike must not move the winsorized mean beyond the
+    p90 cut (while the plain mean would explode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    vals = [10.0] * 99 + [1_000_000.0]
+    n = len(vals)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([0] * n, pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["m"] * n),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    got = an.events_value_winsorized(str(tmp_path))
+    r = got.iloc[0]
+    assert r["lo_e4"] == r["hi_e4"] == 100_000      # p10 = p90 = 10.0
+    assert r["wmean_e4"] == 100_000                  # spike clipped away
+
+
+def test_customer_k_anonymity_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.customer_k_anonymity(SF)
+    assert_matches_sql(got, con, an.CUSTOMER_K_ANONYMITY_SQL)
+    assert (got["meets_k"] == (got["n"] >= an.K_ANON_K)
+            .astype("int64")).all()
+
+
 def test_doc_bigram_pmi_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 

@@ -5728,3 +5728,128 @@ SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
             AS BIGINT) AS meets_k
 FROM customer GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+# --- association-rule mining (market basket) --------------------------------
+
+BASKET_MIN_SUPPORT = 5
+BASKET_TOP_K = 25
+
+
+def orders_basket_rules(sf_dir: str, min_support: int = BASKET_MIN_SUPPORT,
+                        k: int = BASKET_TOP_K, num_parts: int = 32):
+    """Frequent-pair association rules over order baskets — classic
+    market-basket mining (Agrawal-Srikant Apriori's 2-itemset core):
+    for part pairs co-purchased in ≥ ``min_support`` orders, emit
+    support and LIFT, top-``k`` by lift.
+
+    Log/float-free exactness: lift = (c_xy·N) / (c_x·c_y) emitted as
+    ``lift_e6`` via toward-zero big-int division — bit-identical to
+    the HUGEINT oracle.  Shape: per batch, per-order distinct-part
+    pair emission (baskets are SMALL — pair count is Σ b² over basket
+    sizes, bounded by the basket-size cap, not corpus²) with a local
+    combiner, one pair-hash count exchange with the support gate
+    inside the reduce, then single-part basket counts (answer-sized
+    after their own exchange) joined driver-side.  The support gate is
+    Apriori's pruning: nothing below min_support survives the
+    exchange reduce, and only gated pairs are scored.
+
+    Co-location is ENFORCED, not assumed: one orderkey-hash exchange
+    first groups each basket's lines, and its partition function emits
+    three row kinds into one stream — per-pair partial counts, per-part
+    partial basket counts (exact across partitions because every
+    (order, part) pair lives in exactly one orderkey partition), and
+    the partition's distinct-order count — so the whole op is two
+    exchanges + an answer-sized finish.  Singles/totals are summed
+    driver-side (parts-table-sized; its own part-hash exchange at
+    frontier scale)."""
+    from .corpus_ops import _hash_grouped
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def per_basket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        ok = g["l_orderkey"].to_numpy("int64")
+        pk = g["l_partkey"].to_numpy("int64")
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        counts = np.diff(np.r_[starts, len(ok)])
+        out_a, out_b = [], []
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            g_pk = pk[s:s + int(c)]
+            ii, jj = np.triu_indices(int(c), k=1)
+            out_a.append(g_pk[ii]); out_b.append(g_pk[jj])
+        frames = []
+        if out_a:
+            p = pd.DataFrame({"pa": np.concatenate(out_a),
+                              "pb": np.concatenate(out_b)})
+            frames.append(
+                p.groupby(["pa", "pb"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+        sing = (pd.DataFrame({"pa": pk}).groupby("pa", as_index=False)
+                .size().rename(columns={"size": "c"}))
+        sing["pb"] = -2
+        frames.append(sing[["pa", "pb", "c"]])
+        frames.append(pd.DataFrame(
+            {"pa": [-1], "pb": [-1], "c": [len(starts)]}))
+        return pd.concat(frames, ignore_index=True).astype("int64")
+
+    partials = _hash_grouped(line, ["l_orderkey"], per_basket,
+                             num_parts=num_parts).materialize()
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pa", "pb"], as_index=False)["c"].sum()
+        return g[g["c"] >= min_support].astype("int64")
+
+    def only_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["pb"] >= 0]
+
+    pairs = _hash_grouped(
+        partials.map_batches(only_pairs, batch_format="pandas"),
+        ["pa", "pb"], gate, num_parts=num_parts).to_pandas()
+    if "pa" not in pairs.columns:  # support gate emptied every block
+        pairs = pd.DataFrame({"pa": pd.Series(dtype="int64"),
+                              "pb": pd.Series(dtype="int64"),
+                              "c": pd.Series(dtype="int64")})
+
+    meta = partials.map_batches(
+        lambda df: df[df["pb"] < 0], batch_format="pandas").to_pandas()
+    n_orders = int(meta[meta["pb"] == -1]["c"].sum())
+    sing = (meta[meta["pb"] == -2].groupby("pa", as_index=False)["c"]
+            .sum())
+    scount = dict(zip(sing["pa"].map(int), sing["c"].map(int)))
+
+    rows = []
+    for pa_, pb_, cxy in zip(pairs["pa"].map(int), pairs["pb"].map(int),
+                             pairs["c"].map(int)):
+        lift = _trunc_div(cxy * n_orders * 1_000_000,
+                          scount[pa_] * scount[pb_])
+        rows.append((pa_, pb_, cxy, lift))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:k]
+    return pd.DataFrame(
+        {"part_a": pd.Series([r[0] for r in rows], dtype="int64"),
+         "part_b": pd.Series([r[1] for r in rows], dtype="int64"),
+         "support": pd.Series([r[2] for r in rows], dtype="int64"),
+         "lift_e6": pd.Series([r[3] for r in rows], dtype="int64")})
+
+
+ORDERS_BASKET_RULES_SQL = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS HUGEINT) AS n
+      FROM lineitem),
+s AS (SELECT l_partkey, CAST(count(*) AS HUGEINT) AS c FROM b
+      GROUP BY 1),
+p AS (SELECT a.l_partkey AS pa, bb.l_partkey AS pb,
+             CAST(count(*) AS HUGEINT) AS c
+      FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                        AND a.l_partkey < bb.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT})
+SELECT p.pa AS part_a, p.pb AS part_b, CAST(p.c AS BIGINT) AS support,
+       CAST(p.c * n.n * 1000000 // (sa.c * sb.c) AS BIGINT) AS lift_e6
+FROM p, n
+JOIN s sa ON sa.l_partkey = p.pa
+JOIN s sb ON sb.l_partkey = p.pb
+ORDER BY lift_e6 DESC, part_a, part_b LIMIT {BASKET_TOP_K}
+""".strip()

@@ -2293,6 +2293,56 @@ def test_winsorized_mean_resists_outlier(ray_session, tmp_path):
     assert r["wmean_e4"] == 100_000                  # spike clipped away
 
 
+def test_orders_basket_rules_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.orders_basket_rules(SF)
+    assert_matches_sql(got, con, an.ORDERS_BASKET_RULES_SQL)
+    assert (got["support"] >= an.BASKET_MIN_SUPPORT).all()
+
+
+def test_orders_basket_rules_planted_affinity(ray_session, tmp_path):
+    """Parts 7 and 8 always co-occur across 10 baskets while part 9
+    floats independently — (7, 8) must survive the support gate with
+    lift > 1e6 (positive association) regardless of batch slicing
+    (orders are split across blocks here: co-location must come from
+    the exchange, not the input layout)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    rows = []
+    for o in range(10):
+        rows += [(o, 7), (o, 8)]
+        if o % 2 == 0:
+            rows.append((o, 9))
+    # shuffle rows so one order's lines do NOT sit adjacently
+    rng = np.random.RandomState(0)
+    rows = [rows[i] for i in rng.permutation(len(rows))]
+    n = len(rows)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([1.0] * n),
+        "l_extendedprice": pa.array([1.0] * n),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([0.0] * n),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    got = an.orders_basket_rules(str(tmp_path), min_support=5, k=5)
+    rec = {(r["part_a"], r["part_b"]): r for r in got.to_dict("records")}
+    assert (7, 8) in rec
+    assert rec[(7, 8)]["support"] == 10
+    assert rec[(7, 8)]["lift_e6"] == 1_000_000  # P(7,8)=P(7)P(8)=1
+    if (7, 9) in rec:  # 9 appears in half the baskets: lift exactly 1
+        assert rec[(7, 9)]["lift_e6"] == 1_000_000
+
+
 def test_customer_k_anonymity_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

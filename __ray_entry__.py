@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_k_anonymity": an.customer_k_anonymity,
         # Apriori 2-itemset association rules with exact integer lift
         "orders_basket_rules": an.orders_basket_rules,
+        # last-touch attribution (per-user ordered forward-fill scan)
+        "events_attribution": an.events_attribution,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -554,6 +556,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_value_winsorized": an.EVENTS_VALUE_WINSORIZED_SQL,
         "customer_k_anonymity": an.CUSTOMER_K_ANONYMITY_SQL,
         "orders_basket_rules": an.ORDERS_BASKET_RULES_SQL,
+        "events_attribution": an.EVENTS_ATTRIBUTION_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

@@ -5853,3 +5853,72 @@ JOIN s sa ON sa.l_partkey = p.pa
 JOIN s sb ON sb.l_partkey = p.pb
 ORDER BY lift_e6 DESC, part_a, part_b LIMIT {BASKET_TOP_K}
 """.strip()
+
+
+# --- last-touch attribution --------------------------------------------------
+
+
+def events_attribution(sf_dir: str, num_parts: int = 32):
+    """Last-touch channel attribution: every purchase is credited to
+    the nearest PRECEDING non-purchase event of the same user in the
+    deterministic (ts, event_id) stream order ('direct' when none) —
+    the standard marketing/funnel question, and the canonical "carry
+    the latest non-null value forward" stateful scan.
+
+    Shape: user-hash partition (whole history co-locates), ONE
+    vectorized per-partition kernel — sort by (ts, event_id), forward-
+    fill the channel over non-purchase rows, read it off at purchase
+    rows — then per-partition partial (channel, count, e4 value sum)
+    rows into an answer-sized reduce.  Only (user, ts, id, type,
+    value_e4) move; exact int arithmetic end to end."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        ch = df["event_type"].astype(object).where(~is_p, other=None)
+        # forward-fill within each user: reset the carry at user seams
+        ch = ch.groupby(df["user_id"].to_numpy()).ffill()
+        # a purchase is also an attribution RESET boundary? No — last
+        # NON-purchase touch carries across intermediate purchases by
+        # the classic last-touch rule; ffill over None at purchases
+        # does exactly that (shifted by construction: the fill source
+        # is always a strictly-earlier row)
+        got = ch.to_numpy(dtype=object)[is_p]
+        vals = _e4(df["value"])[is_p]
+        out = pd.DataFrame(
+            {"channel": [g if not pd.isna(g) else "direct" for g in got],
+             "n": 1, "v": vals})
+        return (out.groupby("channel", as_index=False)
+                .agg(n=("n", "sum"), v=("v", "sum")))
+
+    parts = _hash_grouped(ds, ["user_id"], attribute,
+                          num_parts=num_parts).to_pandas()
+    g = (parts.groupby("channel", as_index=False)[["n", "v"]].sum()
+         .sort_values("channel").reset_index(drop=True))
+    return pd.DataFrame(
+        {"channel": g["channel"].astype(object),
+         "n_purchases": g["n"].astype("int64"),
+         "value_e4": g["v"].astype("int64")})
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS v,
+         last_value(CASE WHEN event_type <> 'purchase'
+                    THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS channel
+  FROM events
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(v) AS BIGINT) AS value_e4
+FROM s WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""".strip()

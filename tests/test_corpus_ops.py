@@ -2293,6 +2293,47 @@ def test_winsorized_mean_resists_outlier(ray_session, tmp_path):
     assert r["wmean_e4"] == 100_000                  # spike clipped away
 
 
+def test_events_attribution_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_attribution(SF)
+    assert_matches_sql(got, con, an.EVENTS_ATTRIBUTION_SQL)
+    assert "direct" in set(got["channel"]) or len(got) > 0
+
+
+def test_events_attribution_known_stream(ray_session, tmp_path):
+    """click → purchase → purchase → view → purchase for one user:
+    the first two purchases credit 'click' (the touch carries across
+    the intermediate purchase), the third credits 'view'; a user whose
+    first event is a purchase credits 'direct'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    ev = [  # (user, t, type, value)
+        (1, 1, "click", 0.0), (1, 2, "purchase", 10.0),
+        (1, 3, "purchase", 20.0), (1, 4, "view", 0.0),
+        (1, 5, "purchase", 30.0),
+        (2, 1, "purchase", 5.0),
+    ]
+    n = len(ev)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([e[1] * 1_000_000 for e in ev],
+                       pa.timestamp("us")),
+        "user_id": pa.array([e[0] for e in ev], pa.int64()),
+        "event_type": pa.array([e[2] for e in ev]),
+        "value": pa.array([e[3] for e in ev], pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    got = an.events_attribution(str(tmp_path))
+    rec = {r["channel"]: (r["n_purchases"], r["value_e4"])
+           for r in got.to_dict("records")}
+    assert rec == {"click": (2, 300_000), "view": (1, 300_000),
+                   "direct": (1, 50_000)}
+
+
 def test_orders_basket_rules_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

@@ -158,8 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.stages import multimodal as mm
 
     # NOTE (driver contract): the correctness gate checks at most the
-    # FIRST 50 entries of this dict, and the repo now carries 90
-    # oracle_sql()-backed queries — more than one round's gate can hold.
+    # FIRST 50 entries of this dict, and the repo now carries 114
+    # oracle_sql()-backed queries — more than two rounds' gates can hold.
     # Order is therefore a ROTATION policy, derived from the committed
     # CORRECTNESS_r01/r02/r03 artifacts (the only driver rows that
     # exist): the oracle-backed entries with NO green row in any of
@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_basket_rules": an.orders_basket_rules,
         # last-touch attribution (per-user ordered forward-fill scan)
         "events_attribution": an.events_attribution,
+        # Flesch-style integer readability score (pure map)
+        "doc_readability": co.doc_readability,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -557,6 +559,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "customer_k_anonymity": an.CUSTOMER_K_ANONYMITY_SQL,
         "orders_basket_rules": an.ORDERS_BASKET_RULES_SQL,
         "events_attribution": an.EVENTS_ATTRIBUTION_SQL,
+        "doc_readability": co.DOC_READABILITY_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

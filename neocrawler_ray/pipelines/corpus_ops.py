@@ -1613,7 +1613,8 @@ def dedup_clusters_distributed(sf_dir: str, lsh_threshold: float = 0.7,
 
 
 def dedup_ngram_keep(sf_dir: str, threshold_num: int = 1,
-                     threshold_den: int = 2, num_parts: int = 16):
+                     threshold_den: int = 2,
+                     num_parts: int | None = None):
     """End-to-end EXACT n-gram dedup: keep one representative per
     near-dup component — the materializing tail of the dedup family,
     and the first ORACLE-checkable drive of the distributed
@@ -1636,6 +1637,12 @@ def dedup_ngram_keep(sf_dir: str, threshold_num: int = 1,
     (README.md:575-576) to graded-overlap components."""
     import numpy as np
 
+    # CC rounds cost ~2 exchanges each regardless of data volume — size
+    # the label partitions to the corpus (pair graphs are ≤ node-sized)
+    # so small inputs don't pay 16-way sort-task overhead per round
+    if num_parts is None:
+        num_parts = _parts_for(sf_dir, "documents",
+                               rows_per_part=2000, lo=4, hi=32)
     pairs = dedup_ngram_pairs(sf_dir, threshold_num, threshold_den)
     comp = connected_components_ds(pairs, num_parts=num_parts)
     docs = _read(sf_dir, "documents", ["doc_id"])
@@ -3950,3 +3957,54 @@ ORDER BY pmi_e6 DESC, bigram LIMIT {k}
 
 
 DOC_BIGRAM_PMI_SQL = doc_bigram_pmi_sql()
+
+
+# --- readability scoring ----------------------------------------------------
+
+
+def doc_readability(sf_dir: str):
+    """Flesch-style readability score per document from three integer
+    text statistics — words (``\\S+`` runs), sentences (``[.!?]+``
+    runs, floored at 1), and a vowel-group syllable proxy — the
+    classic "is this text human-grade prose?" quality gate next to
+    the length/punct heuristics in ``doc_text_stats``.
+
+    Exactness: score_e3 = 206835 − ⌊1015·w/s⌋ − ⌊84600·y/w⌋ with each
+    division truncated toward zero (DuckDB ``//``), so the oracle is
+    bit-identical — no float.  Pure map stage: three compiled-regex
+    counts per batch (C kernels), no shuffle, output ∝ corpus rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        t = df["text"].astype("string").fillna("")
+        w = t.str.count(r"\S+").to_numpy("int64")
+        s = t.str.count(r"[.!?]+").to_numpy("int64")
+        y = t.str.count(r"[aeiouAEIOU]+").to_numpy("int64")
+        s1 = np.maximum(s, 1)
+        w1 = np.maximum(w, 1)
+        score = (206835 - (1015 * w) // s1 - (84600 * y) // w1)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "words": w, "sentences": s, "vowel_groups": y,
+             "flesch_e3": score.astype("int64")})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+DOC_READABILITY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+           AS y
+  FROM documents
+)
+SELECT doc_id, w AS words, s AS sentences, y AS vowel_groups,
+       CAST(206835 - (1015 * w) // greatest(s, 1)
+                   - (84600 * y) // greatest(w, 1) AS BIGINT)
+         AS flesch_e3
+FROM c ORDER BY doc_id
+""".strip()

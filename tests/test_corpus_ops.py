@@ -2293,6 +2293,37 @@ def test_winsorized_mean_resists_outlier(ray_session, tmp_path):
     assert r["wmean_e4"] == 100_000                  # spike clipped away
 
 
+def test_doc_readability_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = (co.doc_readability(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert_matches_sql(got, con, co.DOC_READABILITY_SQL)
+
+
+def test_doc_readability_extremes(ray_session, tmp_path):
+    """Short simple sentences must out-score a vowel-dense run-on, and
+    the empty doc hits the w=0/s=0 guard without dividing by zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(
+            ["The cat sat. It naps. We go.",
+             "Autonomous heterogeneous organizations operationalize "
+             "bureaucratic accountability expeditiously",
+             ""], pa.string()),
+    }), tmp_path / "documents.parquet")
+    got = (co.doc_readability(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    rec = {r["doc_id"]: r for r in got.to_dict("records")}
+    assert rec[1]["flesch_e3"] > rec[2]["flesch_e3"]
+    assert rec[3]["words"] == 0 and rec[3]["flesch_e3"] == 206835
+
+
 def test_events_attribution_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

@@ -274,6 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": an.events_attribution,
         # Flesch-style integer readability score (pure map)
         "doc_readability": co.doc_readability,
+        # exact integer covariance matrix (one Gram matmul per batch,
+        # block-count-sized exchange; the PCA/whitening reduce)
+        "embedding_covariance": co.embedding_covariance,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -560,6 +563,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "orders_basket_rules": an.ORDERS_BASKET_RULES_SQL,
         "events_attribution": an.EVENTS_ATTRIBUTION_SQL,
         "doc_readability": co.DOC_READABILITY_SQL,
+        "embedding_covariance": co.EMBEDDING_COVARIANCE_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

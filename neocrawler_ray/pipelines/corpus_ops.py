@@ -4008,3 +4008,88 @@ SELECT doc_id, w AS words, s AS sentences, y AS vowel_groups,
          AS flesch_e3
 FROM c ORDER BY doc_id
 """.strip()
+
+
+# --- exact distributed covariance (Gram) matrix -----------------------------
+
+COV_DIM = 64
+
+
+def embedding_covariance(sf_dir: str, dim: int = COV_DIM):
+    """Exact covariance matrix of the embedding table in one pass —
+    the reduce behind PCA / whitening / Mahalanobis outlier gates on a
+    100-TB embedding store.  Upper triangle only (symmetric), entries
+    as the cross-multiplied integer cov_scaled(i,j) = n·Σxᵢxⱼ −
+    Σxᵢ·Σxⱼ over the shared e4 fixed point — no float anywhere, so
+    the HUGEINT oracle matches bit-for-bit (int64 output is safe to
+    ~10⁷ rows at e4 scale; beyond that widen the column).
+
+    Shape: the sufficient statistic is ONE int64 Gram matmul per batch
+    (V[n×d] → VᵀV, a C BLAS-like kernel; Σxᵢ rides along), so the
+    exchange carries d²/2 + d numbers per BLOCK — completely
+    independent of row count, the ideal combiner; the driver finishes
+    in Python big ints.  Per-batch overflow bound: e4² ≤ 10⁸ per term
+    × 50k rows = 5·10¹² ≪ int64."""
+    import numpy as np
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"i": pd.Series(dtype="int64"),
+                                 "j": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        mat = np.stack([np.asarray(e, dtype="float64")
+                        for e in df["embedding"]])
+        v = np.floor(mat * 10000.0).astype("int64")   # shared e4 floor
+        g = v.T @ v                                    # d×d int64 Gram
+        sx = v.sum(axis=0)
+        iu, ju = np.triu_indices(dim)
+        rows = {"i": np.concatenate([iu + 1,
+                                     np.arange(1, dim + 1),
+                                     np.array([0])]),
+                "j": np.concatenate([ju + 1,
+                                     np.full(dim, -1),
+                                     np.array([-2])]),
+                "v": np.concatenate([g[iu, ju], sx,
+                                     np.array([len(df)])])}
+        return pd.DataFrame(rows).astype("int64")
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts[parts["j"] == -2]["v"].sum())
+    sx = (parts[parts["j"] == -1].groupby("i")["v"]
+          .apply(lambda s: sum(int(x) for x in s)).to_dict())
+    gsum = (parts[parts["j"] > 0].groupby(["i", "j"])["v"]
+            .apply(lambda s: sum(int(x) for x in s)))
+    out_i, out_j, out_v = [], [], []
+    for (i, j), sxy in gsum.items():
+        out_i.append(int(i)); out_j.append(int(j))
+        out_v.append(n * int(sxy) - sx[i] * sx[j])
+    out = pd.DataFrame({"i": out_i, "j": out_j, "cov_scaled": out_v})
+    out = out.sort_values(["i", "j"]).reset_index(drop=True)
+    return out.astype({"i": "int64", "j": "int64",
+                       "cov_scaled": "int64"})
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH e AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+sums AS (SELECT i, CAST(sum(v[i]) AS HUGEINT) AS s
+         FROM e, generate_series(1, {COV_DIM}) g(i) GROUP BY i),
+x AS (SELECT g1.i AS i, g2.j AS j,
+             CAST(sum(CAST(e.v[g1.i] AS HUGEINT) * e.v[g2.j])
+                  AS HUGEINT) AS sxy
+      FROM e, generate_series(1, {COV_DIM}) g1(i),
+           generate_series(1, {COV_DIM}) g2(j)
+      WHERE g1.i <= g2.j GROUP BY 1, 2)
+SELECT x.i, x.j,
+       CAST(n.n * x.sxy - sa.s * sb.s AS BIGINT) AS cov_scaled
+FROM x, n
+JOIN sums sa ON sa.i = x.i
+JOIN sums sb ON sb.i = x.j
+ORDER BY x.i, x.j
+""".strip()

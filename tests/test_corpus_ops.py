@@ -2293,6 +2293,42 @@ def test_winsorized_mean_resists_outlier(ray_session, tmp_path):
     assert r["wmean_e4"] == 100_000                  # spike clipped away
 
 
+def test_embedding_covariance_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.embedding_covariance(SF)
+    assert_matches_sql(got, con, co.EMBEDDING_COVARIANCE_SQL)
+    # diagonal entries are n·Σx² − (Σx)² ≥ 0 (variances)
+    diag = got[got["i"] == got["j"]]
+    assert len(diag) == co.COV_DIM and (diag["cov_scaled"] >= 0).all()
+
+
+def test_embedding_covariance_known_vectors(ray_session, tmp_path):
+    """Two perfectly anti-correlated coordinates must produce a
+    negative off-diagonal exactly equal to −n·Σx² form."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    vecs = [[1.0, -1.0] + [0.0] * 62,
+            [-1.0, 1.0] + [0.0] * 62,
+            [2.0, -2.0] + [0.0] * 62]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(3), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+    got = co.embedding_covariance(str(tmp_path))
+    rec = {(r["i"], r["j"]): r["cov_scaled"]
+           for r in got.to_dict("records")}
+    # e4: x1 = (1e4, -1e4, 2e4), x2 = -x1; n=3
+    # var_scaled = 3·6e8 − 2e4·2e4? Σx1 = 2e4, Σx1² = 6e8
+    assert rec[(1, 1)] == 3 * 6 * 10**8 - (2 * 10**4) ** 2
+    assert rec[(1, 2)] == -rec[(1, 1)]
+    assert rec[(3, 3)] == 0  # constant-zero coordinate
+
+
 def test_doc_readability_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 

@@ -5281,8 +5281,13 @@ def graph_bfs_hops(sf_dir: str, max_hops: int = BFS_MAX_HOPS):
 
     reached = nodes.map_batches(seed_fn,
                                 batch_format="pandas").materialize()
-    frontier_ids = np.sort(
-        reached.to_pandas()["id"].to_numpy("int64"))
+    rdf = reached.to_pandas()
+    # an all-empty seed set loses the pandas schema (same hazard as the
+    # per-round fdf below) — every node then finishes at hops −1, like
+    # the oracle's unmatched LEFT JOIN arm
+    frontier_ids = (np.sort(rdf["id"].to_numpy("int64"))
+                    if "id" in rdf.columns
+                    else np.array([], dtype="int64"))
 
     def settle(df: pd.DataFrame) -> pd.DataFrame:
         # flag 0 = already-reached row, 1 = candidate; first reach wins
@@ -5379,11 +5384,9 @@ GRAPH_BFS_HOPS_SQL = graph_bfs_hops_sql()
 # --- grouped OLS trend (exact sufficient statistics) -----------------------
 
 
-def _trunc_div(num: int, den: int) -> int:
-    """Integer division truncated toward zero (DuckDB ``//`` semantics;
-    Python's ``//`` floors, which differs for negative numerators)."""
-    q = abs(num) // abs(den)
-    return -q if (num < 0) != (den < 0) else q
+# toward-zero integer division (DuckDB ``//`` semantics) — the single
+# shared helper lives next to its heaviest users in corpus_ops
+from .corpus_ops import _td as _trunc_div  # noqa: E402
 
 
 def events_value_trend(sf_dir: str):
@@ -5410,7 +5413,11 @@ def events_value_trend(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        x = (df["ts"].astype("int64").to_numpy() // 3_600_000_000)
+        us = df["ts"].astype("int64").to_numpy()
+        # toward-zero like DuckDB `//` (numpy floors): pre-epoch
+        # timestamps would otherwise land one hour bucket lower
+        x = np.where(us < 0, -((-us) // 3_600_000_000),
+                     us // 3_600_000_000)
         y = _e4(df["value"])
         g = (pd.DataFrame({"event_type": df["event_type"], "x": x, "y": y,
                            "xy": x * y, "x2": x * x})

@@ -3802,15 +3802,18 @@ def doc_lang_confusion(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a NULL declared lang is exactly the mislabeled
+        # row this op exists to surface (SQL GROUP BY keeps it too)
         return (pd.DataFrame(
             {"lang": df["lang"].astype(object),
              "lang_pred": ts.lang_id_markers(df["text"]).to_numpy(
                  dtype=object)})
-            .groupby(["lang", "lang_pred"], as_index=False)
-            .agg(n_docs=("lang", "size")))
+            .groupby(["lang", "lang_pred"], as_index=False, dropna=False)
+            .agg(n_docs=("lang_pred", "size")))
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    g = (parts.groupby(["lang", "lang_pred"], as_index=False)["n_docs"]
+    g = (parts.groupby(["lang", "lang_pred"], as_index=False,
+                       dropna=False)["n_docs"]
          .sum().sort_values(["lang", "lang_pred"]).reset_index(drop=True))
     g["n_docs"] = g["n_docs"].astype("int64")
     return g
@@ -3849,12 +3852,13 @@ def doc_bigram_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT,
 
     Shape: unigram and bigram occurrence counts are vocab-partitioned
     exchanges with per-batch ``value_counts`` combiners (one row per
-    (gram, block) ships); N_uni / N_big come from a scalar per-doc
-    token-count reduce, NOT from materializing the unfiltered bigram
-    vocabulary; the ``min_count`` gate bounds the scored candidate set
-    (Zipf tail cut) which joins its two unigram counts driver-side —
-    at frontier scale that join is the term-hash exchange
-    ``doc_tfidf_top`` already implements."""
+    (gram, block) ships) — exactly TWO corpus scans; N_uni is the
+    unigram total and N_big rides the bigram exchange as a sentinel
+    row (a real bigram always contains a space, so "" is free), never
+    materializing the unfiltered bigram vocabulary; the ``min_count``
+    gate bounds the scored candidate set (Zipf tail cut) which joins
+    its two unigram counts driver-side — at frontier scale that join
+    is the term-hash exchange ``doc_tfidf_top`` already implements."""
     import numpy as np
 
     ds = _read(sf_dir, "documents", ["text"])
@@ -3880,8 +3884,13 @@ def doc_bigram_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT,
         left = pd.Series(vals[:-1][same_doc])
         big = left.str.cat(pd.Series(vals[1:][same_doc]), sep=" ")
         vc = big.value_counts(sort=False)
-        return pd.DataFrame({"bigram": vc.index.astype(str),
-                             "c": vc.to_numpy(dtype="int64")})
+        # N_big rides the same exchange as a sentinel row: "" can never
+        # be a real bigram (tokens are non-empty, joined with a space)
+        return pd.DataFrame(
+            {"bigram": np.append(vc.index.astype(str).to_numpy(dtype=object),
+                                 ""),
+             "c": np.append(vc.to_numpy(dtype="int64"),
+                            int(vc.sum()))})
 
     def sum_terms(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(df.columns[0], as_index=False)["c"].sum()
@@ -3890,26 +3899,25 @@ def doc_bigram_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT,
 
     uni = _hash_grouped(ds.map_batches(uni_partial, batch_format="pandas"),
                         ["term"], sum_terms, num_parts=num_parts).to_pandas()
+    if "term" not in uni.columns:  # empty corpus: schema-less frame
+        return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                             "n_cooc": pd.Series(dtype="int64"),
+                             "pmi_e6": pd.Series(dtype="int64")})
+    # N_uni is exactly the unigram count total — no extra scan
+    n_uni = int(uni["c"].sum())
 
     def big_gate(df: pd.DataFrame) -> pd.DataFrame:
         g = sum_terms(df)
-        return g[g["c"] >= min_count]
+        return g[(g["c"] >= min_count) | (g["bigram"] == "")]
 
     big = _hash_grouped(ds.map_batches(big_partial, batch_format="pandas"),
                         ["bigram"], big_gate,
                         num_parts=num_parts).to_pandas()
-
-    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
-        n = (df["text"].astype("string").fillna("")
-             .astype(str).str.split(" ")
-             .map(lambda t: sum(1 for x in t if x)))
-        n = n.to_numpy(dtype="int64")
-        return pd.DataFrame({"nu": [int(n.sum())],
-                             "nb": [int(np.maximum(n - 1, 0).sum())]})
-
-    tots = ds.map_batches(tok_counts, batch_format="pandas").to_pandas()
-    n_uni = int(tots["nu"].sum())
-    n_big = int(tots["nb"].sum())
+    if "bigram" not in big.columns:  # min_count emptied every partition
+        big = pd.DataFrame({"bigram": pd.Series(dtype=object),
+                            "c": pd.Series(dtype="int64")})
+    n_big = int(big[big["bigram"] == ""]["c"].sum())
+    big = big[big["bigram"] != ""]
 
     ucount = dict(zip(uni["term"], uni["c"].map(int)))
     rows = []

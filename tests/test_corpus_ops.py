@@ -2664,6 +2664,74 @@ def test_graph_bfs_hops_matches_sql(ray_session, con):
     assert (parts["hops"] % 2 == 1).all()
 
 
+def test_graph_bfs_hops_no_seeds(ray_session, tmp_path):
+    """No supplier key ≤ seed max → empty seed set must yield hops −1
+    for every node (not a schema-loss crash), matching the oracle's
+    unmatched LEFT JOIN arm."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    pairs = [(0, 50), (1, 60)]
+    n = len(pairs)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([p for p, _ in pairs], pa.int64()),
+        "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([1.0] * n),
+        "l_extendedprice": pa.array([1.0] * n),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([0.0] * n),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    got = an.graph_bfs_hops(str(tmp_path)).to_pandas()
+    assert len(got) == 4 and (got["hops"] == -1).all()
+
+
+def test_doc_bigram_pmi_below_min_count(ray_session, tmp_path):
+    """Every bigram unique → the min-count gate empties every
+    partition; the op must return an empty frame like the oracle,
+    not crash on the schema-less pull."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    texts = [f"u{i} v{i} w{i}" for i in range(20)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    got = co.doc_bigram_pmi(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["bigram", "n_cooc", "pmi_e6"]
+
+
+def test_doc_lang_confusion_keeps_null_lang(ray_session, tmp_path):
+    """A NULL declared lang is the mislabeled row the op exists to
+    surface — it must appear as its own group, not be dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["the of and to in with", "le la et des une"],
+                         pa.string()),
+        "lang": pa.array(["en", None], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+        "n_chars": pa.array([10, 10], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    got = co.doc_lang_confusion(str(tmp_path))
+    assert int(got["n_docs"].sum()) == 2
+    assert got["lang"].isna().sum() == 1
+
+
 def test_graph_bfs_hops_known_graph(ray_session, tmp_path):
     """Path p0-s1(seed), p0-s7, p2-s7 gives hops s1=0, p0=1, s7=2,
     p2=3; the disconnected edge p3-s9 stays unreached (-1 both)."""

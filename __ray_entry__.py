@@ -277,6 +277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact integer covariance matrix (one Gram matmul per batch,
         # block-count-sized exchange; the PCA/whitening reduce)
         "embedding_covariance": co.embedding_covariance,
+        # Borda rank fusion of three quality signals (RANK() semantics
+        # via broadcast histograms — no global sort)
+        "doc_rank_fusion": co.doc_rank_fusion,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -564,6 +567,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_attribution": an.EVENTS_ATTRIBUTION_SQL,
         "doc_readability": co.DOC_READABILITY_SQL,
         "embedding_covariance": co.EMBEDDING_COVARIANCE_SQL,
+        "doc_rank_fusion": co.DOC_RANK_FUSION_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

@@ -4101,3 +4101,121 @@ JOIN sums sa ON sa.i = x.i
 JOIN sums sb ON sb.i = x.j
 ORDER BY x.i, x.j
 """.strip()
+
+
+# --- rank fusion (Borda) over quality metrics --------------------------------
+
+BORDA_TOP_K = 50
+
+
+def doc_rank_fusion(sf_dir: str, k: int = BORDA_TOP_K):
+    """Borda-count rank fusion of three per-document quality signals —
+    readability (flesch_e3), length (n_chars) and type-token ratio —
+    the standard way to combine heterogeneous scores into one corpus
+    ordering without tuning weights (classic IR rank aggregation).
+
+    Exactness: each signal's GLOBAL rank uses RANK() semantics (1 +
+    count of strictly-better rows — ties share), computed WITHOUT a
+    global sort: one slim metrics Dataset (4 ints/doc, materialized
+    once), per-metric value histograms (exchange ∝ distinct values,
+    not rows; a value-hash exchange at frontier scale), the
+    descending-prefix "better than" table broadcast via ``ray.put``,
+    and a zero-shuffle ``searchsorted`` map assigns all three ranks.
+    Borda = r1+r2+r3; top-k by (borda, doc_id) with per-block top-k
+    partials.  All-integer → the window-function oracle matches
+    bit-for-bit."""
+    import numpy as np
+
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype("string").fillna("")
+        w = t.str.count(r"\S+").to_numpy("int64")
+        s = t.str.count(r"[.!?]+").to_numpy("int64")
+        y = t.str.count(r"[aeiouAEIOU]+").to_numpy("int64")
+        f = (206835 - (1015 * w) // np.maximum(s, 1)
+             - (84600 * y) // np.maximum(w, 1))
+        # split on ' ' exactly like the oracle's string_split (a \s+
+        # split would disagree on tab/newline-delimited tokens)
+        dt = t.map(lambda x: len({w for w in x.split(" ") if w})
+                   if x else 0).to_numpy("int64")
+        ttr = (1_000_000 * dt) // np.maximum(w, 1)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "f": f.astype("int64"),
+             "c": df["n_chars"].astype("int64").to_numpy(),
+             "t": ttr.astype("int64")})
+
+    m = ds.map_batches(metrics, batch_format="pandas").materialize()
+
+    def hist(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            vc = df[col].value_counts(sort=False)
+            return pd.DataFrame({"v": vc.index.to_numpy("int64"),
+                                 "n": vc.to_numpy("int64")})
+        h = (m.map_batches(fn, batch_format="pandas").to_pandas()
+             .groupby("v", as_index=False)["n"].sum())
+        h = h.sort_values("v", ascending=False).reset_index(drop=True)
+        vals = h["v"].to_numpy("int64")          # descending
+        better = np.r_[0, h["n"].to_numpy("int64").cumsum()[:-1]]
+        return vals, better
+
+    tables = {c: hist(c) for c in ("f", "c", "t")}
+    refs = ray.put(tables)
+
+    def rank_map(df: pd.DataFrame) -> pd.DataFrame:
+        tabs = ray.get(refs)
+        out = {"doc_id": df["doc_id"].to_numpy("int64")}
+        borda = np.zeros(len(df), dtype="int64")
+        for i, col in enumerate(("f", "c", "t"), start=1):
+            vals, better = tabs[col]
+            # vals is DESC-sorted: index of first exact match
+            idx = np.searchsorted(-vals, -df[col].to_numpy("int64"))
+            r = better[idx] + 1
+            out[f"r{i}"] = r.astype("int64")
+            borda += r
+        out["borda"] = borda
+        d = pd.DataFrame(out)
+        # per-block top-k partial: a global winner wins its block
+        return d.sort_values(["borda", "doc_id"]).head(k)
+
+    parts = m.map_batches(rank_map, batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["borda", "doc_id"]).head(k)
+           .reset_index(drop=True))
+    return out.astype({"doc_id": "int64", "r1": "int64", "r2": "int64",
+                       "r3": "int64", "borda": "int64"})
+
+
+def doc_rank_fusion_sql(k: int = BORDA_TOP_K) -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    206835
+      - (1015 * CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT))
+        // greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                    AS BIGINT), 1)
+      - (84600 * CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                 AS BIGINT))
+        // greatest(CAST(len(regexp_extract_all(text, '\\S+'))
+                    AS BIGINT), 1) AS f,
+    n_chars AS c,
+    (1000000 * CAST(len(list_distinct(list_filter(
+         string_split(text, ' '), x -> x <> ''))) AS BIGINT))
+      // greatest(CAST(len(regexp_extract_all(text, '\\S+'))
+                  AS BIGINT), 1) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(RANK() OVER (ORDER BY f DESC) AS BIGINT) AS r1,
+       CAST(RANK() OVER (ORDER BY c DESC) AS BIGINT) AS r2,
+       CAST(RANK() OVER (ORDER BY t DESC) AS BIGINT) AS r3,
+       CAST(RANK() OVER (ORDER BY f DESC)
+            + RANK() OVER (ORDER BY c DESC)
+            + RANK() OVER (ORDER BY t DESC) AS BIGINT) AS borda
+FROM m ORDER BY borda, doc_id LIMIT {k}
+""".strip()
+
+
+DOC_RANK_FUSION_SQL = doc_rank_fusion_sql()

@@ -2293,6 +2293,41 @@ def test_winsorized_mean_resists_outlier(ray_session, tmp_path):
     assert r["wmean_e4"] == 100_000                  # spike clipped away
 
 
+def test_doc_rank_fusion_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.doc_rank_fusion(SF)
+    assert_matches_sql(got, con, co.DOC_RANK_FUSION_SQL)
+    # RANK() semantics: every rank ≥ 1, borda is the row sum
+    assert (got[["r1", "r2", "r3"]] >= 1).all().all()
+    assert (got["borda"] == got["r1"] + got["r2"] + got["r3"]).all()
+    assert (got["borda"].diff().dropna() >= 0).all()
+
+
+def test_doc_rank_fusion_tie_semantics(ray_session, tmp_path):
+    """Two docs with identical metrics must share all three ranks
+    (RANK(), not ROW_NUMBER) and tie-break the output order by id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    same = "alpha beta gamma. delta epsilon zeta."
+    worse = "zzz."
+    pq.write_table(pa.table({
+        "doc_id": pa.array([5, 3, 9], pa.int64()),
+        "text": pa.array([same, same, worse], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(same), len(same), len(worse)],
+                            pa.int64()),
+    }), tmp_path / "documents.parquet")
+    got = co.doc_rank_fusion(str(tmp_path))
+    assert got["doc_id"].tolist()[:2] == [3, 5]   # tied, id order
+    assert (got.iloc[0][["r1", "r2", "r3", "borda"]]
+            == got.iloc[1][["r1", "r2", "r3", "borda"]]).all()
+
+
 def test_embedding_covariance_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 

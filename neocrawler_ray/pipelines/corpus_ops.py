@@ -3642,10 +3642,10 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
     prefixes rare-shingle-biased and composes with
     ``dedup_ngram_pairs``'s hot-shingle block split when a template
     shingle still lands in many prefixes.  On DUP-LIGHT corpora (the
-    sf benchmark tables) the two text scans + payload verify dominate
-    and the unfiltered join is actually faster — prefix filtering pays
-    off exactly when Σ df² pair emission dominates, i.e. on the
-    near-dup-heavy crawls it exists for."""
+    sf benchmark tables) the single tokenize+hash scan plus the
+    payload verify dominate and the unfiltered join is still faster —
+    prefix filtering pays off exactly when Σ df² pair emission
+    dominates, i.e. on the near-dup-heavy crawls it exists for."""
     import numpy as np
 
     tn, td = int(threshold_num), int(threshold_den)
@@ -3659,24 +3659,49 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
         [("pair_key", pa.string()), ("side", pa.int64()),
          ("payload", pa.binary())])
 
-    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+    # ONE text scan emits BOTH row kinds — prefix postings (kind 0)
+    # and the full sorted shingle-hash payload (kind 1) the verify
+    # stage needs — so the expensive tokenize+hash runs once per doc,
+    # not twice (the round's review flagged the second scan as the
+    # dominant cost on dup-light corpora)
+    scan_schema = pa.schema(
+        [("shingle", pa.int64()), ("doc_id", pa.int64()),
+         ("payload", pa.binary()), ("kind", pa.int64())])
+
+    def scan_rows(df: pd.DataFrame) -> pa.Table:
         out_sh, out_id = [], []
+        pay_id, pay = [], []
         for i, t in zip(df["doc_id"].astype("int64"),
                         df["text"].fillna("")):
             h = dd.shingle_hashes(str(t))  # sorted unique uint64
             s = len(h)
             if s == 0:
-                continue
+                continue  # empty set can never pair (oracle: c >= 1)
             # prefix length |x| − ⌈t·|x|⌉ + 1 in integer arithmetic
             plen = s - ((tn * s + td - 1) // td) + 1
             pre = h[:max(plen, 1)]
             out_sh.append(pre.view("int64"))
             out_id.append(np.full(len(pre), i, dtype="int64"))
-        if not out_sh:
-            return pd.DataFrame({"shingle": pd.Series(dtype="int64"),
-                                 "doc_id": pd.Series(dtype="int64")})
-        return pd.DataFrame({"shingle": np.concatenate(out_sh),
-                             "doc_id": np.concatenate(out_id)})
+            pay_id.append(int(i))
+            pay.append(h.tobytes())
+        n_post = sum(len(x) for x in out_sh)
+        return pa.Table.from_pydict(
+            {"shingle": (np.concatenate(out_sh).tolist()
+                         if out_sh else []) + [0] * len(pay_id),
+             "doc_id": (np.concatenate(out_id).tolist()
+                        if out_id else []) + pay_id,
+             "payload": [b""] * n_post + pay,
+             "kind": [0] * n_post + [1] * len(pay_id)},
+            schema=scan_schema)
+
+    scan_ds = docs.map_batches(scan_rows,
+                               batch_format="pandas").materialize()
+
+    import pyarrow.compute as pc
+
+    def only_postings(tb: pa.Table) -> pa.Table:
+        return (tb.filter(pc.equal(tb.column("kind"), 0))
+                .select(["shingle", "doc_id"]))
 
     def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
@@ -3703,7 +3728,7 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
         return p.drop_duplicates().astype("int64")
 
     cands = _hash_grouped(
-        docs.map_batches(prefix_rows, batch_format="pandas"),
+        scan_ds.map_batches(only_postings, batch_format="pyarrow"),
         ["shingle"], cand_pairs, num_parts=num_parts or 32)
 
     def explode(df: pd.DataFrame) -> pa.Table:
@@ -3716,18 +3741,18 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
              "payload": [b""] * (2 * len(df))},
             schema=union_schema)
 
-    def shingle_rows(df: pd.DataFrame) -> pa.Table:
+    def payload_rows(tb: pa.Table) -> pa.Table:
+        p = tb.filter(pc.equal(tb.column("kind"), 1))
         return pa.Table.from_pydict(
-            {"doc_id": df["doc_id"].astype("int64").tolist(),
-             "pair_key": [""] * len(df),
-             "side": [-1] * len(df),
-             "payload": [dd.shingle_hashes(str(t)).tobytes()
-                         for t in df["text"].fillna("")]},
+            {"doc_id": p.column("doc_id").to_pylist(),
+             "pair_key": [""] * len(p),
+             "side": [-1] * len(p),
+             "payload": p.column("payload").to_pylist()},
             schema=union_schema)
 
     unioned = (cands.map_batches(explode, batch_format="pandas")
-               .union(docs.map_batches(shingle_rows,
-                                       batch_format="pandas")))
+               .union(scan_ds.map_batches(payload_rows,
+                                          batch_format="pyarrow")))
 
     def attach(df: pd.DataFrame) -> pa.Table:
         pr = df[df["side"] >= 0]

@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Borda rank fusion of three quality signals (RANK() semantics
         # via broadcast histograms — no global sort)
         "doc_rank_fusion": co.doc_rank_fusion,
+        # frequent 3-step path mining (sequential patterns)
+        "events_top_paths": an.events_top_paths,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -568,6 +570,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "doc_readability": co.DOC_READABILITY_SQL,
         "embedding_covariance": co.EMBEDDING_COVARIANCE_SQL,
         "doc_rank_fusion": co.DOC_RANK_FUSION_SQL,
+        "events_top_paths": an.EVENTS_TOP_PATHS_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

@@ -5929,3 +5929,81 @@ SELECT COALESCE(channel, 'direct') AS channel,
 FROM s WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+# --- sequential pattern mining (top event paths) -----------------------------
+
+PATHS_TOP_K = 20
+
+
+def events_top_paths(sf_dir: str, k: int = PATHS_TOP_K,
+                     num_parts: int = 32):
+    """Top-``k`` most common 3-step event-type paths across user
+    streams — the sequential-pattern member of the behavioral family
+    (funnel counts ONE fixed path, the transition matrix counts
+    2-step edges; this mines the frequent 3-grams).
+
+    Shape: user-hash partition co-locates each stream; inside a
+    partition one vectorized sort + two shifts forms all consecutive
+    triples (same-user mask), a local value_counts combiner collapses
+    them, then a path-hash exchange sums exactly and each partition
+    emits only its own top-k candidates (a global winner must win its
+    partition); the driver reduces ≤ k × partitions rows.  Ties break
+    lexicographically — deterministic vs the LEAD-window oracle."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy("int64")
+        t = df["event_type"].to_numpy(dtype=object)
+        if len(df) < 3:
+            return pd.DataFrame({"path": pd.Series(dtype=object),
+                                 "c": pd.Series(dtype="int64")})
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        p = pd.Series([f"{a}>{b}>{c}" for a, b, c in
+                       zip(t[:-2][same], t[1:-1][same], t[2:][same])])
+        vc = p.value_counts(sort=False)
+        return pd.DataFrame({"path": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    partials = _hash_grouped(ds, ["user_id"], triples,
+                             num_parts=num_parts)
+
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("path", as_index=False)["c"].sum()
+        g = g.sort_values(["c", "path"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    cands = _hash_grouped(partials, ["path"], topk_part,
+                          num_parts=max(4, num_parts // 4)).to_pandas()
+    if "path" not in cands.columns:
+        return pd.DataFrame({"path": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    out = (cands.groupby("path", as_index=False)["c"].sum()
+           .sort_values(["c", "path"], ascending=[False, True],
+                        kind="mergesort").head(k)
+           .reset_index(drop=True))
+    return pd.DataFrame({"path": out["path"].astype(object),
+                         "n": out["c"].astype("int64")})
+
+
+EVENTS_TOP_PATHS_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3,
+         lead(user_id, 2) OVER (ORDER BY user_id, ts, event_id) AS u3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT {PATHS_TOP_K}
+""".strip()

@@ -2395,6 +2395,40 @@ def test_doc_readability_extremes(ray_session, tmp_path):
     assert rec[3]["words"] == 0 and rec[3]["flesch_e3"] == 206835
 
 
+def test_events_top_paths_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_top_paths(SF)
+    assert_matches_sql(got, con, an.EVENTS_TOP_PATHS_SQL)
+    assert len(got) == an.PATHS_TOP_K
+    assert got["path"].str.count(">").eq(2).all()
+
+
+def test_events_top_paths_user_boundaries(ray_session, tmp_path):
+    """Triples never span users: two users with 2 events each produce
+    ZERO paths; one user with a,b,c,d produces a>b>c and b>c>d."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    ev = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "d"),
+          (2, 1, "x"), (2, 2, "y"), (3, 1, "y"), (3, 2, "x")]
+    n = len(ev)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([e[1] * 1_000_000 for e in ev],
+                       pa.timestamp("us")),
+        "user_id": pa.array([e[0] for e in ev], pa.int64()),
+        "event_type": pa.array([e[2] for e in ev]),
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    got = an.events_top_paths(str(tmp_path))
+    assert sorted(got["path"]) == ["a>b>c", "b>c>d"]
+    assert (got["n"] == 1).all()
+
+
 def test_events_attribution_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

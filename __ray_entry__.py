@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_fusion": co.doc_rank_fusion,
         # frequent 3-step path mining (sequential patterns)
         "events_top_paths": an.events_top_paths,
+        # ordered STRING_AGG class (distinct partials, concat last)
+        "corpus_source_langs": co.corpus_source_langs,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -571,6 +573,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "embedding_covariance": co.EMBEDDING_COVARIANCE_SQL,
         "doc_rank_fusion": co.DOC_RANK_FUSION_SQL,
         "events_top_paths": an.EVENTS_TOP_PATHS_SQL,
+        "corpus_source_langs": co.CORPUS_SOURCE_LANGS_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

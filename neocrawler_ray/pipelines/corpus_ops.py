@@ -4244,3 +4244,42 @@ FROM m ORDER BY borda, doc_id LIMIT {k}
 
 
 DOC_RANK_FUSION_SQL = doc_rank_fusion_sql()
+
+
+# --- ordered string aggregation ----------------------------------------------
+
+
+def corpus_source_langs(sf_dir: str):
+    """Per-source ordered roster of the distinct languages it carries,
+    as one comma-joined string — the STRING_AGG / array_agg operator
+    class (ordered reassembly of grouped values), used for compact
+    manifest/report columns.
+
+    Shape: per-batch distinct (source, lang) partials → answer-sized
+    driver reduce → deterministic lexicographic join.  Ordered
+    aggregation is only mergeable once the value set is deduped —
+    hence distinct-partials first, concat LAST (the same
+    order-sensitivity discipline as `corpus_line_dedup`'s reassembly
+    signature)."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["source", "lang"]].drop_duplicates()
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas().drop_duplicates())
+    rows = []
+    for src, g in parts.groupby("source", sort=True):
+        langs = sorted(g["lang"].dropna().astype(str))
+        rows.append((src, len(langs), ",".join(langs)))
+    return pd.DataFrame(
+        {"source": pd.Series([r[0] for r in rows], dtype=object),
+         "n_langs": pd.Series([r[1] for r in rows], dtype="int64"),
+         "langs": pd.Series([r[2] for r in rows], dtype=object)})
+
+
+CORPUS_SOURCE_LANGS_SQL = """
+SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+FROM documents GROUP BY source ORDER BY source
+""".strip()

@@ -2395,6 +2395,15 @@ def test_doc_readability_extremes(ray_session, tmp_path):
     assert rec[3]["words"] == 0 and rec[3]["flesch_e3"] == 206835
 
 
+def test_corpus_source_langs_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.corpus_source_langs(SF)
+    assert_matches_sql(got, con, co.CORPUS_SOURCE_LANGS_SQL)
+    assert (got["langs"].str.split(",").str.len()
+            == got["n_langs"]).all()
+
+
 def test_events_top_paths_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

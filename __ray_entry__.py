@@ -284,6 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_paths": an.events_top_paths,
         # ordered STRING_AGG class (distinct partials, concat last)
         "corpus_source_langs": co.corpus_source_langs,
+        # image perceptual-hash near-dup pairs (banded Hamming over
+        # the binary payload column; pHash itself is the documented
+        # deterministic stub — real DCT swaps into the decode seam)
+        "image_phash_dupes": mm.image_phash_dupes,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -574,6 +578,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "doc_rank_fusion": co.DOC_RANK_FUSION_SQL,
         "events_top_paths": an.EVENTS_TOP_PATHS_SQL,
         "corpus_source_langs": co.CORPUS_SOURCE_LANGS_SQL,
+        "image_phash_dupes": mm.IMAGE_PHASH_DUPES_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

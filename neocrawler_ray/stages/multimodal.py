@@ -260,3 +260,122 @@ FROM (
   WHERE doc_id % 3 = 2
 )
 """.strip()
+
+
+# --- perceptual-hash image near-dup -----------------------------------------
+
+PHASH_MAX_HAMMING = 3
+
+
+def image_phash_dupes(sf_dir: str, max_hamming: int = PHASH_MAX_HAMMING):
+    """Image near-dup pairs by 64-bit perceptual hash with banded
+    blocking — the multimodal member of the dedup family (SimHash's
+    shape over the binary payload column).
+
+    The pHash itself is the documented deterministic STUB of this
+    module (no image libs in the container): md5-fold of the payload
+    bytes, which makes only EXACT payload duplicates collide at
+    Hamming 0 — a real deployment swaps in a DCT pHash inside the
+    same actor-pool decode seam (:class:`PilDecode`) and everything
+    downstream (banding, verify, output) is unchanged, because a real
+    pHash's near-dups land near in Hamming space exactly where the
+    banding looks.  Pigeonhole: 4 bands of 16 bits find every pair
+    with distance ≤ 3; per-bucket Hamming verify is a vectorized
+    XOR+popcount over unique hashes.  Oracle: DuckDB md5/substr fold
+    + bit_count(xor) quadratic join over the image-kind rows."""
+    import numpy as np
+
+    from ..functions import dedup as dd
+    from ..pipelines.corpus_ops import _hash_grouped
+
+    media = media_from_documents(sf_dir)
+    bands, w = 4, 16
+    mask = np.uint64((1 << w) - 1)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        img = df[df["kind"] == "image"]
+        ids = img["media_id"].to_numpy("int64")
+        hs = np.array(
+            [int(hashlib.md5(p).hexdigest()[:16], 16)
+             for p in img["payload"]], dtype="uint64")
+        shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(w))
+        band_vals = (hs[:, None] >> shifts[None, :]) & mask
+        keys = [f"{b}:{v:04x}" for row in band_vals
+                for b, v in enumerate(row)]
+        return pd.DataFrame(
+            {"band_key": pd.Series(keys, dtype="string"),
+             "media_id": pd.Series(np.repeat(ids, bands), dtype="int64"),
+             "ph": pd.Series(np.repeat(hs.view("int64"), bands),
+                             dtype="int64")})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for _, g in df.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("media_id")
+            ids = g["media_id"].to_numpy("int64")
+            hs = g["ph"].to_numpy("int64").view(np.uint64)
+            uh, inv = np.unique(hs, return_inverse=True)
+            ii, jj = np.triu_indices(len(uh))
+            dist = dd.popcount64(uh[ii] ^ uh[jj])
+            for i_, j_, d_ in zip(ii[dist <= max_hamming],
+                                  jj[dist <= max_hamming],
+                                  dist[dist <= max_hamming]):
+                a_ids = ids[inv == i_]
+                if i_ == j_:
+                    if len(a_ids) < 2:
+                        continue
+                    x, y = np.triu_indices(len(a_ids), k=1)
+                    out_a.append(a_ids[x]); out_b.append(a_ids[y])
+                    out_d.append(np.zeros(len(x), dtype="int64"))
+                else:
+                    b_ids = ids[inv == j_]
+                    aa = np.repeat(a_ids, len(b_ids))
+                    bb = np.tile(b_ids, len(a_ids))
+                    lo = np.minimum(aa, bb)
+                    hi = np.maximum(aa, bb)
+                    out_a.append(lo); out_b.append(hi)
+                    out_d.append(np.full(len(aa), int(d_), dtype="int64"))
+        if not out_a:
+            return pd.DataFrame({"media_a": pd.Series(dtype="int64"),
+                                 "media_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.DataFrame({"media_a": np.concatenate(out_a),
+                             "media_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_d)})
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop_duplicates(["media_a", "media_b"])
+                .sort_values(["media_a", "media_b"]))
+
+    buckets = _hash_grouped(
+        media.map_batches(sketch, batch_format="pandas"),
+        ["band_key"], bucket_pairs, num_parts=16)
+    out = _hash_grouped(buckets, ["media_a", "media_b"], dedupe,
+                        num_parts=8).to_pandas()
+    if "media_a" not in out.columns:  # all-empty blocks lose the schema
+        out = pd.DataFrame({"media_a": pd.Series(dtype="int64"),
+                            "media_b": pd.Series(dtype="int64"),
+                            "hamming": pd.Series(dtype="int64")})
+    return (out.sort_values(["media_a", "media_b"])
+            .reset_index(drop=True)
+            .astype({"media_a": "int64", "media_b": "int64",
+                     "hamming": "int64"}))
+
+
+IMAGE_PHASH_DUPES_SQL = f"""
+WITH img AS (
+  SELECT doc_id AS media_id,
+         CAST(('0x' || substr(md5(COALESCE(text, '')), 1, 16))
+              AS UBIGINT) AS ph
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM img a JOIN img b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ph, b.ph)) <= {PHASH_MAX_HAMMING}
+ORDER BY 1, 2
+""".strip()

@@ -2395,6 +2395,39 @@ def test_doc_readability_extremes(ray_session, tmp_path):
     assert rec[3]["words"] == 0 and rec[3]["flesch_e3"] == 206835
 
 
+def test_image_phash_dupes_matches_sql(ray_session, con):
+    from neocrawler_ray.stages import multimodal as mm
+
+    got = mm.image_phash_dupes(SF)
+    assert_matches_sql(got, con, mm.IMAGE_PHASH_DUPES_SQL)
+
+
+def test_image_phash_dupes_planted(ray_session, tmp_path):
+    """Identical image payloads (doc_id % 3 == 0 rows) must pair at
+    Hamming 0; distinct payloads under the md5 stub do not pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.stages import multimodal as mm
+
+    # ids 0, 3, 6 are image-kind; 0 and 6 share a payload
+    texts = {0: "same payload", 3: "other payload", 6: "same payload",
+             1: "audio", 2: "video", 9: "same payload"}
+    ids = sorted(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids], pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    got = mm.image_phash_dupes(str(tmp_path))
+    assert got.to_dict("records") == [
+        {"media_a": 0, "media_b": 6, "hamming": 0},
+        {"media_a": 0, "media_b": 9, "hamming": 0},
+        {"media_a": 6, "media_b": 9, "hamming": 0}]
+
+
 def test_corpus_source_langs_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 

@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the binary payload column; pHash itself is the documented
         # deterministic stub — real DCT swaps into the decode seam)
         "image_phash_dupes": mm.image_phash_dupes,
+        # Gini-impurity behavioral diversity (log-free entropy class)
+        "events_user_gini": an.events_user_gini,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -579,6 +581,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_top_paths": an.EVENTS_TOP_PATHS_SQL,
         "corpus_source_langs": co.CORPUS_SOURCE_LANGS_SQL,
         "image_phash_dupes": mm.IMAGE_PHASH_DUPES_SQL,
+        "events_user_gini": an.EVENTS_USER_GINI_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

@@ -6007,3 +6007,53 @@ SELECT event_type || '>' || e2 || '>' || e3 AS path,
 FROM s WHERE e3 IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, path LIMIT {PATHS_TOP_K}
 """.strip()
+
+
+# --- behavioral diversity (Gini impurity) ------------------------------------
+
+
+def events_user_gini(sf_dir: str, num_parts: int = 32):
+    """Per-user behavioral diversity as GINI IMPURITY of the
+    event-type distribution — the log-free member of the entropy
+    family (bot/power-user detection, stratification features):
+    gini = 1 − Σ(cₜ/n)², emitted as the exact fixed point
+    ``gini_e6 = ⌊10⁶·(n²−Σcₜ²)/n²⌋`` so the HUGEINT oracle matches
+    bit-for-bit (Shannon entropy needs logs — cross-engine float —
+    while impurity is pure integer arithmetic; same ranking use).
+
+    Shape: user-hash partition, one vectorized per-partition
+    (user, type) count + per-user Σc² kernel; output ∝ users."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df.groupby(["user_id", "event_type"], as_index=False)
+             .size())
+        g = c.groupby("user_id", as_index=False).agg(
+            n=("size", "sum"), sq=("size", lambda s: int((s ** 2).sum())))
+        n = g["n"].to_numpy("int64")
+        sq = g["sq"].to_numpy("int64")
+        gini = (1_000_000 * (n * n - sq)) // (n * n)
+        return pd.DataFrame(
+            {"user_id": g["user_id"].astype("int64"),
+             "n": n, "gini_e6": gini.astype("int64")})
+
+    out = _hash_grouped(ds, ["user_id"], per_user,
+                        num_parts=num_parts).to_pandas()
+    return (out.sort_values("user_id").reset_index(drop=True)
+            .astype({"user_id": "int64", "n": "int64",
+                     "gini_e6": "int64"}))
+
+
+EVENTS_USER_GINI_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, sum(c) AS n, sum(c * c) AS sq FROM c GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(1000000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_e6
+FROM u ORDER BY user_id
+""".strip()

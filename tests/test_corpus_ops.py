@@ -2395,6 +2395,41 @@ def test_doc_readability_extremes(ray_session, tmp_path):
     assert rec[3]["words"] == 0 and rec[3]["flesch_e3"] == 206835
 
 
+def test_events_user_gini_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_user_gini(SF)
+    assert_matches_sql(got, con, an.EVENTS_USER_GINI_SQL)
+    # impurity bounds: 0 (single-type user) … <1e6; a user with k
+    # perfectly balanced types hits exactly (1 − 1/k)·1e6
+    assert got["gini_e6"].between(0, 999_999).all()
+
+
+def test_events_user_gini_known_distributions(ray_session, tmp_path):
+    """Single-type user → 0; two balanced types → exactly 500000;
+    four balanced types → exactly 750000."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    ev = ([(1, "a")] * 6
+          + [(2, "a"), (2, "b")] * 3
+          + [(3, "a"), (3, "b"), (3, "c"), (3, "d")])
+    n = len(ev)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([i * 1000 for i in range(n)], pa.timestamp("us")),
+        "user_id": pa.array([e[0] for e in ev], pa.int64()),
+        "event_type": pa.array([e[1] for e in ev]),
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    got = an.events_user_gini(str(tmp_path))
+    rec = {r["user_id"]: r["gini_e6"] for r in got.to_dict("records")}
+    assert rec == {1: 0, 2: 500_000, 3: 750_000}
+
+
 def test_image_phash_dupes_matches_sql(ray_session, con):
     from neocrawler_ray.stages import multimodal as mm
 

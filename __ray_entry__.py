@@ -290,6 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dupes": mm.image_phash_dupes,
         # Gini-impurity behavioral diversity (log-free entropy class)
         "events_user_gini": an.events_user_gini,
+        # UNPIVOT/melt (reshape inverse of events_pivot_daily) and
+        # dense-calendar resample with exact linear interpolation
+        "events_unpivot_daily": an.events_unpivot_daily,
+        "events_daily_gapfill": an.events_daily_gapfill,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -582,6 +586,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "corpus_source_langs": co.CORPUS_SOURCE_LANGS_SQL,
         "image_phash_dupes": mm.IMAGE_PHASH_DUPES_SQL,
         "events_user_gini": an.EVENTS_USER_GINI_SQL,
+        "events_unpivot_daily": an.EVENTS_UNPIVOT_SQL,
+        "events_daily_gapfill": an.EVENTS_DAILY_GAPFILL_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

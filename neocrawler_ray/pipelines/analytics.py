@@ -6057,3 +6057,130 @@ SELECT user_id, CAST(n AS BIGINT) AS n,
        CAST(1000000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_e6
 FROM u ORDER BY user_id
 """.strip()
+
+
+# --- UNPIVOT / melt (reshape pair with events_pivot_daily) -------------------
+
+
+def events_unpivot_daily(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT / melt: the wide day × class matrix back to long
+    (day, event_type, n) rows — the reshape inverse of
+    :func:`events_pivot_daily`, completing the pivot pair.  Zero-count
+    cells created by the pivot's stable schema are dropped on the way
+    back (SQL UNPIVOT's default EXCLUDE NULLS shape, expressed here by
+    the count > 0 filter), so melt∘pivot round-trips to the original
+    long aggregate and the oracle is the plain daily-counts query.
+    The melt is a driver-side reshape of the answer-sized matrix —
+    the exchange ran once, inside events_daily_counts."""
+    wide = events_pivot_daily(sf_dir)
+    long = wide.melt(id_vars=["date"],
+                     value_vars=[f"n_{t}" for t in PIVOT_TYPES],
+                     var_name="event_type", value_name="n")
+    long["event_type"] = long["event_type"].str.removeprefix("n_")
+    long = long[long["n"] > 0]
+    return (long.sort_values(["date", "event_type"])
+            .reset_index(drop=True)
+            .astype({"n": "int64"}))
+
+
+EVENTS_UNPIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
+# --- time-series resample / gap fill ------------------------------------------
+
+
+def events_daily_gapfill(sf_dir: str):
+    """Daily value series per event type RESAMPLED to a dense
+    calendar: interior missing days are filled by exact linear
+    interpolation between the neighboring present days — the
+    time-series gap-fill every monitoring/feature pipeline needs
+    before windowed models (no extrapolation: the range is each
+    type's own [first, last] day, whose endpoints are present by
+    construction).
+
+    Exactness: fill = v₀ + ⌊(v₁−v₀)·Δd / span⌋ with toward-zero
+    truncation over e4 day-sums — bit-identical to the
+    generate_series + IGNORE-NULLS-window HUGEINT oracle.  Shape: one
+    combiner map produces the answer-sized (type, day) partials; the
+    calendar densification and interpolation run on the driver in
+    integer arithmetic (at frontier scale: a day-range exchange,
+    same seam as events_daily_counts)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.strftime("%Y-%m-%d")
+        return (pd.DataFrame({"event_type": df["event_type"],
+                              "day": day, "v": _e4(df["value"])})
+                .groupby(["event_type", "day"], as_index=False)
+                .agg(v=("v", "sum")))
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    d = (parts.groupby(["event_type", "day"], as_index=False)["v"].sum()
+         .sort_values(["event_type", "day"]))
+    rows = []
+    for et, g in d.groupby("event_type", sort=True):
+        days = pd.to_datetime(g["day"]).to_numpy("datetime64[D]")
+        vals = g["v"].map(int).to_numpy(dtype=object)
+        cal = np.arange(days[0], days[-1] + np.timedelta64(1, "D"))
+        present = np.searchsorted(days, cal)
+        is_present = days[np.minimum(present, len(days) - 1)] == cal
+        for i, day in enumerate(cal):
+            if is_present[i]:
+                rows.append((et, str(day), int(vals[present[i]]), 0))
+            else:
+                # prev present index is present[i]-1, next is present[i]
+                p, q = present[i] - 1, present[i]
+                span = int((days[q] - days[p]).astype(int))
+                gap = int((day - days[p]).astype(int))
+                fill = int(vals[p]) + _trunc_div(
+                    (int(vals[q]) - int(vals[p])) * gap, span)
+                rows.append((et, str(day), fill, 1))
+    return pd.DataFrame(
+        {"event_type": pd.Series([r[0] for r in rows], dtype=object),
+         "day": pd.Series([r[1] for r in rows], dtype=object),
+         "v_e4": pd.Series([r[2] for r in rows], dtype="int64"),
+         "is_filled": pd.Series([r[3] for r in rows], dtype="int64")})
+
+
+EVENTS_DAILY_GAPFILL_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1
+), cal AS (
+  SELECT r.event_type,
+         CAST(unnest(generate_series(r.lo, r.hi, INTERVAL 1 DAY))
+              AS DATE) AS day
+  FROM r
+), j AS (
+  SELECT c.event_type, c.day, d.v
+  FROM cal c LEFT JOIN d USING (event_type, day)
+), w AS (
+  SELECT event_type, day, v,
+    last_value(v IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      OVER wp AS pd,
+    first_value(v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      OVER wf AS nd
+  FROM j
+  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + (CAST(nv AS HUGEINT) - pv)
+                      * date_diff('day', pd, day)
+                      // date_diff('day', pd, nd) END AS BIGINT) AS v_e4,
+       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_filled
+FROM w ORDER BY 1, 2
+""".strip()

@@ -2395,6 +2395,55 @@ def test_doc_readability_extremes(ray_session, tmp_path):
     assert rec[3]["words"] == 0 and rec[3]["flesch_e3"] == 206835
 
 
+def test_events_unpivot_daily_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_unpivot_daily(SF)
+    assert_matches_sql(got, con, an.EVENTS_UNPIVOT_SQL)
+    # melt ∘ pivot round-trips to the long daily aggregate
+    long = an.events_daily_counts(SF).sort_values(
+        ["date", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.rename(columns={"n": "n"}), long, check_dtype=False)
+
+
+def test_events_daily_gapfill_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_daily_gapfill(SF)
+    assert_matches_sql(got, con, an.EVENTS_DAILY_GAPFILL_SQL)
+    # dense calendar: per type, days are consecutive
+    for _, g in got.groupby("event_type"):
+        days = pd.to_datetime(g["day"]).diff().dropna()
+        assert (days == pd.Timedelta(days=1)).all()
+
+
+def test_events_daily_gapfill_planted_gap(ray_session, tmp_path):
+    """Days 1 and 4 present (v=10, v=40): days 2 and 3 must be filled
+    with exactly 20 and 30 (exact linear interpolation), flagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    ev = [("2024-01-01", 10.0), ("2024-01-04", 40.0)]
+    n = len(ev)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime([e[0] for e in ev]).values),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["m"] * n),
+        "value": pa.array([e[1] for e in ev], pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    got = an.events_daily_gapfill(str(tmp_path))
+    assert got[["day", "v_e4", "is_filled"]].to_dict("records") == [
+        {"day": "2024-01-01", "v_e4": 100_000, "is_filled": 0},
+        {"day": "2024-01-02", "v_e4": 200_000, "is_filled": 1},
+        {"day": "2024-01-03", "v_e4": 300_000, "is_filled": 1},
+        {"day": "2024-01-04", "v_e4": 400_000, "is_filled": 0}]
+
+
 def test_events_user_gini_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

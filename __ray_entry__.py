@@ -294,6 +294,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dense-calendar resample with exact linear interpolation
         "events_unpivot_daily": an.events_unpivot_daily,
         "events_daily_gapfill": an.events_daily_gapfill,
+        # PERCENTILE_CONT (×100-scaled exact interpolation) and the
+        # grouped moment summary with exact variance numerator
+        "events_value_quantiles_cont": an.events_value_quantiles_cont,
+        "events_value_moments": an.events_value_moments,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -588,6 +592,8 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_user_gini": an.EVENTS_USER_GINI_SQL,
         "events_unpivot_daily": an.EVENTS_UNPIVOT_SQL,
         "events_daily_gapfill": an.EVENTS_DAILY_GAPFILL_SQL,
+        "events_value_quantiles_cont": an.EVENTS_QUANTILES_CONT_SQL,
+        "events_value_moments": an.EVENTS_VALUE_MOMENTS_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

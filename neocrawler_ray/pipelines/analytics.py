@@ -6184,3 +6184,126 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
          AS is_filled
 FROM w ORDER BY 1, 2
 """.strip()
+
+
+# --- continuous (interpolated) quantiles --------------------------------------
+
+
+def events_value_quantiles_cont(sf_dir: str):
+    """PERCENTILE_CONT — the interpolated-quantile convention, closing
+    the family's third corner (exact discrete histogram ·
+    ``events_value_quantiles``, mergeable t-digest approx, and now the
+    SQL-standard continuous form).  Position (n−1)·q/100 = k + r/100;
+    the interpolated value v_k·(100−r) + v_{k+1}·r is emitted AS THAT
+    ×100-scaled integer (``value_e4x100``) — no float division, so the
+    window oracle matches exactly.  Same answer-sized value-domain
+    histogram as the exact op: one combiner exchange ∝ distinct
+    values, never rows."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame({"event_type": df["event_type"].astype(str),
+                            "v": _e4(df["value"])})
+        g = tmp.groupby(["event_type", "v"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    hist = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+            .groupby(["event_type", "v"], as_index=False)["cnt"].sum())
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["v"].to_numpy("int64")
+        for q_pct in QUANTILE_PCTS:
+            pos = (n - 1) * q_pct          # position ×100
+            k, r = pos // 100, pos % 100
+            vk = int(vals[np.searchsorted(cum, k, side="right")])
+            vk1 = int(vals[np.searchsorted(cum, k + 1, side="right")]) \
+                if r else vk
+            rows.append((etype, q_pct, vk * (100 - r) + vk1 * r))
+    return pd.DataFrame(
+        {"event_type": pd.Series([r[0] for r in rows], dtype=object),
+         "q_pct": pd.Series([r[1] for r in rows], dtype="int64"),
+         "value_e4x100": pd.Series([r[2] for r in rows],
+                                   dtype="int64")})
+
+
+EVENTS_QUANTILES_CONT_SQL = f"""
+WITH v AS (SELECT event_type, CAST(floor(value*10000) AS BIGINT) v
+           FROM events),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) rn,
+             count(*) OVER (PARTITION BY event_type) n
+      FROM v),
+q AS (SELECT * FROM (VALUES {', '.join(f'({p})' for p in QUANTILE_PCTS)})
+      t(q_pct)),
+pick AS (
+  SELECT r.event_type, q.q_pct,
+         max(CASE WHEN rn = ((n-1) * q.q_pct) // 100 + 1 THEN v END)
+           AS vk,
+         max(CASE WHEN rn = ((n-1) * q.q_pct) // 100 + 2 THEN v END)
+           AS vk1,
+         max((n-1) * q.q_pct % 100) AS rem
+  FROM r, q GROUP BY 1, 2
+)
+SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(vk * (100 - rem)
+            + COALESCE(vk1, vk) * rem AS BIGINT) AS value_e4x100
+FROM pick ORDER BY 1, 2
+""".strip()
+
+
+# --- grouped moments (exact variance) -----------------------------------------
+
+
+def events_value_moments(sf_dir: str):
+    """Per-type moment summary — n, Σ, min, max and the EXACT
+    population-variance numerator ``var_num = n·Σx² − (Σx)²`` (divide
+    by n² for the population variance, n(n−1) for the sample form —
+    emitting the cross-multiplied integer keeps it engine-exact, the
+    OLS/covariance discipline).  One combiner map_batches carrying
+    five sufficient statistics, answer-sized Python-big-int finish."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = _e4(df["value"])
+        g = (pd.DataFrame({"event_type": df["event_type"], "x": x,
+                           "x2": x * x})
+             .groupby("event_type", as_index=False)
+             .agg(n=("x", "size"), s=("x", "sum"), s2=("x2", "sum"),
+                  lo=("x", "min"), hi=("x", "max")))
+        return g
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    for c in ("n", "s", "s2"):
+        parts[c] = parts[c].map(int).astype(object)
+    g = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
+        lo=("lo", "min"), hi=("hi", "max"))
+    rows = []
+    for _, r in g.iterrows():
+        n, s, s2 = int(r["n"]), int(r["s"]), int(r["s2"])
+        rows.append((r["event_type"], n, s, int(r["lo"]), int(r["hi"]),
+                     n * s2 - s * s))
+    rows.sort()
+    return pd.DataFrame(
+        {"event_type": pd.Series([r[0] for r in rows], dtype=object),
+         "n": pd.Series([r[1] for r in rows], dtype="int64"),
+         "sum_e4": pd.Series([r[2] for r in rows], dtype="int64"),
+         "min_e4": pd.Series([r[3] for r in rows], dtype="int64"),
+         "max_e4": pd.Series([r[4] for r in rows], dtype="int64"),
+         "var_num": pd.Series([r[5] for r in rows], dtype="int64")})
+
+
+EVENTS_VALUE_MOMENTS_SQL = """
+WITH b AS (SELECT event_type, CAST(floor(value*10000) AS BIGINT) x
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_e4,
+       CAST(min(x) AS BIGINT) AS min_e4,
+       CAST(max(x) AS BIGINT) AS max_e4,
+       CAST(CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+            - CAST(sum(x) AS HUGEINT) * sum(x) AS BIGINT) AS var_num
+FROM b GROUP BY 1 ORDER BY 1
+""".strip()

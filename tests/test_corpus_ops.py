@@ -2395,6 +2395,51 @@ def test_doc_readability_extremes(ray_session, tmp_path):
     assert rec[3]["words"] == 0 and rec[3]["flesch_e3"] == 206835
 
 
+def test_events_value_quantiles_cont_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_value_quantiles_cont(SF)
+    assert_matches_sql(got, con, an.EVENTS_QUANTILES_CONT_SQL)
+    # the cont value brackets the disc value: disc·100 within one
+    # inter-value step of cont at the same q
+    disc = an.events_value_quantiles(SF)
+    m = got.merge(disc, on=["event_type", "q_pct"])
+    assert (m["value_e4x100"] >= m["value_e4"] * 100).all()
+
+
+def test_quantiles_cont_small_exact(ray_session, tmp_path):
+    """Four values 10,20,30,40: p50 sits at position 1.5 → exactly
+    25.0 (interpolated), p90 at 2.7 → 37.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    vals = [10.0, 20.0, 30.0, 40.0]
+    n = len(vals)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([0] * n, pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["m"] * n),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    got = an.events_value_quantiles_cont(str(tmp_path))
+    rec = {r["q_pct"]: r["value_e4x100"] for r in got.to_dict("records")}
+    assert rec[50] == 25_0000 * 100   # 25.0 in e4 × 100
+    assert rec[90] == 37_0000 * 100   # 37.0
+
+
+def test_events_value_moments_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_value_moments(SF)
+    assert_matches_sql(got, con, an.EVENTS_VALUE_MOMENTS_SQL)
+    assert (got["var_num"] >= 0).all()
+    assert (got["min_e4"] <= got["max_e4"]).all()
+
+
 def test_events_unpivot_daily_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

@@ -619,14 +619,10 @@ GROUP BY 1
 QUANTILE_PCTS = (50, 90, 99)
 
 
-def events_value_quantiles(sf_dir: str):
-    """Exact per-group quantiles via a value-domain histogram: per-batch
-    (event_type, value_e4) counts → a reduce whose exchange is bounded
-    by |distinct fixed-point values| × |groups|, never row count (the
-    scale path for exact quantiles over bounded-domain numerics; an
-    unbounded domain would swap in a t-digest sketch at the same seam).
-    Quantile q picks the 0-based index ((n-1)*q_pct)//100 of the sorted
-    multiset — the same integer convention as the SQL row_number form."""
+def _value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Shared answer-sized value-domain histogram: (event_type,
+    value_e4) → count, one combiner exchange ∝ distinct values —
+    the base of the exact-quantile family (disc, cont, winsorize)."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -635,8 +631,19 @@ def events_value_quantiles(sf_dir: str):
         g = tmp.groupby(["event_type", "v"], as_index=False).size()
         return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
 
-    hist = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (ds.map_batches(partial, batch_format="pandas").to_pandas()
             .groupby(["event_type", "v"], as_index=False)["cnt"].sum())
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact per-group quantiles via a value-domain histogram: per-batch
+    (event_type, value_e4) counts → a reduce whose exchange is bounded
+    by |distinct fixed-point values| × |groups|, never row count (the
+    scale path for exact quantiles over bounded-domain numerics; an
+    unbounded domain would swap in a t-digest sketch at the same seam).
+    Quantile q picks the 0-based index ((n-1)*q_pct)//100 of the sorted
+    multiset — the same integer convention as the SQL row_number form."""
+    hist = _value_histogram(sf_dir)
     out_t, out_q, out_v = [], [], []
     for etype, g in hist.groupby("event_type"):
         g = g.sort_values("v")
@@ -5641,16 +5648,7 @@ def events_value_winsorized(sf_dir: str, lo_pct: int = WINSOR_LO_PCT,
     Σ clip(v)·cnt over that histogram — no second pass over the data.
     ``wmean_e4`` is toward-zero big-int division (DuckDB ``//``), so
     the oracle matches bit-for-bit."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        tmp = pd.DataFrame({"event_type": df["event_type"].astype(str),
-                            "v": _e4(df["value"])})
-        g = tmp.groupby(["event_type", "v"], as_index=False).size()
-        return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
-
-    hist = (ds.map_batches(partial, batch_format="pandas").to_pandas()
-            .groupby(["event_type", "v"], as_index=False)["cnt"].sum())
+    hist = _value_histogram(sf_dir)
     rows = []
     for etype, g in hist.groupby("event_type", sort=True):
         g = g.sort_values("v")
@@ -5997,8 +5995,7 @@ EVENTS_TOP_PATHS_SQL = f"""
 WITH s AS (
   SELECT user_id, event_type,
          lead(event_type, 1) OVER w AS e2,
-         lead(event_type, 2) OVER w AS e3,
-         lead(user_id, 2) OVER (ORDER BY user_id, ts, event_id) AS u3
+         lead(event_type, 2) OVER w AS e3
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
@@ -6032,12 +6029,15 @@ def events_user_gini(sf_dir: str, num_parts: int = 32):
              .size())
         g = c.groupby("user_id", as_index=False).agg(
             n=("size", "sum"), sq=("size", lambda s: int((s ** 2).sum())))
-        n = g["n"].to_numpy("int64")
-        sq = g["sq"].to_numpy("int64")
+        # Python-int arithmetic: 10⁶·n² wraps int64 at n ≥ ~3e6
+        # events/user while the oracle is HUGEINT-exact
+        n = g["n"].astype(object).to_numpy()
+        sq = g["sq"].astype(object).to_numpy()
         gini = (1_000_000 * (n * n - sq)) // (n * n)
         return pd.DataFrame(
             {"user_id": g["user_id"].astype("int64"),
-             "n": n, "gini_e6": gini.astype("int64")})
+             "n": g["n"].astype("int64"),
+             "gini_e6": pd.Series(list(gini), dtype="int64")})
 
     out = _hash_grouped(ds, ["user_id"], per_user,
                         num_parts=num_parts).to_pandas()
@@ -6083,10 +6083,16 @@ def events_unpivot_daily(sf_dir: str) -> pd.DataFrame:
             .astype({"n": "int64"}))
 
 
-EVENTS_UNPIVOT_SQL = """
+# the unpivot inverts THE PIVOT, whose schema is the closed
+# PIVOT_TYPES set — the oracle carries the same filter so an exotic
+# event type diverges loudly in neither engine rather than silently
+# in one (the open-set long aggregate is events_daily_counts)
+EVENTS_UNPIVOT_SQL = f"""
 SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
        CAST(count(*) AS BIGINT) AS n
-FROM events GROUP BY 1, 2 ORDER BY 1, 2
+FROM events
+WHERE event_type IN ({', '.join(f"'{t}'" for t in PIVOT_TYPES)})
+GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
 
 
@@ -6197,18 +6203,8 @@ def events_value_quantiles_cont(sf_dir: str):
     the interpolated value v_k·(100−r) + v_{k+1}·r is emitted AS THAT
     ×100-scaled integer (``value_e4x100``) — no float division, so the
     window oracle matches exactly.  Same answer-sized value-domain
-    histogram as the exact op: one combiner exchange ∝ distinct
-    values, never rows."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        tmp = pd.DataFrame({"event_type": df["event_type"].astype(str),
-                            "v": _e4(df["value"])})
-        g = tmp.groupby(["event_type", "v"], as_index=False).size()
-        return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
-
-    hist = (ds.map_batches(partial, batch_format="pandas").to_pandas()
-            .groupby(["event_type", "v"], as_index=False)["cnt"].sum())
+    histogram as the exact op (shared :func:`_value_histogram`)."""
+    hist = _value_histogram(sf_dir)
     rows = []
     for etype, g in hist.groupby("event_type", sort=True):
         g = g.sort_values("v")
@@ -6268,11 +6264,17 @@ def events_value_moments(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         x = _e4(df["value"])
+        # x² and its batch sum in PYTHON ints: int64 wraps silently at
+        # |value| ≥ ~3e5 per element (and far lower for the batch sum)
+        # while the oracle is HUGEINT-exact
+        xo = x.astype(object)
         g = (pd.DataFrame({"event_type": df["event_type"], "x": x,
-                           "x2": x * x})
+                           "xo": xo, "x2": xo * xo})
              .groupby("event_type", as_index=False)
-             .agg(n=("x", "size"), s=("x", "sum"), s2=("x2", "sum"),
+             .agg(n=("x", "size"), s=("xo", "sum"), s2=("x2", "sum"),
                   lo=("x", "min"), hi=("x", "max")))
+        g["s"] = g["s"].astype(str)    # Arrow-safe transport of big ints
+        g["s2"] = g["s2"].astype(str)
         return g
 
     parts = ev.map_batches(partial, batch_format="pandas").to_pandas()

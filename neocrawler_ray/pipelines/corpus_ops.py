@@ -3684,14 +3684,27 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
             out_id.append(np.full(len(pre), i, dtype="int64"))
             pay_id.append(int(i))
             pay.append(h.tobytes())
-        n_post = sum(len(x) for x in out_sh)
-        return pa.Table.from_pydict(
-            {"shingle": (np.concatenate(out_sh).tolist()
-                         if out_sh else []) + [0] * len(pay_id),
-             "doc_id": (np.concatenate(out_id).tolist()
-                        if out_id else []) + pay_id,
-             "payload": [b""] * n_post + pay,
-             "kind": [0] * n_post + [1] * len(pay_id)},
+        post_sh = (np.concatenate(out_sh) if out_sh
+                   else np.array([], dtype="int64"))
+        post_id = (np.concatenate(out_id) if out_id
+                   else np.array([], dtype="int64"))
+        n_post = len(post_sh)
+        # numpy → Arrow zero-copy for the (large) posting columns; only
+        # the per-DOC payload rows touch Python objects
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([pa.array(post_sh, pa.int64()),
+                               pa.array(np.zeros(len(pay_id),
+                                                 dtype="int64"))]),
+             pa.concat_arrays([pa.array(post_id, pa.int64()),
+                               pa.array(np.asarray(pay_id,
+                                                   dtype="int64"))]),
+             pa.concat_arrays([pa.array(np.full(n_post, b"",
+                                                dtype=object),
+                               pa.binary()),
+                               pa.array(pay, pa.binary())]),
+             pa.concat_arrays([pa.array(np.zeros(n_post, dtype="int64")),
+                               pa.array(np.ones(len(pay_id),
+                                                dtype="int64"))])],
             schema=scan_schema)
 
     scan_ds = docs.map_batches(scan_rows,
@@ -4215,7 +4228,9 @@ def doc_rank_fusion(sf_dir: str, k: int = BORDA_TOP_K):
 
 def doc_rank_fusion_sql(k: int = BORDA_TOP_K) -> str:
     return f"""
-WITH m AS (
+WITH d0 AS (
+  SELECT doc_id, COALESCE(text, '') AS text, n_chars FROM documents
+), m AS (
   SELECT doc_id,
     206835
       - (1015 * CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT))
@@ -4230,7 +4245,7 @@ WITH m AS (
          string_split(text, ' '), x -> x <> ''))) AS BIGINT))
       // greatest(CAST(len(regexp_extract_all(text, '\\S+'))
                   AS BIGINT), 1) AS t
-  FROM documents
+  FROM d0
 )
 SELECT doc_id,
        CAST(RANK() OVER (ORDER BY f DESC) AS BIGINT) AS r1,
@@ -4269,9 +4284,13 @@ def corpus_source_langs(sf_dir: str):
     parts = (ds.map_batches(partial, batch_format="pandas")
              .to_pandas().drop_duplicates())
     rows = []
-    for src, g in parts.groupby("source", sort=True):
+    # dropna=False: a NULL source is a group the manifest must show
+    # (SQL GROUP BY keeps it); string_agg over zero non-null langs is
+    # NULL, mirrored by None here
+    for src, g in parts.groupby("source", sort=True, dropna=False):
         langs = sorted(g["lang"].dropna().astype(str))
-        rows.append((src, len(langs), ",".join(langs)))
+        rows.append((src if pd.notna(src) else None, len(langs),
+                     ",".join(langs) if langs else None))
     return pd.DataFrame(
         {"source": pd.Series([r[0] for r in rows], dtype=object),
          "n_langs": pd.Series([r[1] for r in rows], dtype="int64"),

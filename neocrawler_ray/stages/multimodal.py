@@ -289,7 +289,13 @@ def image_phash_dupes(sf_dir: str, max_hamming: int = PHASH_MAX_HAMMING):
     from ..pipelines.corpus_ops import _hash_grouped
 
     media = media_from_documents(sf_dir)
-    bands, w = 4, 16
+    # pigeonhole completeness needs bands > max_hamming: 4×16-bit
+    # bands serve d ≤ 3, 8×8-bit bands serve d ≤ 7 (the simhash op's
+    # rule); larger d is rejected rather than silently lossy
+    if max_hamming >= 8:
+        raise ValueError("max_hamming > 7 needs more than 8 bands")
+    bands = 4 if max_hamming < 4 else 8
+    w = 64 // bands
     mask = np.uint64((1 << w) - 1)
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:

@@ -2566,6 +2566,30 @@ def test_corpus_source_langs_matches_sql(ray_session, con):
             == got["n_langs"]).all()
 
 
+def test_corpus_source_langs_null_groups(ray_session, tmp_path):
+    """NULL source is a kept group; a source whose langs are all NULL
+    aggregates to NULL (string_agg semantics), not ''."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "b", "c"], pa.string()),
+        "lang": pa.array(["en", None, None], pa.string()),
+        "source": pa.array(["s1", None, "s2"], pa.string()),
+        "n_chars": pa.array([1, 1, 1], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    got = co.corpus_source_langs(str(tmp_path))
+    assert len(got) == 3  # s1, s2 and the NULL-source group
+    rec = {r["source"]: (r["n_langs"], r["langs"])
+           for r in got.to_dict("records")}
+    assert rec["s1"] == (1, "en")
+    assert rec["s2"] == (0, None)
+    assert rec[None] == (0, None)
+
+
 def test_events_top_paths_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

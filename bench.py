@@ -199,6 +199,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dedup_ngram_prefix": lambda: consume(
             co.dedup_ngram_pairs_prefix(sf_dir)),
         "documents_profile": lambda: consume(co.table_profile(sf_dir)),
+        # third round-4 continuation: rank fusion (3 global-rank
+        # histograms), path mining (2 exchanges), Gram-matrix reduce
+        "doc_rank_fusion": lambda: consume(co.doc_rank_fusion(sf_dir)),
+        "events_top_paths": lambda: consume(an.events_top_paths(sf_dir)),
+        "embedding_covariance": lambda: consume(
+            co.embedding_covariance(sf_dir)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

@@ -331,3 +331,23 @@ def test_span_hashes_match_string_spans(texts, w):
             shared_h = len(np.intersect1d(sets_h[i], sets_h[j],
                                           assume_unique=True))
             assert shared_h == len(sets_s[i] & sets_s[j])
+
+
+@given(st.integers(-10**30, 10**30), st.integers(1, 10**18))
+@settings(max_examples=120, deadline=None)
+def test_trunc_div_matches_duckdb_semantics(num, den):
+    """_td (the shared toward-zero division every *_e6/_e4 emission
+    uses) must agree with DuckDB's HUGEINT `//` for any sign — the
+    cross-engine convention all fixed-point oracles rest on."""
+    import duckdb
+
+    from neocrawler_ray.pipelines.corpus_ops import _td
+
+    got = _td(num, den)
+    want = duckdb.sql(
+        f"SELECT CAST({num} AS HUGEINT) // CAST({den} AS HUGEINT)"
+    ).fetchone()[0]
+    assert got == int(want)
+    # and explicitly differs from Python floor for negative numerators
+    if num < 0 and num % den:
+        assert got == (num // den) + 1

@@ -151,6 +151,15 @@ def _q_doc_stats_resumable(sf_dir: str):
     return ex.read_export(out)
 
 
+def _q_corpus_from_crawl(sf_dir: str):
+    from neocrawler_ray.pipelines.export import corpus_from_crawl
+
+    out = _crawl_out_dir(sf_dir)
+    return corpus_from_crawl(
+        os.path.join(out, "extracted"),
+        workdir=os.path.join(out, "bridge_corpus"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.pipelines import analytics as an
     from neocrawler_ray.pipelines import corpus_ops as co
@@ -398,6 +407,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_seen": _q_crawl_url_seen,
         "crawl_report": _q_crawl_report,
         "crawl_failure_report": _q_crawl_failures,
+        # frontier → training shards in one flow: the crawl's extracted
+        # pages through clean → dedup → lang ID → token packing
+        # (pipelines/export.py::corpus_from_crawl; crawl-dependent, so
+        # rows-only like its input family — composition pytest covers it)
+        "corpus_from_crawl": _q_corpus_from_crawl,
         # ---- structurally no-oracle: sketch/LSH families (planted-dup
         # + recall/precision pytest, tests/test_lsh_bench_scale.py) ----
         "dedup_minhash_pairs": lambda sf: co.dedup_minhash_verified(sf),

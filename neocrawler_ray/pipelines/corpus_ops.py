@@ -437,7 +437,7 @@ def doc_chunks_sql() -> str:
         tok=ts.TOKEN_PATTERN, win=CHUNK_WINDOW, stride=CHUNK_STRIDE)
 
 
-def corpus_clean(sf_dir: str):
+def corpus_clean(sf_dir: str, min_tokens: int | None = None):
     """End-to-end training-data cleaning: quality gate → exact dedup.
 
     The composed flagship shape of the LLM-data layer — one streaming
@@ -445,7 +445,11 @@ def corpus_clean(sf_dir: str):
     digest per batch → drop low-quality rows → hash-partitioned
     keep-one (min doc_id per digest).  The shuffle carries only
     (digest, id, n_tokens); text never leaves the scan stage.  Returns
-    surviving (doc_id, n_tokens) — exact ints, SQL-mirrorable."""
+    surviving (doc_id, n_tokens) — exact ints, SQL-mirrorable.
+
+    ``min_tokens`` swaps the prose-prior gate (stopword/punct ratios —
+    wrong for navigational crawl text) for a plain length floor; the
+    default keeps the oracle-checked behavior."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
@@ -455,7 +459,10 @@ def corpus_clean(sf_dir: str):
              "doc_id": df["doc_id"].astype("int64").to_numpy(),
              "n_tokens": stats["n_tokens"].to_numpy()}
         )
-        return out[stats["quality_ok"].to_numpy()].reset_index(drop=True)
+        ok = (stats["n_tokens"].to_numpy() >= min_tokens
+              if min_tokens is not None
+              else stats["quality_ok"].to_numpy())
+        return out[ok].reset_index(drop=True)
 
     ds = ds.map_batches(gate, batch_format="pandas")
 

@@ -153,3 +153,123 @@ def read_export(out_dir: str):
     import ray
 
     return ray.data.read_parquet(out_dir)
+
+
+# --- crawl → training-corpus bridge ------------------------------------------
+
+
+def corpus_from_crawl(extracted_dir: str, workdir: str | None = None):
+    """END-TO-END bridge from the crawl's extracted pages to packed
+    training shards — the composition that ties the repo's two halves
+    together: frontier → fetch-sim → rule-engine extract (the
+    reference's pipeline) feeding straight into the LLM-data layer
+    (clean → exact dedup → language ID → token-budget shard packing),
+    all over the SAME Dataset machinery.
+
+    Stages (every one an existing oracle-green operator — the bridge
+    adds glue, not logic):
+
+    1. read the crawl's ``extracted/`` Parquet (valid rows only),
+       shape it documents-like — ``doc_id`` = int63 md5 of
+       (url, nav_round), ``source`` = domain — and write it as a
+       corpus directory under ``workdir`` (the write is the crawl/
+       corpus seam: at 100 TB both sides stream Parquet, and a
+       failed bridge run resumes from the written corpus);
+    2. :func:`corpus_ops.corpus_clean` with a token-length gate
+       (crawl text is navigational — the prose stopword prior would
+       drop everything) + exact dedup (keep-one per content digest);
+    3. :func:`corpus_ops.doc_lang_id` — marker-word language ID;
+    4. :func:`corpus_ops.doc_pack_shards` — global parallel-prefix
+       token packing into fixed-budget shards.
+
+    Returns the manifest: one row per SURVIVING document —
+    (doc_id, url, source, lang_pred, n_tokens, shard_id), doc_id
+    order.  The final joins run on the answer-sized kept set
+    driver-side (at frontier scale: doc_id-hash exchanges, the
+    corpus layer's existing seam)."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..pipelines import corpus_ops as co
+
+    workdir = workdir or tempfile.mkdtemp(prefix="crawl_corpus_",
+                                          dir="/tmp")
+    doc_dir = os.path.join(workdir, "documents.parquet")
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("source", pa.string()),
+         ("n_chars", pa.int64()), ("url", pa.string())])
+
+    def shape(df: pd.DataFrame) -> pa.Table:
+        ok = (df["valid"].astype("int64") == 1) & df["text"].notna()
+        df = df[ok]
+        keys = (df["url"].astype(str) + "#"
+                + df["nav_round"].astype(str))
+        ids = np.array(
+            [int.from_bytes(hashlib.md5(k.encode()).digest()[:8],
+                            "big") >> 1 for k in keys], dtype="int64")
+        return pa.Table.from_pydict(
+            {"doc_id": ids,
+             "text": df["text"].astype(str).tolist(),
+             "lang": ["und"] * len(df),
+             "source": df["domain"].astype(str).tolist(),
+             "n_chars": df["text"].astype(str).str.len()
+                .astype("int64").tolist(),
+             "url": df["url"].astype(str).tolist()},
+            schema=schema)
+
+    ds = ray.data.read_parquet(
+        extracted_dir,
+        columns=["url", "nav_round", "domain", "valid", "text"])
+    if not (os.path.isdir(doc_dir) and os.listdir(doc_dir)):
+        ds.map_batches(shape, batch_format="pandas") \
+            .write_parquet(doc_dir)
+
+    # min_tokens gate: crawl text is navigational (no stopword prior)
+    kept = co.corpus_clean(workdir, min_tokens=3).to_pandas()
+    if "doc_id" not in kept.columns:  # nothing survived: empty manifest
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64" if c in
+                          ("doc_id", "n_tokens", "shard_id") else object)
+             for c in ("doc_id", "url", "source", "lang_pred",
+                       "n_tokens", "shard_id")})
+
+    # materialize the CLEANED corpus (broadcast kept-id membership →
+    # streaming filter → Parquet): packing and language ID must see
+    # only surviving docs, and the written clean set is the resumable
+    # artifact a re-run restarts from
+    clean_dir = os.path.join(workdir, "clean")
+    clean_docs = os.path.join(clean_dir, "documents.parquet")
+    kept_ref = ray.put(
+        pd.Series(kept["doc_id"]).sort_values().to_numpy("int64"))
+
+    def keep_only(tb: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = tb.column("doc_id").to_numpy()
+        ks = ray.get(kept_ref)
+        pos = np.searchsorted(ks, ids)
+        ok = pos < len(ks)
+        ok[ok] = ks[pos[ok]] == ids[ok]
+        return tb.filter(pa.array(ok))
+
+    if not (os.path.isdir(clean_docs) and os.listdir(clean_docs)):
+        ray.data.read_parquet(doc_dir)             .map_batches(keep_only, batch_format="pyarrow")             .write_parquet(clean_docs)
+
+    lang = co.doc_lang_id(clean_dir).to_pandas()
+    shards = co.doc_pack_shards(clean_dir)
+    urls = (ray.data.read_parquet(clean_docs,
+                                  columns=["doc_id", "url", "source"])
+            .to_pandas().drop_duplicates("doc_id"))
+    m = (kept.merge(lang, on="doc_id")
+         .merge(shards[["doc_id", "shard_id"]], on="doc_id")
+         .merge(urls, on="doc_id"))
+    m = m.sort_values("doc_id").reset_index(drop=True)
+    return m[["doc_id", "url", "source", "lang_pred", "n_tokens",
+              "shard_id"]].astype(
+        {"doc_id": "int64", "n_tokens": "int64", "shard_id": "int64"})

@@ -410,3 +410,37 @@ def test_speculative_schedule_e2e_parity(corpus, tmp_path_factory,
     assert totals["waves"] == ora["waves"]
     seen = pq.read_table(f"{out}/url_seen").column("url_md5").to_pylist()
     assert set(seen) == set(ora["url_seen"].keys())
+
+
+def test_corpus_from_crawl_bridge(engine_out, tmp_path):
+    """Frontier → training shards: the bridge over the crawl's
+    extracted pages must (a) keep exactly the valid, ≥3-token,
+    content-deduped rows, (b) pack monotone non-decreasing shard ids
+    in doc_id order, (c) be deterministic across a re-run from the
+    written corpus (resume semantics)."""
+    import os
+
+    import pandas as pd
+    import ray
+
+    from neocrawler_ray.pipelines.export import corpus_from_crawl
+
+    out, _ = engine_out
+    wd = str(tmp_path / "bridge")
+    m = corpus_from_crawl(os.path.join(out, "extracted"), wd)
+    assert len(m) > 0
+    assert list(m.columns) == ["doc_id", "url", "source", "lang_pred",
+                               "n_tokens", "shard_id"]
+    # (a) survivors are unique docs with ≥ 3 tokens
+    assert m["doc_id"].is_unique
+    assert (m["n_tokens"] >= 3).all()
+    ext = ray.data.read_parquet(
+        os.path.join(out, "extracted"),
+        columns=["url", "valid"]).to_pandas()
+    assert len(m) <= int((ext["valid"] == 1).sum())
+    # (b) shard ids: packing in doc_id order is a running floor-div
+    assert (m.sort_values("doc_id")["shard_id"].diff().dropna()
+            >= 0).all()
+    # (c) second run over the same workdir reproduces the manifest
+    m2 = corpus_from_crawl(os.path.join(out, "extracted"), wd)
+    pd.testing.assert_frame_equal(m, m2)

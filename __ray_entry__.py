@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped moment summary with exact variance numerator
         "events_value_quantiles_cont": an.events_value_quantiles_cont,
         "events_value_moments": an.events_value_moments,
+        # degree assortativity (Newman) as exact sign·r² integers
+        "graph_assortativity": an.graph_assortativity,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -608,6 +610,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_daily_gapfill": an.EVENTS_DAILY_GAPFILL_SQL,
         "events_value_quantiles_cont": an.EVENTS_QUANTILES_CONT_SQL,
         "events_value_moments": an.EVENTS_VALUE_MOMENTS_SQL,
+        "graph_assortativity": an.GRAPH_ASSORTATIVITY_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

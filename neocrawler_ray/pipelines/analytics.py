@@ -6309,3 +6309,107 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
             - CAST(sum(x) AS HUGEINT) * sum(x) AS BIGINT) AS var_num
 FROM b GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+# --- degree assortativity (graph science) ------------------------------------
+
+
+def graph_assortativity(sf_dir: str):
+    """Degree assortativity of the part↔supplier graph — Newman's
+    "do high-degree nodes attach to high-degree nodes?" coefficient,
+    the graph-science summary beside traversal (BFS), ranking
+    (PageRank) and structure counting (triangles).
+
+    Exactness without the square root: Pearson r over the directed
+    edge list's (src-degree, dst-degree) pairs has
+    r² = num² / (den_a·den_b) with num = nΣab − ΣaΣb and
+    den_x = nΣx² − (Σx)², all exact integers — emit
+    ``r2_sign_e6 = sign(num)·⌊10⁶·num²/(den_a·den_b)⌋`` (sign·r², the
+    monotone transform of r) so the HUGEINT oracle is bit-identical.
+    Magnitude note: num² needs ≲10³⁸ (HUGEINT); fine to ~10⁹ edges at
+    these degree scales, beyond which emit the five statistics raw.
+
+    Shape: one distinct-pair exchange builds edges, one node-hash
+    exchange counts degrees, degrees broadcast as sorted arrays
+    (node-sized — the BFS frontier assumption), then a zero-shuffle
+    map accumulates the five sufficient statistics per block and the
+    driver finishes in Python big ints."""
+    import ray
+
+    from .corpus_ops import _hash_grouped
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"pk": df["l_partkey"].to_numpy("int64"),
+                              "sk": df["l_suppkey"].to_numpy("int64")})
+                .drop_duplicates())
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates()
+        pk2 = g["pk"].to_numpy("int64") * 2
+        sk2 = g["sk"].to_numpy("int64") * 2 + 1
+        return pd.DataFrame({"src": np.concatenate([pk2, sk2]),
+                             "dst": np.concatenate([sk2, pk2])})
+
+    edges = _hash_grouped(
+        line.map_batches(pair_partial, batch_format="pandas"),
+        ["pk", "sk"], to_edges, num_parts=16).materialize()
+
+    def deg_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", as_index=False).size()
+        return pd.DataFrame({"id": g["src"].to_numpy("int64"),
+                             "deg": g["size"].to_numpy("int64")})
+
+    degs = _hash_grouped(edges, ["src"], deg_fn,
+                         num_parts=16).to_pandas().sort_values("id")
+    ids_ref = ray.put(degs["id"].to_numpy("int64"))
+    deg_ref = ray.put(degs["deg"].to_numpy("int64"))
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)
+        dg = ray.get(deg_ref)
+        a = dg[np.searchsorted(ids, df["src"].to_numpy("int64"))]
+        b = dg[np.searchsorted(ids, df["dst"].to_numpy("int64"))]
+        ao = a.astype(object)   # big-int-safe batch sums
+        bo = b.astype(object)
+        return pd.DataFrame(
+            {"n": [len(a)], "sa": [ao.sum()], "sb": [bo.sum()],
+             "sab": [(ao * bo).sum()], "sa2": [(ao * ao).sum()],
+             "sb2": [(bo * bo).sum()]}).astype(str)
+
+    p = edges.map_batches(stats, batch_format="pandas").to_pandas()
+    n, sa, sb, sab, sa2, sb2 = (
+        sum(int(x) for x in p[c]) for c in
+        ("n", "sa", "sb", "sab", "sa2", "sb2"))
+    num = n * sab - sa * sb
+    den_a = n * sa2 - sa * sa
+    den_b = n * sb2 - sb * sb
+    if den_a == 0 or den_b == 0:
+        r2 = 0
+    else:
+        r2 = _trunc_div(num * num * 1_000_000, den_a * den_b)
+        if num < 0:
+            r2 = -r2
+    return pd.DataFrame({"n_edges": pd.Series([n], dtype="int64"),
+                         "r2_sign_e6": pd.Series([r2], dtype="int64")})
+
+
+GRAPH_ASSORTATIVITY_SQL = """
+WITH e0 AS (SELECT DISTINCT l_partkey pk, l_suppkey sk FROM lineitem),
+edges AS (SELECT pk*2 AS src, sk*2+1 AS dst FROM e0
+          UNION ALL SELECT sk*2+1, pk*2 FROM e0),
+deg AS (SELECT src AS id, CAST(count(*) AS HUGEINT) AS d FROM edges
+        GROUP BY 1),
+j AS (SELECT da.d AS a, db.d AS b FROM edges e
+      JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst),
+s AS (SELECT CAST(count(*) AS HUGEINT) n, sum(a) sa, sum(b) sb,
+             sum(a*b) sab, sum(a*a) sa2, sum(b*b) sb2 FROM j)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(CASE WHEN n*sa2 - sa*sa = 0 OR n*sb2 - sb*sb = 0 THEN 0
+            ELSE (CASE WHEN n*sab - sa*sb < 0 THEN -1 ELSE 1 END)
+                 * ((n*sab - sa*sb) * (n*sab - sa*sb) * 1000000
+                    // ((n*sa2 - sa*sa) * (n*sb2 - sb*sb)))
+            END AS BIGINT) AS r2_sign_e6
+FROM s
+""".strip()

@@ -2928,6 +2928,45 @@ def test_graph_bfs_hops_matches_sql(ray_session, con):
     assert (parts["hops"] % 2 == 1).all()
 
 
+def test_graph_assortativity_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.graph_assortativity(SF)
+    assert_matches_sql(got, con, an.GRAPH_ASSORTATIVITY_SQL)
+    # sign·r² lives in [−1e6, 1e6]
+    assert abs(int(got["r2_sign_e6"].iloc[0])) <= 1_000_000
+
+
+def test_graph_assortativity_star_is_disassortative(ray_session,
+                                                    tmp_path):
+    """A star (one supplier, many parts) is maximally disassortative:
+    every edge joins degree-1 to degree-k, so sign·r² = −10⁶ exactly
+    (|r| = 1 on a two-point degree scatter)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    pairs = [(p, 1) for p in range(6)]
+    n = len(pairs)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([p for p, _ in pairs], pa.int64()),
+        "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([1.0] * n),
+        "l_extendedprice": pa.array([1.0] * n),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([0.0] * n),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    got = an.graph_assortativity(str(tmp_path))
+    assert got.to_dict("records") == [
+        {"n_edges": 12, "r2_sign_e6": -1_000_000}]
+
+
 def test_graph_bfs_hops_no_seeds(ray_session, tmp_path):
     """No supplier key ≤ seed max → empty seed set must yield hops −1
     for every node (not a schema-loss crash), matching the oracle's

@@ -2338,6 +2338,33 @@ def test_embedding_covariance_matches_sql(ray_session, con):
     assert len(diag) == co.COV_DIM and (diag["cov_scaled"] >= 0).all()
 
 
+def test_embedding_covariance_multibatch_combine(ray_session, tmp_path):
+    """3,000 rows force multiple map_batches partials (default batch
+    size 1024): the summed Gram partials must equal a single-pass
+    numpy computation exactly — the combiner seam the 500-row sf
+    fixtures never cross."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    rng = np.random.RandomState(5)
+    mat = rng.uniform(-1, 1, size=(3000, 64)).astype("float32")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(3000), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        "label": pa.array([0] * 3000, pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+    got = co.embedding_covariance(str(tmp_path))
+    v = np.floor(mat.astype("float64") * 10000.0).astype("int64")
+    g = v.T @ v
+    sx = v.sum(axis=0)
+    n = 3000
+    iu, ju = np.triu_indices(64)
+    want = n * g[iu, ju] - sx[iu] * sx[ju]
+    assert (got["cov_scaled"].to_numpy() == want).all()
+
+
 def test_embedding_covariance_known_vectors(ray_session, tmp_path):
     """Two perfectly anti-correlated coordinates must produce a
     negative off-diagonal exactly equal to −n·Σx² form."""

@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_moments": an.events_value_moments,
         # degree assortativity (Newman) as exact sign·r² integers
         "graph_assortativity": an.graph_assortativity,
+        # MERGE/upsert (CDC apply by key; one tagged doc_id exchange)
+        "documents_upsert": co.documents_upsert,
         # ---- never driver-checked: pre-existing (q3 flagged by the
         # round-3 verdict; the rest sat past earlier caps) ----
         "q3_top_revenue": an.q3_top_revenue,
@@ -611,6 +613,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "events_value_quantiles_cont": an.EVENTS_QUANTILES_CONT_SQL,
         "events_value_moments": an.EVENTS_VALUE_MOMENTS_SQL,
         "graph_assortativity": an.GRAPH_ASSORTATIVITY_SQL,
+        "documents_upsert": co.DOCUMENTS_UPSERT_SQL,
         "events_outliers": an.EVENTS_OUTLIERS_SQL,
         "embedding_kmeans": co.EMBEDDING_KMEANS_SQL,
         "doc_sample_weighted": co.DOC_SAMPLE_WEIGHTED_SQL,

@@ -4309,3 +4309,77 @@ SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
 FROM documents GROUP BY source ORDER BY source
 """.strip()
+
+
+# --- MERGE / upsert (CDC apply) ----------------------------------------------
+
+UPSERT_MOD = 10
+
+
+def documents_upsert(sf_dir: str, num_parts: int = 16):
+    """SQL MERGE / upsert semantics — apply a change-set to a base
+    table by key (the CDC-apply operator every incremental corpus
+    refresh needs): updated rows take the change-set's values, the
+    rest pass through, with a provenance flag.
+
+    The change-set is carved deterministically from the corpus itself
+    (every ``doc_id % 10 == 0`` re-labeled ``lang='xx'`` with a
+    re-measured n_chars) so the op needs no external data; the MERGE
+    itself is ONE doc_id-hash exchange over a tagged union — base rows
+    flag 0, update rows flag 1, per-partition "update wins" coalesce —
+    the exact shape a real change-feed apply uses at 100 TB (text
+    never ships: only the changed columns ride the update rows).
+
+    Reference: the reference re-crawls a URL and overwrites its HBase
+    row by rowkey (spider.js save path) — this is that upsert as a
+    set operation."""
+    base = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "lang": df["lang"].astype(object),
+             "n_chars": df["n_chars"].astype("int64"),
+             "flag": 0})
+
+    def update_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["doc_id"].astype("int64") % UPSERT_MOD) == 0
+        g = df[m]
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].astype("int64"),
+             "lang": "xx",
+             "n_chars": g["n_chars"].astype("int64") + 1,
+             "flag": 1})
+
+    tagged = (base.map_batches(base_rows, batch_format="pandas")
+              .union(base.map_batches(update_rows,
+                                      batch_format="pandas")))
+
+    def coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        # update wins: sort by flag desc, first row per key
+        d = (df.sort_values(["doc_id", "flag"],
+                            ascending=[True, False])
+             .groupby("doc_id", as_index=False).first())
+        return (d.rename(columns={"flag": "was_updated"})
+                .astype({"doc_id": "int64", "n_chars": "int64",
+                         "was_updated": "int64"}))
+
+    out = _hash_grouped(tagged, ["doc_id"], coalesce,
+                        num_parts=num_parts).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "lang", "n_chars", "was_updated"]])
+
+
+DOCUMENTS_UPSERT_SQL = f"""
+WITH u AS (
+  SELECT doc_id, 'xx' AS lang, n_chars + 1 AS n_chars
+  FROM documents WHERE doc_id % {UPSERT_MOD} = 0
+)
+SELECT d.doc_id,
+       COALESCE(u.lang, d.lang) AS lang,
+       CAST(COALESCE(u.n_chars, d.n_chars) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS was_updated
+FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id
+ORDER BY d.doc_id
+""".strip()

@@ -2955,6 +2955,21 @@ def test_graph_bfs_hops_matches_sql(ray_session, con):
     assert (parts["hops"] % 2 == 1).all()
 
 
+def test_documents_upsert_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    got = co.documents_upsert(SF)
+    assert_matches_sql(got, con, co.DOCUMENTS_UPSERT_SQL)
+    upd = got[got["was_updated"] == 1]
+    assert (upd["doc_id"] % co.UPSERT_MOD == 0).all()
+    assert (upd["lang"] == "xx").all()
+    # non-updated rows pass base values through untouched
+    base = con.execute(
+        "SELECT doc_id, lang FROM documents ORDER BY doc_id").fetchdf()
+    keep = got[got["was_updated"] == 0].merge(base, on="doc_id")
+    assert (keep["lang_x"] == keep["lang_y"]).all()
+
+
 def test_graph_assortativity_matches_sql(ray_session, con):
     from neocrawler_ray.pipelines import analytics as an
 

@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tolerance pytest coverage).
     return {
         # ---- never driver-checked: new this round ----
+        # sample-split range-exchange total sort with exact global
+        # ROW_NUMBER (the ds.sort scale path)
+        "orders_global_sort": an.orders_global_sort,
         # TPC-H suite completion (shapes adapted to the testdata's
         # column subset — see each docstring): correlated-min join-back,
         # nation-pair OR join, conditional ratio, two-key profit rollup,
@@ -447,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
     from neocrawler_ray.stages import quality_model as qm
 
     return {
+        "orders_global_sort": an.ORDERS_GLOBAL_SORT_SQL,
         "doc_extract": de.DOC_EXTRACT_SQL,
         "doc_text_stats": ts.text_stats_sql(),
         "doc_lang_id": ts.lang_id_markers_sql(),

@@ -6413,3 +6413,125 @@ SELECT CAST(n AS BIGINT) AS n_edges,
             END AS BIGINT) AS r2_sign_e6
 FROM s
 """.strip()
+
+
+# --- global total-order sort (sample-split range exchange) -------------------
+
+
+SORT_BUCKETS = 32
+
+
+def orders_global_sort(sf_dir: str, n_buckets: int = SORT_BUCKETS):
+    """Globally sorted table with exact ROW_NUMBER — the scale path for
+    ``ds.sort``: a sample-split RANGE exchange instead of Ray's generic
+    sort-shuffle, producing a physically range-clustered layout (bucket
+    b holds exactly the rows ranked [offset_b, offset_{b+1})) the way a
+    distributed ORDER BY writer must.
+
+    Decomposition: (1) one cheap scan samples ``price_e4`` per block —
+    sampling skew affects only balance, never correctness; the driver
+    derives ascending bucket edges (answer-sized).  (2) the single
+    exchange routes each row to its value-range bucket with
+    ``side="right"`` so EQUAL keys always co-locate — the tiebreak
+    column never has to appear in the routing key; each bucket then
+    lexsorts ``(price_e4, o_orderkey)`` locally and stamps a local
+    0-based position.  (3) per-bucket counts (answer-sized: buckets ×
+    fragments) prefix-sum into offsets on the driver and one broadcast
+    map adds them: rn = offset[bucket] + local position.  Three passes,
+    none holding more than one bucket; same ladder as
+    :func:`events_user_rank_bucketed` minus the per-class edges.
+
+    Reference: the scheduler's priority-ordered zset ranges
+    (scheduler/index.js:130 zrangebyscore pops) are this shape's
+    single-node ancestor — a total order over a scored set, consumed in
+    rank ranges."""
+    import ray
+
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(_e4(df["o_totalprice"]))
+        k = min(128, len(v))
+        idx = np.linspace(0, len(v) - 1, k).astype(int)
+        return pd.DataFrame({"v": v[idx]})
+
+    samp = np.sort(ds.map_batches(sample, batch_format="pandas")
+                   .to_pandas()["v"].to_numpy("int64"))
+    if len(samp) == 0:
+        edges = np.empty(0, dtype="int64")
+    else:
+        qs = np.linspace(0, len(samp) - 1,
+                         min(n_buckets, len(samp)) + 1)[1:-1].astype(int)
+        edges = np.unique(samp[qs])
+    edges_ref = ray.put(edges)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(edges_ref)
+        out = pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy("int64"),
+             "price_e4": _e4(df["o_totalprice"])})
+        # side="right": a key equal to an edge lands in ONE fixed
+        # bucket, so ties can never straddle a boundary and the
+        # orderkey tiebreak stays a bucket-local concern
+        out["bucket"] = np.searchsorted(e, out["price_e4"].to_numpy(),
+                                        side="right").astype("int64")
+        return out
+
+    def local_sort(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b, grp in df.groupby("bucket", sort=False):
+            p = grp["price_e4"].to_numpy("int64")
+            k = grp["o_orderkey"].to_numpy("int64")
+            order = np.lexsort((k, p))
+            out.append(pd.DataFrame(
+                {"bucket": np.full(len(p), b, dtype="int64"),
+                 "o_orderkey": k[order],
+                 "price_e4": p[order],
+                 "l_pos": np.arange(len(p), dtype="int64")}))
+        if not out:
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "o_orderkey": pd.Series([], dtype="int64"),
+                 "price_e4": pd.Series([], dtype="int64"),
+                 "l_pos": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    ranked = _hash_grouped(ds.map_batches(add_bucket,
+                                          batch_format="pandas"),
+                           ["bucket"], local_sort,
+                           num_parts=16).materialize()
+
+    # answer-sized: fragments × buckets rows; fragment sizes SUM
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype(
+            {"bucket": "int64", "n": "int64"})
+
+    summ = (ranked.map_batches(bucket_counts, batch_format="pandas")
+            .to_pandas().groupby("bucket", as_index=False)["n"].sum()
+            .sort_values("bucket"))
+    offs = dict(zip(summ["bucket"].astype(int),
+                    summ["n"].cumsum().shift(fill_value=0).astype(int)))
+    offs_ref = ray.put(offs)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(offs_ref)
+        base = np.array([o[int(b)] for b in df["bucket"]], dtype="int64")
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy("int64"),
+             "price_e4": df["price_e4"].to_numpy("int64"),
+             "rn": base + df["l_pos"].to_numpy("int64") + 1})
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
+ORDERS_GLOBAL_SORT_SQL = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 10000) AS BIGINT) AS price_e4,
+       ROW_NUMBER() OVER (
+         ORDER BY CAST(floor(o_totalprice * 10000) AS BIGINT),
+                  o_orderkey) AS rn
+FROM orders ORDER BY rn
+""".strip()

@@ -3445,3 +3445,27 @@ def test_late_arrivals_single_bucket(ray_session, con):
 
     assert_matches_sql(an.events_late_arrivals(SF, n_buckets=1), con,
                        an.EVENTS_LATE_ARRIVALS_SQL)
+
+
+# --- global total-order sort (round 4 continuation 3) ----------------
+
+
+def test_orders_global_sort_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.orders_global_sort(SF), con,
+                       an.ORDERS_GLOBAL_SORT_SQL)
+
+
+def test_orders_global_sort_two_buckets_and_contiguity(ray_session):
+    """2 buckets force nearly every row's rn through a cross-bucket
+    offset; rn must still be the exact permutation 1..n and ordering by
+    rn must reproduce the lexicographic (price_e4, o_orderkey) order."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    df = an.orders_global_sort(SF, n_buckets=2).to_pandas()
+    n = len(df)
+    assert sorted(df["rn"]) == list(range(1, n + 1))
+    s = df.sort_values("rn").reset_index(drop=True)
+    key = list(zip(s["price_e4"], s["o_orderkey"]))
+    assert key == sorted(key)

@@ -3469,3 +3469,20 @@ def test_orders_global_sort_two_buckets_and_contiguity(ray_session):
     s = df.sort_values("rn").reset_index(drop=True)
     key = list(zip(s["price_e4"], s["o_orderkey"]))
     assert key == sorted(key)
+
+
+def test_events_pair_window_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_pair_window(SF), con,
+                       an.EVENTS_PAIR_WINDOW_SQL)
+
+
+def test_events_pair_window_small_window_brute(ray_session, con):
+    """A 10-minute window (different bucket grid, many more boundary
+    crossings) must equal the brute-force SQL self-join."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    w = 600_000_000
+    sql = an.EVENTS_PAIR_WINDOW_SQL.replace(str(an.PAIR_WINDOW_US), str(w))
+    assert_matches_sql(an.events_pair_window(SF, window_us=w), con, sql)

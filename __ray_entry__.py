@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_global_sort": an.orders_global_sort,
         # time-bounded stream-stream pair self-join (bucket replication)
         "events_pair_window": an.events_pair_window,
+        # Z-order (Morton) multi-column layout keys
+        "orders_zorder": an.orders_zorder,
         # TPC-H suite completion (shapes adapted to the testdata's
         # column subset — see each docstring): correlated-min join-back,
         # nation-pair OR join, conditional ratio, two-key profit rollup,
@@ -454,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "orders_global_sort": an.ORDERS_GLOBAL_SORT_SQL,
         "events_pair_window": an.EVENTS_PAIR_WINDOW_SQL,
+        "orders_zorder": an.orders_zorder_sql(),
         "doc_extract": de.DOC_EXTRACT_SQL,
         "doc_text_stats": ts.text_stats_sql(),
         "doc_lang_id": ts.lang_id_markers_sql(),

@@ -6665,3 +6665,73 @@ FROM events e1 JOIN events e2
  AND epoch_us(e2.ts) <= epoch_us(e1.ts) + {PAIR_WINDOW_US}
 GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+# --- Z-order (Morton) multi-column layout keys -------------------------------
+
+
+ZORDER_BITS = 21  # 2 interleaved 21-bit coords → 42-bit key, int64-safe
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread each of the low 32 bits of x to the even bit positions
+    (classic Morton magic-number spreading, vectorized on uint64)."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def zorder_key(x: np.ndarray, y: np.ndarray,
+               bits: int = ZORDER_BITS) -> np.ndarray:
+    """Interleave the low ``bits`` of x (even positions) and y (odd) —
+    the Z-order curve key whose sort order clusters 2-D-close rows into
+    the same range, so range predicates on EITHER column prune
+    contiguous key ranges (the multi-dimensional layout trick behind
+    Delta/Iceberg Z-ordering)."""
+    mask = np.uint64((1 << bits) - 1)
+    xs = _part1by1(x.astype(np.uint64) & mask)
+    ys = _part1by1(y.astype(np.uint64) & mask)
+    return (xs | (ys << np.uint64(1))).astype("int64")
+
+
+def orders_zorder(sf_dir: str):
+    """Z-order layout keys for orders over (custkey, orderdate-days) —
+    the data-layout operator: sort/range-partition by ``zkey`` (e.g.
+    feed it to :func:`orders_global_sort`'s range exchange) and both
+    per-customer scans and date-range scans touch O(√parts) partitions
+    instead of all of them.  Pure map, zero shuffle; exactness pinned
+    by a bit-arithmetic SQL oracle (the interleave is just Σ bit·4^i
+    — engine-independent integer math).
+
+    Reference: neocrawler shards its url_info space by md5-prefix
+    buckets (lib/hbase.js row-key design) — one-dimensional locality;
+    this is the 2-D generalization a columnar lake needs."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        # datetime64[us] in this corpus — _ts_us normalizes any unit
+        days = _ts_us(df["o_orderdate"]) // 86_400_000_000
+        z = zorder_key(df["o_custkey"].to_numpy("int64"), days)
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"]
+                             .to_numpy("int64"),
+                             "zkey": z})
+
+    return ds.map_batches(keys, batch_format="pandas")
+
+
+def orders_zorder_sql(bits: int = ZORDER_BITS) -> str:
+    xs = " + ".join(
+        f"(((o_custkey >> {i}) & 1) * {1 << (2 * i)})" for i in range(bits))
+    ys = " + ".join(
+        f"(((d >> {i}) & 1) * {1 << (2 * i + 1)})" for i in range(bits))
+    return (
+        "WITH b AS (SELECT o_orderkey, o_custkey, "
+        "epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d "
+        "FROM orders) "
+        f"SELECT o_orderkey, CAST(({xs}) + ({ys}) AS BIGINT) AS zkey "
+        "FROM b ORDER BY o_orderkey")

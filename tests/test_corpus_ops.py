@@ -3486,3 +3486,26 @@ def test_events_pair_window_small_window_brute(ray_session, con):
     w = 600_000_000
     sql = an.EVENTS_PAIR_WINDOW_SQL.replace(str(an.PAIR_WINDOW_US), str(w))
     assert_matches_sql(an.events_pair_window(SF, window_us=w), con, sql)
+
+
+def test_orders_zorder_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.orders_zorder(SF), con, an.orders_zorder_sql())
+
+
+def test_zorder_key_interleave_known_answers():
+    from neocrawler_ray.pipelines import analytics as an
+
+    x = np.array([0, 1, 0, 3, 0b101], dtype="int64")
+    y = np.array([0, 0, 1, 3, 0b011], dtype="int64")
+    # bit-by-bit reference: x on even positions, y on odd
+    def ref(a, b):
+        return sum((((a >> i) & 1) << (2 * i))
+                   + (((b >> i) & 1) << (2 * i + 1)) for i in range(21))
+    got = an.zorder_key(x, y)
+    assert got.tolist() == [ref(a, b) for a, b in zip(x, y)]
+    # locality: with y fixed, zkey is monotone in x (bit containment)
+    xs = np.arange(64, dtype="int64")
+    z = an.zorder_key(xs, np.zeros(64, dtype="int64"))
+    assert (np.diff(z) > 0).all()

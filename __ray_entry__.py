@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pair_window": an.events_pair_window,
         # Z-order (Morton) multi-column layout keys
         "orders_zorder": an.orders_zorder,
+        # Tukey-fence outlier detection (two-pass dependent statistic)
+        "events_value_outliers": an.events_value_outliers,
         # TPC-H suite completion (shapes adapted to the testdata's
         # column subset — see each docstring): correlated-min join-back,
         # nation-pair OR join, conditional ratio, two-key profit rollup,
@@ -457,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_global_sort": an.ORDERS_GLOBAL_SORT_SQL,
         "events_pair_window": an.EVENTS_PAIR_WINDOW_SQL,
         "orders_zorder": an.orders_zorder_sql(),
+        "events_value_outliers": an.EVENTS_VALUE_OUTLIERS_SQL,
         "doc_extract": de.DOC_EXTRACT_SQL,
         "doc_text_stats": ts.text_stats_sql(),
         "doc_lang_id": ts.lang_id_markers_sql(),

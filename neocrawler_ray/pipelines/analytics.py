@@ -6735,3 +6735,96 @@ def orders_zorder_sql(bits: int = ZORDER_BITS) -> str:
         "FROM orders) "
         f"SELECT o_orderkey, CAST(({xs}) + ({ys}) AS BIGINT) AS zkey "
         "FROM b ORDER BY o_orderkey")
+
+
+# --- IQR-fence outlier detection ---------------------------------------------
+
+
+def events_value_outliers(sf_dir: str):
+    """Tukey-fence outlier counts per event type: values outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] with the interpolated
+    PERCENTILE_CONT(25/75) convention — the dependent-statistic
+    two-pass shape (pass 1 computes an answer-sized statistic the pass-2
+    row predicate needs; same seam as a data-validation rule engine).
+
+    Exactness: quantiles ride the shared value-domain histogram in
+    ×100-scaled e4 integers (:func:`events_value_quantiles_cont`'s
+    convention); the 1.5 multiplier is exact in ×200 units
+    (lo200 = 2·Q1x − 3·(Q3x−Q1x)), and a row is an outlier iff
+    200·v_e4 < lo200 (resp. >hi200) — no float anywhere, so the window
+    oracle matches bit-for-bit.  Pass 1's exchange is bounded by
+    distinct values × groups; pass 2 is a broadcast-fence combiner
+    scan with an answer-sized reduce."""
+    import ray
+
+    hist = _value_histogram(sf_dir)
+    fences = {}
+    for etype, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["v"].to_numpy("int64")
+        qx = {}
+        for q_pct in (25, 75):
+            pos = (n - 1) * q_pct
+            k, r = pos // 100, pos % 100
+            vk = int(vals[np.searchsorted(cum, k, side="right")])
+            vk1 = int(vals[np.searchsorted(cum, k + 1, side="right")]) \
+                if r else vk
+            qx[q_pct] = vk * (100 - r) + vk1 * r
+        iqr = qx[75] - qx[25]
+        fences[str(etype)] = (2 * qx[25] - 3 * iqr, 2 * qx[75] + 3 * iqr)
+    fences_ref = ray.put(fences)
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(fences_ref)
+        et = df["event_type"].astype(str)
+        v200 = _e4(df["value"]) * 200
+        lo = np.array([f[e][0] for e in et], dtype="int64")
+        hi = np.array([f[e][1] for e in et], dtype="int64")
+        g = (pd.DataFrame({"event_type": et,
+                           "n_lo": (v200 < lo).astype("int64"),
+                           "n_hi": (v200 > hi).astype("int64")})
+             .groupby("event_type", as_index=False)[["n_lo", "n_hi"]]
+             .sum())
+        return g.astype({"n_lo": "int64", "n_hi": "int64"})
+
+    counts = _finish_small(ds.map_batches(partial, batch_format="pandas"),
+                           ["event_type"], {"n_lo": "n_lo",
+                                            "n_hi": "n_hi"})
+    counts["lo200"] = [fences[e][0] for e in counts["event_type"]]
+    counts["hi200"] = [fences[e][1] for e in counts["event_type"]]
+    return counts[["event_type", "lo200", "hi200", "n_lo", "n_hi"]]
+
+
+EVENTS_VALUE_OUTLIERS_SQL = """
+WITH v AS (SELECT event_type, CAST(floor(value*10000) AS BIGINT) v
+           FROM events),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) rn,
+             count(*) OVER (PARTITION BY event_type) n
+      FROM v),
+pick AS (
+  SELECT event_type, q_pct,
+         max(CASE WHEN rn = ((n-1) * q_pct) // 100 + 1 THEN v END) AS vk,
+         max(CASE WHEN rn = ((n-1) * q_pct) // 100 + 2 THEN v END) AS vk1,
+         max((n-1) * q_pct % 100) AS rem
+  FROM r, (VALUES (25), (75)) t(q_pct) GROUP BY 1, 2),
+q AS (SELECT event_type,
+        max(CASE WHEN q_pct = 25
+            THEN vk * (100 - rem) + COALESCE(vk1, vk) * rem END) AS q1x,
+        max(CASE WHEN q_pct = 75
+            THEN vk * (100 - rem) + COALESCE(vk1, vk) * rem END) AS q3x
+      FROM pick GROUP BY 1),
+f AS (SELECT event_type, 2*q1x - 3*(q3x - q1x) AS lo200,
+             2*q3x + 3*(q3x - q1x) AS hi200 FROM q)
+SELECT f.event_type, lo200, hi200,
+       CAST(sum(CASE WHEN 200 * v.v < lo200 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lo,
+       CAST(sum(CASE WHEN 200 * v.v > hi200 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hi
+FROM v JOIN f ON v.event_type = f.event_type
+GROUP BY 1, 2, 3 ORDER BY 1
+""".strip()

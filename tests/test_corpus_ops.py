@@ -3509,3 +3509,31 @@ def test_zorder_key_interleave_known_answers():
     xs = np.arange(64, dtype="int64")
     z = an.zorder_key(xs, np.zeros(64, dtype="int64"))
     assert (np.diff(z) > 0).all()
+
+
+def test_events_value_outliers_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_value_outliers(SF), con,
+                       an.EVENTS_VALUE_OUTLIERS_SQL)
+
+
+def test_events_value_outliers_fences_consistent(ray_session):
+    """Fences must equal a brute single-process PERCENTILE_CONT(25/75)
+    computation: lo200 = 2q1 − 3(q3−q1), hi200 = 2q3 + 3(q3−q1)."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    out = an.events_value_outliers(SF)
+    for _, r in out.iterrows():
+        v = np.sort(np.floor(
+            ev.loc[ev["event_type"] == r["event_type"], "value"]
+            .to_numpy("float64") * 10000.0).astype("int64"))
+        qx = {}
+        for pct in (25, 75):
+            pos = (len(v) - 1) * pct
+            k, rem = pos // 100, pos % 100
+            qx[pct] = int(v[k]) * (100 - rem) + int(v[k + 1 if rem else k]) * rem
+        assert r["lo200"] == 2 * qx[25] - 3 * (qx[75] - qx[25])
+        assert r["hi200"] == 2 * qx[75] + 3 * (qx[75] - qx[25])

@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_zorder": an.orders_zorder,
         # Tukey-fence outlier detection (two-pass dependent statistic)
         "events_value_outliers": an.events_value_outliers,
+        # 2x2 chi-square A/B significance test (exact scaled integers)
+        "events_ab_chisq": an.events_ab_chisq,
         # TPC-H suite completion (shapes adapted to the testdata's
         # column subset — see each docstring): correlated-min join-back,
         # nation-pair OR join, conditional ratio, two-key profit rollup,
@@ -460,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pair_window": an.EVENTS_PAIR_WINDOW_SQL,
         "orders_zorder": an.orders_zorder_sql(),
         "events_value_outliers": an.EVENTS_VALUE_OUTLIERS_SQL,
+        "events_ab_chisq": an.EVENTS_AB_CHISQ_SQL,
         "doc_extract": de.DOC_EXTRACT_SQL,
         "doc_text_stats": ts.text_stats_sql(),
         "doc_lang_id": ts.lang_id_markers_sql(),

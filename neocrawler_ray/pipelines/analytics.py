@@ -6746,6 +6746,9 @@ def events_value_outliers(sf_dir: str):
     PERCENTILE_CONT(25/75) convention — the dependent-statistic
     two-pass shape (pass 1 computes an answer-sized statistic the pass-2
     row predicate needs; same seam as a data-validation rule engine).
+    Sibling of :func:`events_outliers` (median/MAD row flags): IQR vs
+    MAD are the two standard robust fences; this one emits per-type
+    fence values + counts rather than per-row flags.
 
     Exactness: quantiles ride the shared value-domain histogram in
     ×100-scaled e4 integers (:func:`events_value_quantiles_cont`'s
@@ -6827,4 +6830,99 @@ SELECT f.event_type, lo200, hi200,
             AS BIGINT) AS n_hi
 FROM v JOIN f ON v.event_type = f.event_type
 GROUP BY 1, 2, 3 ORDER BY 1
+""".strip()
+
+
+# --- A/B hypothesis test (chi-square, exact scaled integers) ------------------
+
+
+AB_CONV_MIN_PURCHASES = 15
+
+
+def events_ab_chisq(sf_dir: str, min_purchases: int = AB_CONV_MIN_PURCHASES):
+    """2×2 chi-square test of independence between a deterministic
+    experiment assignment (variant = user_id mod 2 — the hash-bucket
+    split every A/B framework uses) and conversion (user logged ≥
+    ``min_purchases`` 'purchase' events; a count threshold, because in
+    this corpus EVERY user purchases at least once and an any-purchase
+    bit would be degenerate) — the hypothesis-testing shape analytics
+    stacks bolt onto event streams.
+
+    Distributed form: per-batch (user, purchase-count) partials → one
+    user-hash exchange resolves each user's total exactly once
+    (a user's events may span blocks — SUM across fragments, THEN
+    threshold; thresholding per fragment would undercount) → the 2×2
+    table is an answer-sized reduce.  χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+    is computed on the driver in Python big ints and emitted
+    ×10⁶-truncated, so the HUGEINT oracle is bit-identical — the
+    pipeline carries no float.
+
+    Reference: the reference's daily counter monitor (A1) splits by
+    domain class; this is the same counter table upgraded to a
+    significance statistic."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy("int64"),
+             "cnt": (df["event_type"].astype(str) == "purchase")
+             .to_numpy().astype("int64")})
+            .groupby("user_id", as_index=False)["cnt"].sum())
+        return g.astype({"user_id": "int64", "cnt": "int64"})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["cnt"].sum()
+        g["conv"] = (g["cnt"] >= min_purchases).astype("int64")
+        g["variant"] = g["user_id"] % 2
+        t = (g.groupby(["variant", "conv"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return t.astype({"variant": "int64", "conv": "int64",
+                         "n": "int64"})
+
+    cells = _finish_small(
+        _hash_grouped(ds.map_batches(partial, batch_format="pandas"),
+                      ["user_id"], resolve, num_parts=32),
+        ["variant", "conv"], {"n": "n"})
+    cm = {(int(r["variant"]), int(r["conv"])): int(r["n"])
+          for _, r in cells.iterrows()}
+    a = cm.get((0, 1), 0)   # variant A converted
+    b = cm.get((0, 0), 0)   # variant A not
+    c = cm.get((1, 1), 0)   # variant B converted
+    d = cm.get((1, 0), 0)   # variant B not
+    n = a + b + c + d
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = 0 if den == 0 else _trunc_div(
+        n * (a * d - b * c) ** 2 * 1_000_000, den)
+    return pd.DataFrame({"a_conv": pd.Series([a], dtype="int64"),
+                         "a_not": pd.Series([b], dtype="int64"),
+                         "b_conv": pd.Series([c], dtype="int64"),
+                         "b_not": pd.Series([d], dtype="int64"),
+                         "chi2_e6": pd.Series([chi2], dtype="int64")})
+
+
+EVENTS_AB_CHISQ_SQL = f"""
+WITH u AS (SELECT user_id % 2 AS variant,
+                  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END)
+                       >= {AB_CONV_MIN_PURCHASES} THEN 1 ELSE 0 END
+                    AS conv
+           FROM events GROUP BY user_id),
+t AS (SELECT
+  CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+       AS HUGEINT) AS a,
+  CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END)
+       AS HUGEINT) AS b,
+  CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+       AS HUGEINT) AS c,
+  CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END)
+       AS HUGEINT) AS d
+  FROM u)
+SELECT CAST(a AS BIGINT) AS a_conv, CAST(b AS BIGINT) AS a_not,
+       CAST(c AS BIGINT) AS b_conv, CAST(d AS BIGINT) AS b_not,
+       CAST(CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN 0
+            ELSE (a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 1000000
+                 // ((a+b)*(c+d)*(a+c)*(b+d)) END AS BIGINT) AS chi2_e6
+FROM t
 """.strip()

@@ -3537,3 +3537,28 @@ def test_events_value_outliers_fences_consistent(ray_session):
             qx[pct] = int(v[k]) * (100 - rem) + int(v[k + 1 if rem else k]) * rem
         assert r["lo200"] == 2 * qx[25] - 3 * (qx[75] - qx[25])
         assert r["hi200"] == 2 * qx[75] + 3 * (qx[75] - qx[25])
+
+
+def test_events_ab_chisq_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_ab_chisq(SF), con,
+                       an.EVENTS_AB_CHISQ_SQL)
+
+
+def test_events_ab_chisq_known_table(ray_session):
+    """chi2 closed form on the emitted 2x2 table must reproduce the
+    op's chi2_e6 (trunc toward zero), and cells must sum to the
+    distinct-user count."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    r = an.events_ab_chisq(SF).iloc[0]
+    a, b, c, d = (int(r["a_conv"]), int(r["a_not"]),
+                  int(r["b_conv"]), int(r["b_not"]))
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    assert a + b + c + d == ev["user_id"].nunique()
+    n = a + b + c + d
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    num = n * (a * d - b * c) ** 2 * 1_000_000
+    expect = 0 if den == 0 else (num // den if num >= 0 else -((-num) // den))
+    assert int(r["chi2_e6"]) == expect

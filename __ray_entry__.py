@@ -199,6 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": an.events_value_outliers,
         # 2x2 chi-square A/B significance test (exact scaled integers)
         "events_ab_chisq": an.events_ab_chisq,
+        # incremental view maintenance: checkpointed base + pushed-down
+        # delta scan, merged answer-sized (same oracle as the full op)
+        "events_daily_counts_incremental":
+            an.events_daily_counts_incremental,
         # TPC-H suite completion (shapes adapted to the testdata's
         # column subset — see each docstring): correlated-min join-back,
         # nation-pair OR join, conditional ratio, two-key profit rollup,
@@ -463,6 +467,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_zorder": an.orders_zorder_sql(),
         "events_value_outliers": an.EVENTS_VALUE_OUTLIERS_SQL,
         "events_ab_chisq": an.EVENTS_AB_CHISQ_SQL,
+        "events_daily_counts_incremental": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS date, event_type, "
+            "count(*) AS n FROM events GROUP BY 1, 2"
+        ),
         "doc_extract": de.DOC_EXTRACT_SQL,
         "doc_text_stats": ts.text_stats_sql(),
         "doc_lang_id": ts.lang_id_markers_sql(),

@@ -6926,3 +6926,101 @@ SELECT CAST(a AS BIGINT) AS a_conv, CAST(b AS BIGINT) AS a_not,
                  // ((a+b)*(c+d)*(a+c)*(b+d)) END AS BIGINT) AS chi2_e6
 FROM t
 """.strip()
+
+
+# --- incremental view maintenance (checkpoint + delta) ------------------------
+
+
+IVM_SCHEMA_VERSION = 1
+IVM_CUTOFF_NUM, IVM_CUTOFF_DEN = 3, 4  # base = first 3/4 of the time range
+
+
+def _events_ts_minmax_us(sf_dir: str) -> tuple[int, int]:
+    """(min, max) of events.ts in epoch-µs from parquet ROW-GROUP
+    STATISTICS only — no data scan (same metadata-only rule as
+    table_rows)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import table_files
+
+    mn, mx = None, None
+    for f in table_files(sf_dir, "events"):
+        md = pq.read_metadata(f)
+        idx = next(i for i in range(md.schema.to_arrow_schema()
+                                    .__len__())
+                   if md.schema.column(i).name == "ts")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            lo = np.datetime64(st.min, "us").astype("int64")
+            hi = np.datetime64(st.max, "us").astype("int64")
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+    return int(mn), int(mx)
+
+
+def events_daily_counts_incremental(sf_dir: str,
+                                    workdir: str | None = None):
+    """:func:`events_daily_counts` maintained INCREMENTALLY — the
+    delta/IVM shape a 100-TB daily-report pipeline actually runs: the
+    historical prefix (here: the first 3/4 of the time range, cutoff
+    derived from parquet statistics alone) is aggregated ONCE into an
+    answer-sized Parquet checkpoint; every later run scans only the
+    delta — the ``ts >= cutoff`` predicate is pushed into the parquet
+    scan (``read_table(filter_expr=...)``), so base row groups are
+    pruned by their column statistics and never leave storage — and
+    merges delta partials into the checkpoint with one answer-sized
+    groupby.  Counts are additive, so checkpoint + delta is exactly
+    the full recompute (same oracle as the full op).
+
+    Reference: the reference's `hincrby count:{yyyymmdd}` counters
+    (spider_extend.js:97-169) ARE this pattern — monotone additive
+    counters maintained by deltas; this is the batch-engine form with
+    a durable checkpoint instead of redis."""
+    import hashlib
+    import os
+
+    import pyarrow.dataset as pads
+
+    mn, mx = _events_ts_minmax_us(sf_dir)
+    cutoff_us = mn + (mx - mn) * IVM_CUTOFF_NUM // IVM_CUTOFF_DEN
+    cutoff = np.datetime64(cutoff_us, "us")
+
+    if workdir is None:
+        key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        workdir = f"/tmp/neocrawler_ray_runs/ivm_v{IVM_SCHEMA_VERSION}_{key}"
+    os.makedirs(workdir, exist_ok=True)
+    ckpt = os.path.join(workdir, f"base_{cutoff_us}.parquet")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"date": df["ts"].dt.strftime("%Y-%m-%d"),
+                           "event_type": df["event_type"].astype(str)})
+             .groupby(["date", "event_type"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g.astype({"n": "int64"})
+
+    if not os.path.exists(ckpt):
+        base = _read_filtered(sf_dir, pads.field("ts") < cutoff)
+        base_df = _finish_small(
+            base.map_batches(partial, batch_format="pandas"),
+            ["date", "event_type"], {"n": "n"})
+        tmp = ckpt + ".tmp"
+        base_df.to_parquet(tmp)
+        os.replace(tmp, ckpt)  # atomic: a killed run never half-writes
+
+    delta = _read_filtered(sf_dir, pads.field("ts") >= cutoff)
+    delta_df = _finish_small(
+        delta.map_batches(partial, batch_format="pandas"),
+        ["date", "event_type"], {"n": "n"})
+
+    merged = (pd.concat([pd.read_parquet(ckpt), delta_df],
+                        ignore_index=True)
+              .groupby(["date", "event_type"], as_index=False)["n"].sum())
+    return (merged.astype({"n": "int64"})
+            .sort_values(["date", "event_type"]).reset_index(drop=True))
+
+
+def _read_filtered(sf_dir: str, filter_expr):
+    from ..sources.tables import read_table
+
+    return read_table(sf_dir, "events", ["ts", "event_type"],
+                      filter_expr=filter_expr)

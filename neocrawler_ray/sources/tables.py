@@ -44,14 +44,21 @@ def table_rows(sf_dir: str, table: str) -> int:
 
 
 def read_table(sf_dir: str, table: str, columns: list[str],
-               rows_per_block: int = 50_000):
+               rows_per_block: int = 50_000, filter_expr=None):
     """Column-pruned Dataset with a row-aware block count (one block
     per ``rows_per_block`` rows, min 1) — see the pipeline docstrings
-    for why the default 2×CPU split floods small-table shuffles."""
+    for why the default 2×CPU split floods small-table shuffles.
+
+    ``filter_expr`` (a ``pyarrow.dataset`` expression) is pushed into
+    the parquet scan itself — row groups whose column statistics can't
+    match are never read, so a delta scan over a time-partitioned
+    table touches only the tail row groups (the prune-at-the-read rule
+    applied to rows, not just columns)."""
     import ray
 
     rows = table_rows(sf_dir, table)
     blocks = max(1, rows // max(1, rows_per_block))
+    kw = {} if filter_expr is None else {"filter": filter_expr}
     return ray.data.read_parquet(table_files(sf_dir, table),
                                  columns=columns,
-                                 override_num_blocks=blocks)
+                                 override_num_blocks=blocks, **kw)

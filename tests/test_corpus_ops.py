@@ -3562,3 +3562,39 @@ def test_events_ab_chisq_known_table(ray_session):
     num = n * (a * d - b * c) ** 2 * 1_000_000
     expect = 0 if den == 0 else (num // den if num >= 0 else -((-num) // den))
     assert int(r["chi2_e6"]) == expect
+
+
+def test_events_daily_counts_incremental_matches_sql(ray_session, con,
+                                                     tmp_path):
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_daily_counts_incremental(SF, workdir=str(tmp_path))
+    assert_matches_sql(
+        got, con,
+        "SELECT strftime(ts, '%Y-%m-%d') AS date, event_type, "
+        "count(*) AS n FROM events GROUP BY 1, 2")
+
+
+def test_events_daily_counts_incremental_uses_checkpoint(ray_session,
+                                                         tmp_path):
+    """Prove the second run reads the checkpoint instead of rescanning
+    the base: doctor the checkpoint with a sentinel row and observe it
+    flow into the merged output."""
+    import os
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    wd = str(tmp_path)
+    first = an.events_daily_counts_incremental(SF, workdir=wd)
+    (ck,) = [f for f in os.listdir(wd) if f.startswith("base_")]
+    path = os.path.join(wd, ck)
+    doctored = pd.concat([pd.read_parquet(path), pd.DataFrame(
+        {"date": ["1970-01-01"], "event_type": ["sentinel"],
+         "n": [7]})], ignore_index=True)
+    doctored.to_parquet(path)
+    second = an.events_daily_counts_incremental(SF, workdir=wd)
+    extra = second[second["event_type"] == "sentinel"]
+    assert len(extra) == 1 and int(extra["n"].iloc[0]) == 7
+    rest = (second[second["event_type"] != "sentinel"]
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(rest, first)

@@ -64,3 +64,68 @@ def test_export_over_directory(ray_session, dir_sf, tmp_path):
     assert r["chunks"] == r["ran"] == 3  # one single-row-group chunk per file
     r2 = ex.resumable_export(dir_sf, out, "text_stats", target_rows=100)
     assert r2["ran"] == 0 and r2["skipped"] == r["chunks"]
+
+
+# --- jsonl / csv layouts ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fmt_sf(tmp_path_factory):
+    """sf0.001 with documents as a 2-file jsonl dir and customer as a
+    single csv (the raw-corpus arrival formats)."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("fmtsf")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    sub = d / "documents"
+    sub.mkdir()
+    half = len(docs) // 2
+    docs.iloc[:half].to_json(sub / "part-0.jsonl", orient="records",
+                             lines=True, force_ascii=False)
+    docs.iloc[half:].to_json(sub / "part-1.jsonl", orient="records",
+                             lines=True, force_ascii=False)
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    cust.to_csv(d / "customer.csv", index=False)
+    return str(d)
+
+
+def test_jsonl_rows_and_read(ray_session, fmt_sf):
+    assert tb.table_rows(fmt_sf, "documents") == \
+        tb.table_rows(SF, "documents")
+    a = _sorted(tb.read_table(fmt_sf, "documents",
+                              ["doc_id", "text", "lang"]).to_pandas())
+    b = _sorted(tb.read_table(SF, "documents",
+                              ["doc_id", "text", "lang"]).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_csv_rows_and_read(ray_session, fmt_sf):
+    assert tb.table_rows(fmt_sf, "customer") == \
+        tb.table_rows(SF, "customer")
+    a = _sorted(tb.read_table(fmt_sf, "customer",
+                              ["c_custkey", "c_name", "c_acctbal"])
+                .to_pandas())
+    b = _sorted(tb.read_table(SF, "customer",
+                              ["c_custkey", "c_name", "c_acctbal"])
+                .to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ops_match_over_jsonl(ray_session, fmt_sf):
+    """A real operator over the jsonl layout must equal the parquet
+    answer byte-for-byte."""
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    a = co.doc_text_stats(fmt_sf)
+    b = co.doc_text_stats(SF)
+    a = a.to_pandas() if hasattr(a, "to_pandas") else a
+    b = b.to_pandas() if hasattr(b, "to_pandas") else b
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+
+
+def test_filter_expr_refused_on_jsonl(fmt_sf):
+    import pyarrow.dataset as pads
+
+    with pytest.raises(ValueError, match="parquet"):
+        tb.read_table(fmt_sf, "documents", ["doc_id"],
+                      filter_expr=pads.field("doc_id") > 0)

@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # delta scan, merged answer-sized (same oracle as the full op)
         "events_daily_counts_incremental":
             an.events_daily_counts_incremental,
+        # per-user time-weighted mean (step-function integral, big-int
+        # numerators)
+        "events_time_weighted_avg": an.events_time_weighted_avg,
         # TPC-H suite completion (shapes adapted to the testdata's
         # column subset — see each docstring): correlated-min join-back,
         # nation-pair OR join, conditional ratio, two-key profit rollup,
@@ -471,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(ts, '%Y-%m-%d') AS date, event_type, "
             "count(*) AS n FROM events GROUP BY 1, 2"
         ),
+        "events_time_weighted_avg": an.EVENTS_TWA_SQL,
         "doc_extract": de.DOC_EXTRACT_SQL,
         "doc_text_stats": ts.text_stats_sql(),
         "doc_lang_id": ts.lang_id_markers_sql(),

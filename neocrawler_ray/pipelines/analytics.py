@@ -7024,3 +7024,94 @@ def _read_filtered(sf_dir: str, filter_expr):
 
     return read_table(sf_dir, "events", ["ts", "event_type"],
                       filter_expr=filter_expr)
+
+
+# --- time-weighted average (per-entity temporal integral) ---------------------
+
+
+def events_time_weighted_avg(sf_dir: str):
+    """Per-user time-weighted mean of ``value``: each event's value
+    holds until the next event, so the mean is the step-function
+    integral Σ v_i·(t_{i+1}−t_i) / (t_last−t_first) — the metric
+    gauges/billing systems need where a plain AVG over-weights bursts.
+    Users whose span is zero (single event or all-tied timestamps) are
+    excluded in both engines rather than emitting a NULL convention.
+
+    Exactness: v_e4·Δt_µs products overflow int64 (~10⁷ × ~10¹³), so
+    the per-user numerator accumulates in PYTHON ints (object-dtype
+    pandas sum — the repo's standard big-int seam) and the final
+    division is toward-zero ``_trunc_div`` against a HUGEINT oracle.
+    Tie order matters at zero-gap runs (which tied event "holds" into
+    the next gap), so both engines order by (ts, event_id).
+
+    Shape: one user-hash exchange; the kernel sorts each partition once
+    and vectorizes diffs with break masks (same partitioning assumption
+    as :func:`events_time_since_last`; the salted variant family covers
+    whale users)."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy("int64"),
+             "event_id": df["event_id"].to_numpy("int64"),
+             "ts_us": _ts_us(df["ts"]),
+             "v": _e4(df["value"])})
+
+    def twa(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "twa_e4": pd.Series([], dtype="int64"),
+                 "span_us": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        u = df["user_id"].to_numpy("int64")
+        t = df["ts_us"].to_numpy("int64")
+        v = df["v"].to_numpy("int64")
+        nxt_same = np.zeros(len(df), dtype=bool)
+        nxt_same[:-1] = u[1:] == u[:-1]
+        dt = np.zeros(len(df), dtype="int64")
+        dt[:-1] = t[1:] - t[:-1]
+        dt[~nxt_same] = 0  # last event of a user holds no interval
+        prod = v.astype(object) * dt.astype(object)  # big-int safe
+        g = (pd.DataFrame({"user_id": u, "prod": prod, "t": t})
+             .groupby("user_id", as_index=False)
+             .agg(num=("prod", "sum"), lo=("t", "min"), hi=("t", "max")))
+        g = g[g["hi"] > g["lo"]]
+        out = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy("int64"),
+             "twa_e4": np.array(
+                 [_trunc_div(int(n), int(h) - int(l))
+                  for n, l, h in zip(g["num"], g["lo"], g["hi"])],
+                 dtype="int64"),
+             "span_us": (g["hi"] - g["lo"]).to_numpy("int64")})
+        return out
+
+    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                         ["user_id"], twa, num_parts=32)
+
+
+EVENTS_TWA_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(floor(value * 10000) AS HUGEINT) AS v
+  FROM events
+), w AS (
+  SELECT user_id, v,
+         lead(t) OVER (PARTITION BY user_id
+                       ORDER BY t, event_id) - t AS dt,
+         t
+  FROM b
+), s AS (
+  SELECT user_id,
+         sum(v * CAST(COALESCE(dt, 0) AS HUGEINT)) AS num,
+         max(t) - min(t) AS span_us
+  FROM w GROUP BY 1
+)
+SELECT user_id, CAST(num // CAST(span_us AS HUGEINT) AS BIGINT)
+         AS twa_e4,
+       CAST(span_us AS BIGINT) AS span_us
+FROM s WHERE span_us > 0 ORDER BY user_id
+""".strip()

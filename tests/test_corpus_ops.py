@@ -3598,3 +3598,32 @@ def test_events_daily_counts_incremental_uses_checkpoint(ray_session,
     rest = (second[second["event_type"] != "sentinel"]
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(rest, first)
+
+
+def test_events_time_weighted_avg_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_time_weighted_avg(SF), con,
+                       an.EVENTS_TWA_SQL)
+
+
+def test_events_time_weighted_avg_step_function(ray_session, tmp_path):
+    """Hand-built stream: value 10 held for 3 s then value 40 for 1 s →
+    twa = (10·3 + 40·1)/4 = 17.5; a zero-span user is excluded."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 9, 9],
+        "ts": pd.to_datetime([0, 3_000_000, 4_000_000, 5, 5], unit="us"),
+        "event_type": ["a"] * 5,
+        "value": [10.0, 40.0, 0.0, 1.0, 2.0],
+        "props": [""] * 5,
+    })
+    ev.to_parquet(tmp_path / "events.parquet")
+    got = an.events_time_weighted_avg(str(tmp_path))
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    got = got.sort_values("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == [7]
+    assert got["twa_e4"].tolist() == [175000]  # 17.5 in e4
+    assert got["span_us"].tolist() == [4_000_000]

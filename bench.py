@@ -205,6 +205,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_top_paths": lambda: consume(an.events_top_paths(sf_dir)),
         "embedding_covariance": lambda: consume(
             co.embedding_covariance(sf_dir)),
+        # fourth round-4 continuation: the two heaviest new exchanges
+        # (range-exchange total sort; 3x-replicated interval self-join)
+        "orders_global_sort": lambda: consume(
+            an.orders_global_sort(sf_dir)),
+        "events_pair_window": lambda: consume(
+            an.events_pair_window(sf_dir)),
     }
     # best-of-R per query (default 2): like the headline crawl, a single
     # sample records host steal + first-call worker warm-up, not the

@@ -6571,89 +6571,101 @@ def events_pair_window(sf_dir: str, window_us: int = PAIR_WINDOW_US):
     Reference: the per-domain transition monitoring the reference's
     daily counters (spider_extend.js:97-169) cannot express — this is
     the A1 family upgraded to within-session transition structure."""
+    import functools
+
     from .corpus_ops import _hash_grouped
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    partials = _hash_grouped(
+        ds.map_batches(functools.partial(_pw_replicate,
+                                         window_us=window_us),
+                       batch_format="pandas"),
+        ["user_id", "bucket"],
+        functools.partial(_pw_pair_partial, window_us=window_us),
+        num_parts=32)
+    return _finish_small(partials, ["type_a", "type_b"], {"n": "n"})
 
-    def replicate(df: pd.DataFrame) -> pd.DataFrame:
-        u = df["user_id"].to_numpy("int64")
-        t = _ts_us(df["ts"])
-        et = df["event_type"].astype(str).to_numpy(dtype=object)
-        b = t // window_us  # epoch-µs are non-negative in this corpus
-        probe = pd.DataFrame({"user_id": u, "bucket": b, "ts_us": t,
-                              "event_type": et,
-                              "side": np.zeros(len(u), dtype="int64")})
-        cand = pd.DataFrame({
-            "user_id": np.concatenate([u, u]),
-            "bucket": np.concatenate([b, b - 1]),
-            "ts_us": np.concatenate([t, t]),
-            "event_type": np.concatenate([et, et]),
-            "side": np.ones(2 * len(u), dtype="int64")})
-        return pd.concat([probe, cand], ignore_index=True)
 
-    empty = pd.DataFrame({"type_a": pd.Series([], dtype=object),
+def _pw_replicate(df: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """Probe row in own bucket + candidate replicas in buckets b, b−1
+    (kernel of :func:`events_pair_window`; module-level so the
+    hypothesis suite can drive it without Ray)."""
+    u = df["user_id"].to_numpy("int64")
+    t = _ts_us(df["ts"])
+    et = df["event_type"].astype(str).to_numpy(dtype=object)
+    b = t // window_us  # epoch-µs are non-negative in this corpus
+    probe = pd.DataFrame({"user_id": u, "bucket": b, "ts_us": t,
+                          "event_type": et,
+                          "side": np.zeros(len(u), dtype="int64")})
+    cand = pd.DataFrame({
+        "user_id": np.concatenate([u, u]),
+        "bucket": np.concatenate([b, b - 1]),
+        "ts_us": np.concatenate([t, t]),
+        "event_type": np.concatenate([et, et]),
+        "side": np.ones(2 * len(u), dtype="int64")})
+    return pd.concat([probe, cand], ignore_index=True)
+
+
+_PW_EMPTY = pd.DataFrame({"type_a": pd.Series([], dtype=object),
                           "type_b": pd.Series([], dtype=object),
                           "n": pd.Series([], dtype="int64")})
 
-    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return empty.copy()
-        # dense (user, bucket) group codes shared by probes+candidates
-        g = (df.groupby(["user_id", "bucket"], sort=True).ngroup()
-             .to_numpy("int64"))
-        side = df["side"].to_numpy("int64")
-        t = df["ts_us"].to_numpy("int64")
-        et = df["event_type"].to_numpy(dtype=object)
-        is_p = side == 0
-        pg, pt, pet = g[is_p], t[is_p], et[is_p]
-        cg, ct, cet = g[~is_p], t[~is_p], et[~is_p]
-        n_c, n_p = len(cg), len(pg)
-        if n_c == 0 or n_p == 0:
-            return empty.copy()
-        order_c = np.lexsort((ct, cg))
-        cg, ct, cet = cg[order_c], ct[order_c], cet[order_c]
 
-        def bounds(probe_t: np.ndarray) -> np.ndarray:
-            # rank of each probe key (g, t, AFTER equal-t candidates)
-            # within the sorted candidate run = searchsorted side=right,
-            # batched across groups by one merged lexsort
-            mg = np.concatenate([cg, pg])
-            mt = np.concatenate([ct, probe_t])
-            tie = np.concatenate([np.zeros(n_c, dtype="int8"),
-                                  np.ones(n_p, dtype="int8")])
-            order = np.lexsort((tie, mt, mg))
-            pos = np.empty(n_c + n_p, dtype="int64")
-            pos[order] = np.arange(n_c + n_p)
-            ranks = pos[n_c:]                      # merged rank per probe
-            probe_rank_order = np.argsort(ranks, kind="stable")
-            out = np.empty(n_p, dtype="int64")
-            # k probes precede the (k+1)-th in merged order: subtract
-            out[probe_rank_order] = (ranks[probe_rank_order]
-                                     - np.arange(n_p))
-            return out
+def _pw_pair_partial(df: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """Loop-free window join over co-located (user, bucket) groups —
+    see :func:`events_pair_window` for the exchange that feeds it."""
+    if not len(df):
+        return _PW_EMPTY.copy()
+    # dense (user, bucket) group codes shared by probes+candidates
+    g = (df.groupby(["user_id", "bucket"], sort=True).ngroup()
+         .to_numpy("int64"))
+    side = df["side"].to_numpy("int64")
+    t = df["ts_us"].to_numpy("int64")
+    et = df["event_type"].to_numpy(dtype=object)
+    is_p = side == 0
+    pg, pt, pet = g[is_p], t[is_p], et[is_p]
+    cg, ct, cet = g[~is_p], t[~is_p], et[~is_p]
+    n_c, n_p = len(cg), len(pg)
+    if n_c == 0 or n_p == 0:
+        return _PW_EMPTY.copy()
+    order_c = np.lexsort((ct, cg))
+    cg, ct, cet = cg[order_c], ct[order_c], cet[order_c]
 
-        lo = bounds(pt)                    # first candidate with ts > t
-        hi = bounds(pt + window_us)        # first with ts > t + window
-        lens = hi - lo
-        total = int(lens.sum())
-        if total == 0:
-            return empty.copy()
-        left_idx = np.repeat(np.arange(n_p), lens)
-        starts = np.repeat(lo, lens)
-        within = (np.arange(total)
-                  - np.repeat(np.cumsum(lens) - lens, lens))
-        right_idx = starts + within
-        out = (pd.DataFrame({"type_a": pet[left_idx],
-                             "type_b": cet[right_idx]})
-               .groupby(["type_a", "type_b"], as_index=False).size()
-               .rename(columns={"size": "n"}))
-        return out.astype({"n": "int64"})
+    def bounds(probe_t: np.ndarray) -> np.ndarray:
+        # rank of each probe key (g, t, AFTER equal-t candidates)
+        # within the sorted candidate run = searchsorted side=right,
+        # batched across groups by one merged lexsort
+        mg = np.concatenate([cg, pg])
+        mt = np.concatenate([ct, probe_t])
+        tie = np.concatenate([np.zeros(n_c, dtype="int8"),
+                              np.ones(n_p, dtype="int8")])
+        order = np.lexsort((tie, mt, mg))
+        pos = np.empty(n_c + n_p, dtype="int64")
+        pos[order] = np.arange(n_c + n_p)
+        ranks = pos[n_c:]                      # merged rank per probe
+        probe_rank_order = np.argsort(ranks, kind="stable")
+        out = np.empty(n_p, dtype="int64")
+        # k probes precede the (k+1)-th in merged order: subtract
+        out[probe_rank_order] = (ranks[probe_rank_order]
+                                 - np.arange(n_p))
+        return out
 
-    partials = _hash_grouped(ds.map_batches(replicate,
-                                            batch_format="pandas"),
-                             ["user_id", "bucket"], pair_partial,
-                             num_parts=32)
-    return _finish_small(partials, ["type_a", "type_b"], {"n": "n"})
+    lo = bounds(pt)                    # first candidate with ts > t
+    hi = bounds(pt + window_us)        # first with ts > t + window
+    lens = hi - lo
+    total = int(lens.sum())
+    if total == 0:
+        return _PW_EMPTY.copy()
+    left_idx = np.repeat(np.arange(n_p), lens)
+    starts = np.repeat(lo, lens)
+    within = (np.arange(total)
+              - np.repeat(np.cumsum(lens) - lens, lens))
+    right_idx = starts + within
+    out = (pd.DataFrame({"type_a": pet[left_idx],
+                         "type_b": cet[right_idx]})
+           .groupby(["type_a", "type_b"], as_index=False).size()
+           .rename(columns={"size": "n"}))
+    return out.astype({"n": "int64"})
 
 
 EVENTS_PAIR_WINDOW_SQL = f"""

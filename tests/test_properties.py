@@ -351,3 +351,44 @@ def test_trunc_div_matches_duckdb_semantics(num, den):
     # and explicitly differs from Python floor for negative numerators
     if num < 0 and num % den:
         assert got == (num // den) + 1
+
+
+# --- pair-window kernel vs brute O(n²) join --------------------------
+
+
+@given(st.lists(st.tuples(st.integers(0, 3),          # user
+                          st.integers(0, 40),         # ts (small grid)
+                          st.sampled_from("abc")),    # event type
+                min_size=1, max_size=60),
+       st.integers(1, 12))                            # window
+@settings(max_examples=60, deadline=None)
+def test_pair_window_kernel_matches_brute(rows, window):
+    """replicate → co-located partial must equal the brute double loop
+    for every (0 < Δt ≤ window) same-user ordered pair — heavy ties,
+    bucket-boundary crossings and multi-user interleaving included."""
+    import pandas as pd
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    df = pd.DataFrame({
+        "user_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+        "event_type": [r[2] for r in rows]})
+    rep = an._pw_replicate(df, window_us=window)
+    got = (an._pw_pair_partial(rep, window_us=window)
+           .groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+           .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+    brute = {}
+    for u1, t1, e1 in rows:
+        for u2, t2, e2 in rows:
+            if u1 == u2 and 0 < t2 - t1 <= window:
+                brute[(e1, e2)] = brute.get((e1, e2), 0) + 1
+    exp = (pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(brute.items())],
+        columns=["type_a", "type_b", "n"])
+        if brute else
+        pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                      "type_b": pd.Series([], dtype=object),
+                      "n": pd.Series([], dtype="int64")}))
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64"}), exp.astype({"n": "int64"}))

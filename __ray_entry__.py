@@ -470,10 +470,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_zorder": an.orders_zorder_sql(),
         "events_value_outliers": an.EVENTS_VALUE_OUTLIERS_SQL,
         "events_ab_chisq": an.EVENTS_AB_CHISQ_SQL,
-        "events_daily_counts_incremental": (
-            "SELECT strftime(ts, '%Y-%m-%d') AS date, event_type, "
-            "count(*) AS n FROM events GROUP BY 1, 2"
-        ),
+        "events_daily_counts_incremental": an.EVENTS_DAILY_COUNTS_SQL,
+
         "events_time_weighted_avg": an.EVENTS_TWA_SQL,
         "doc_extract": de.DOC_EXTRACT_SQL,
         "doc_text_stats": ts.text_stats_sql(),
@@ -533,10 +531,7 @@ SELECT qid, vec_id, CAST(r AS BIGINT) AS rank FROM
         "video_frame_sample": mm.FRAME_SAMPLE_SQL,
         "audio_segments": mm.AUDIO_SEGMENTS_SQL,
         "image_resize_meta": mm.IMAGE_RESIZE_SQL,
-        "events_daily_counts": (
-            "SELECT strftime(ts, '%Y-%m-%d') AS date, event_type, "
-            "count(*) AS n FROM events GROUP BY 1, 2"
-        ),
+        "events_daily_counts": an.EVENTS_DAILY_COUNTS_SQL,
         "events_props_stats": an.EVENTS_PROPS_SQL,
         "events_sessions": an.EVENTS_SESSIONS_SQL,
         "events_sessions_salted": an.EVENTS_SESSIONS_SQL,

@@ -77,6 +77,14 @@ def events_daily_counts(sf_dir: str):
     return _finish_small(ds, ["date", "event_type"], {"partial_n": "n"})
 
 
+EVENTS_DAILY_COUNTS_SQL = (
+    "SELECT strftime(ts, '%Y-%m-%d') AS date, event_type, "
+    "count(*) AS n FROM events GROUP BY 1, 2"
+)  # shared by the full op AND the incremental-maintenance op: the IVM
+# merge is defined as "equals the full recompute", so one constant
+# keeps the two oracles from drifting apart
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -6449,11 +6457,22 @@ def orders_global_sort(sf_dir: str, n_buckets: int = SORT_BUCKETS):
 
     from .corpus_ops import _hash_grouped
 
+    from ..sources.tables import table_rows
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    # RATE-based sampling: map_batches slices blocks into ~1024-row
+    # batches, so a per-batch constant k would ship ~k/1024 of the
+    # whole column to the driver; target a fixed total instead
+    # (64 × n_buckets values across the table, ≥1 per non-empty batch)
+    total_rows = max(1, table_rows(sf_dir, "orders"))
+    target_total = 64 * n_buckets
 
     def sample(df: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(_e4(df["o_totalprice"]))
-        k = min(128, len(v))
+        if not len(v):
+            return pd.DataFrame({"v": pd.Series([], dtype="int64")})
+        k = max(1, min(len(v), (len(v) * target_total) // total_rows))
         idx = np.linspace(0, len(v) - 1, k).astype(int)
         return pd.DataFrame({"v": v[idx]})
 
@@ -6512,13 +6531,16 @@ def orders_global_sort(sf_dir: str, n_buckets: int = SORT_BUCKETS):
     summ = (ranked.map_batches(bucket_counts, batch_format="pandas")
             .to_pandas().groupby("bucket", as_index=False)["n"].sum()
             .sort_values("bucket"))
-    offs = dict(zip(summ["bucket"].astype(int),
-                    summ["n"].cumsum().shift(fill_value=0).astype(int)))
-    offs_ref = ray.put(offs)
+    # dense offsets vector (bucket ids are 0..len(edges)): one C-speed
+    # take per batch instead of a per-row Python dict walk
+    offs_vec = np.zeros(len(edges) + 1, dtype="int64")
+    offs_vec[summ["bucket"].to_numpy("int64")] = \
+        summ["n"].cumsum().shift(fill_value=0).to_numpy("int64")
+    offs_ref = ray.put(offs_vec)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         o = ray.get(offs_ref)
-        base = np.array([o[int(b)] for b in df["bucket"]], dtype="int64")
+        base = o[df["bucket"].to_numpy("int64")]
         return pd.DataFrame(
             {"o_orderkey": df["o_orderkey"].to_numpy("int64"),
              "price_e4": df["price_e4"].to_numpy("int64"),
@@ -6797,8 +6819,10 @@ def events_value_outliers(sf_dir: str):
         f = ray.get(fences_ref)
         et = df["event_type"].astype(str)
         v200 = _e4(df["value"]) * 200
-        lo = np.array([f[e][0] for e in et], dtype="int64")
-        hi = np.array([f[e][1] for e in et], dtype="int64")
+        lo_s = pd.Series({k: v[0] for k, v in f.items()}, dtype="int64")
+        hi_s = pd.Series({k: v[1] for k, v in f.items()}, dtype="int64")
+        lo = et.map(lo_s).to_numpy("int64")   # C-speed categorical map
+        hi = et.map(hi_s).to_numpy("int64")
         g = (pd.DataFrame({"event_type": et,
                            "n_lo": (v200 < lo).astype("int64"),
                            "n_hi": (v200 > hi).astype("int64")})
@@ -6953,20 +6977,34 @@ def _events_ts_minmax_us(sf_dir: str) -> tuple[int, int]:
     table_rows)."""
     import pyarrow.parquet as pq
 
-    from ..sources.tables import table_files
+    from ..sources.tables import _table_format, table_files
 
+    files = table_files(sf_dir, "events")
+    if _table_format(files) != "parquet":
+        raise ValueError(
+            "incremental maintenance needs parquet row-group statistics; "
+            f"events under {sf_dir} resolved to {_table_format(files)} — "
+            "convert it to parquet first")
     mn, mx = None, None
-    for f in table_files(sf_dir, "events"):
+    for f in files:
         md = pq.read_metadata(f)
-        idx = next(i for i in range(md.schema.to_arrow_schema()
-                                    .__len__())
-                   if md.schema.column(i).name == "ts")
+        names = [md.schema.column(i).name
+                 for i in range(md.schema.to_arrow_schema().__len__())]
+        if "ts" not in names:
+            raise ValueError(f"events file {f} has no 'ts' column")
+        idx = names.index("ts")
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
+            if st is None or st.min is None or st.max is None:
+                raise ValueError(
+                    f"events file {f} row group {rg} carries no ts "
+                    "statistics — rewrite with statistics enabled")
             lo = np.datetime64(st.min, "us").astype("int64")
             hi = np.datetime64(st.max, "us").astype("int64")
             mn = lo if mn is None else min(mn, lo)
             mx = hi if mx is None else max(mx, hi)
+    if mn is None:
+        raise ValueError(f"events under {sf_dir} has no row groups")
     return int(mn), int(mx)
 
 
@@ -6998,7 +7036,23 @@ def events_daily_counts_incremental(sf_dir: str,
     cutoff = np.datetime64(cutoff_us, "us")
 
     if workdir is None:
-        key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        # fingerprint the source files (path+size+mtime+rows) into the
+        # key: a regenerated corpus at the same path with the same time
+        # range must never silently merge a stale base.  Reuse then
+        # only triggers for re-runs over UNCHANGED data — which is also
+        # all the cutoff-keyed name ever guaranteed, since any append
+        # moves max(ts) and hence the cutoff
+        from ..sources.tables import table_files
+
+        h = hashlib.md5(os.path.abspath(sf_dir).encode())
+        import pyarrow.parquet as pq
+
+        for f in table_files(sf_dir, "events"):
+            stt = os.stat(f)
+            md = pq.read_metadata(f)
+            h.update(f"{f}|{stt.st_size}|{stt.st_mtime_ns}|"
+                     f"{md.num_rows}".encode())
+        key = h.hexdigest()[:12]
         workdir = f"/tmp/neocrawler_ray_runs/ivm_v{IVM_SCHEMA_VERSION}_{key}"
     os.makedirs(workdir, exist_ok=True)
     ckpt = os.path.join(workdir, f"base_{cutoff_us}.parquet")

@@ -206,6 +206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user time-weighted mean (step-function integral, big-int
         # numerators)
         "events_time_weighted_avg": an.events_time_weighted_avg,
+        # holistic aggregate over high-cardinality groups (exact median)
+        "events_user_median": an.events_user_median,
+        # windowed exact COUNT(DISTINCT) via triple-hash dedupe exchange
+        "events_window_distinct": an.events_window_distinct,
         # TPC-H suite completion (shapes adapted to the testdata's
         # column subset — see each docstring): correlated-min join-back,
         # nation-pair OR join, conditional ratio, two-key profit rollup,
@@ -473,6 +477,8 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_counts_incremental": an.EVENTS_DAILY_COUNTS_SQL,
 
         "events_time_weighted_avg": an.EVENTS_TWA_SQL,
+        "events_user_median": an.EVENTS_USER_MEDIAN_SQL,
+        "events_window_distinct": an.events_window_distinct_sql(),
         "doc_extract": de.DOC_EXTRACT_SQL,
         "doc_text_stats": ts.text_stats_sql(),
         "doc_lang_id": ts.lang_id_markers_sql(),

@@ -7181,3 +7181,114 @@ SELECT user_id, CAST(num // CAST(span_us AS HUGEINT) AS BIGINT)
        CAST(span_us AS BIGINT) AS span_us
 FROM s WHERE span_us > 0 ORDER BY user_id
 """.strip()
+
+
+# --- per-user exact median (holistic aggregate, high-cardinality groups) ------
+
+
+def events_user_median(sf_dir: str):
+    """Exact per-USER median of ``value`` (lower-median convention:
+    element (n−1)//2 of the sorted multiset, the same integer
+    convention as :func:`events_value_quantiles` at q=50) — the
+    HOLISTIC-aggregate shape over high-cardinality groups.  The
+    value-domain-histogram trick the per-type quantiles use would
+    explode here (groups × distinct values ≈ row count when groups are
+    users, saving nothing), and a median has no combiner — so the
+    honest plan is one user-hash exchange of (user, v) rows and a
+    loop-free per-partition kernel: sort once by (user, v), group
+    starts from the boundary mask, medians picked by
+    ``start + (cnt−1)//2`` fancy-indexing.  Rows ship exactly once;
+    nothing is materialized driver-side.
+
+    Reference: monitor.js renders per-day averages; a robust central
+    tendency per entity is the same report family done right."""
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy("int64"),
+                             "v": _e4(df["value"])})
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "median_e4": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        u = df["user_id"].to_numpy("int64")
+        v = df["v"].to_numpy("int64")
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnts = np.diff(np.r_[starts, len(u)])
+        mid = starts + (cnts - 1) // 2
+        return pd.DataFrame({"user_id": u[starts],
+                             "median_e4": v[mid],
+                             "n": cnts.astype("int64")})
+
+    return _hash_grouped(ds.map_batches(keyed, batch_format="pandas"),
+                         ["user_id"], med, num_parts=32)
+
+
+EVENTS_USER_MEDIAN_SQL = """
+WITH v AS (SELECT user_id, CAST(floor(value * 10000) AS BIGINT) v
+           FROM events),
+r AS (SELECT user_id, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY v) rn,
+             count(*) OVER (PARTITION BY user_id) n
+      FROM v)
+SELECT user_id,
+       max(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END) AS median_e4,
+       CAST(max(n) AS BIGINT) AS n
+FROM r GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+# --- windowed exact distinct count --------------------------------------------
+
+
+def events_window_distinct(sf_dir: str,
+                           window_us: int = TUMBLE_US) -> pd.DataFrame:
+    """Distinct users per (tumbling window, event type) — the windowed
+    form of :func:`events_distinct_users`, i.e. the streaming "unique
+    visitors per interval" counter.  COUNT(DISTINCT) doesn't compose
+    from per-batch counts, so each batch first collapses to its
+    distinct (window, type, user) triples (the combiner that IS valid),
+    ONE triple-hash exchange dedupes globally — every copy of a triple
+    lands in the same partition — and the partition emits per-(window,
+    type) count partials; the final reduce is answer-sized (windows ×
+    types).  The unbounded-cardinality sibling swaps the exchange for
+    per-block HLL sketches at the same seam (events_distinct_users_hll).
+    """
+    from .corpus_ops import _hash_grouped
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
+        us = _ts_us(df["ts"])
+        t = pd.DataFrame({"window_us": (us // window_us) * window_us,
+                          "event_type": df["event_type"].astype(str),
+                          "user_id": df["user_id"].to_numpy("int64")})
+        return t.drop_duplicates()
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates()
+             .groupby(["window_us", "event_type"], as_index=False)
+             .size().rename(columns={"size": "p_n"}))
+        return g.astype({"window_us": "int64", "p_n": "int64"})
+
+    parts = _hash_grouped(ds.map_batches(triples, batch_format="pandas"),
+                          ["window_us", "event_type", "user_id"],
+                          count_part, num_parts=32)
+    return _finish_small(parts, ["window_us", "event_type"],
+                         {"p_n": "n_users"})
+
+
+def events_window_distinct_sql(window_us: int = TUMBLE_US) -> str:
+    return f"""
+SELECT CAST(epoch_us(ts) // {window_us} * {window_us} AS BIGINT)
+           AS window_us,
+       event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

@@ -3627,3 +3627,45 @@ def test_events_time_weighted_avg_step_function(ray_session, tmp_path):
     assert got["user_id"].tolist() == [7]
     assert got["twa_e4"].tolist() == [175000]  # 17.5 in e4
     assert got["span_us"].tolist() == [4_000_000]
+
+
+def test_events_user_median_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_user_median(SF), con,
+                       an.EVENTS_USER_MEDIAN_SQL)
+
+
+def test_events_user_median_lower_convention(ray_session):
+    """Even-count group picks the LOWER middle element, ties kept."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    got = an.events_user_median(SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "value"])
+    for _, r in got.iterrows():
+        v = np.sort(np.floor(
+            ev.loc[ev["user_id"] == r["user_id"], "value"]
+            .to_numpy("float64") * 10000.0).astype("int64"))
+        assert int(r["n"]) == len(v)
+        assert int(r["median_e4"]) == int(v[(len(v) - 1) // 2])
+
+
+def test_events_window_distinct_matches_sql(ray_session, con):
+    from neocrawler_ray.pipelines import analytics as an
+
+    assert_matches_sql(an.events_window_distinct(SF), con,
+                       an.events_window_distinct_sql())
+
+
+def test_events_window_distinct_bounds(ray_session):
+    """Windowed distincts must be ≤ the window's row count and the
+    per-window sum over types ≥ the window's global distinct count."""
+    from neocrawler_ray.pipelines import analytics as an
+
+    d = an.events_window_distinct(SF)
+    c = an.events_tumbling_counts(SF)
+    m = d.merge(c, on=["window_us", "event_type"])
+    assert (m["n_users"] <= m["n_events"]).all()
+    assert (m["n_users"] >= 1).all()

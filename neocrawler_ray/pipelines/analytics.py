@@ -54,6 +54,13 @@ def _finish_small(ds_partials, keys: list[str], sums: dict[str, str]) -> pd.Data
     is orders slower than the C kernel.  ``sums`` maps partial column →
     output column name."""
     df = ds_partials.to_pandas()
+    if not len(df) and not set(keys) <= set(df.columns):
+        # a Dataset whose blocks are ALL empty loses its pandas schema
+        # on to_pandas() (documented hazard) — synthesize the empty
+        # output instead of KeyError-ing
+        return pd.DataFrame(
+            {**{k: pd.Series([], dtype=object) for k in keys},
+             **{c: pd.Series([], dtype="int64") for c in sums.values()}})
     g = df.groupby(keys, as_index=False)[list(sums)].sum()
     g = g.rename(columns=sums)
     for c in sums.values():
@@ -639,8 +646,12 @@ def _value_histogram(sf_dir: str) -> pd.DataFrame:
         g = tmp.groupby(["event_type", "v"], as_index=False).size()
         return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
 
-    return (ds.map_batches(partial, batch_format="pandas").to_pandas()
-            .groupby(["event_type", "v"], as_index=False)["cnt"].sum())
+    df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(df) and "v" not in df.columns:  # all-empty-block schema loss
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "v": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    return df.groupby(["event_type", "v"], as_index=False)["cnt"].sum()
 
 
 def events_value_quantiles(sf_dir: str):
@@ -6476,8 +6487,9 @@ def orders_global_sort(sf_dir: str, n_buckets: int = SORT_BUCKETS):
         idx = np.linspace(0, len(v) - 1, k).astype(int)
         return pd.DataFrame({"v": v[idx]})
 
-    samp = np.sort(ds.map_batches(sample, batch_format="pandas")
-                   .to_pandas()["v"].to_numpy("int64"))
+    samp_df = ds.map_batches(sample, batch_format="pandas").to_pandas()
+    samp = (np.sort(samp_df["v"].to_numpy("int64"))
+            if "v" in samp_df.columns else np.empty(0, dtype="int64"))
     if len(samp) == 0:
         edges = np.empty(0, dtype="int64")
     else:
@@ -6528,8 +6540,12 @@ def orders_global_sort(sf_dir: str, n_buckets: int = SORT_BUCKETS):
         return g.rename(columns={"size": "n"}).astype(
             {"bucket": "int64", "n": "int64"})
 
-    summ = (ranked.map_batches(bucket_counts, batch_format="pandas")
-            .to_pandas().groupby("bucket", as_index=False)["n"].sum()
+    summ = ranked.map_batches(bucket_counts, batch_format="pandas") \
+        .to_pandas()
+    if not len(summ) and "bucket" not in summ.columns:
+        summ = pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    summ = (summ.groupby("bucket", as_index=False)["n"].sum()
             .sort_values("bucket"))
     # dense offsets vector (bucket ids are 0..len(edges)): one C-speed
     # take per batch instead of a per-row Python dict walk

@@ -3669,3 +3669,33 @@ def test_events_window_distinct_bounds(ray_session):
     m = d.merge(c, on=["window_us", "event_type"])
     assert (m["n_users"] <= m["n_events"]).all()
     assert (m["n_users"] >= 1).all()
+
+
+def test_session_ops_on_empty_tables(ray_session, tmp_path):
+    """Zero-row inputs (schema preserved) must yield clean empty
+    results — not schema-loss crashes — for every operator added in
+    the fourth continuation; the IVM op's statistics prerequisite must
+    fail with its documented message instead of an obscure one."""
+    import pytest as _pt
+
+    from neocrawler_ray.pipelines import analytics as an
+
+    for t in ("events", "orders"):
+        pd.read_parquet(f"{SF}/{t}.parquet").iloc[0:0].to_parquet(
+            tmp_path / f"{t}.parquet")
+
+    def as_df(x):
+        return x.to_pandas() if hasattr(x, "to_pandas") else x
+
+    d = str(tmp_path)
+    assert len(as_df(an.orders_global_sort(d))) == 0
+    assert len(as_df(an.events_pair_window(d))) == 0
+    assert len(as_df(an.orders_zorder(d))) == 0
+    assert len(as_df(an.events_value_outliers(d))) == 0
+    assert len(as_df(an.events_time_weighted_avg(d))) == 0
+    assert len(as_df(an.events_user_median(d))) == 0
+    assert len(as_df(an.events_window_distinct(d))) == 0
+    chs = as_df(an.events_ab_chisq(d))
+    assert len(chs) == 1 and int(chs["chi2_e6"].iloc[0]) == 0
+    with _pt.raises(ValueError, match="statistics|row groups"):
+        an.events_daily_counts_incremental(d, workdir=str(tmp_path / "w"))

@@ -208,3 +208,18 @@ def json_smart_deep_parse(obj):
             except (ValueError, TypeError):
                 return obj
     return obj
+
+
+def parse_urllib_key(key: str) -> tuple[str, str] | None:
+    """(domain, alias) from a rule-queue key — THE single owner of the
+    ``urllib:driller:domain:alias`` / ``driller:domain:alias`` format
+    (reference scheduler/index.js queue naming).  Every consumer
+    (frontier rule lookup, extract-stage rule lookup, retry routing)
+    must parse through here: the format appearing in three hand-rolled
+    variants is how a future key change silently mis-routes retries."""
+    parts = key.split(":")
+    if parts and parts[0] == "urllib":
+        parts = parts[1:]
+    if len(parts) != 3:
+        return None
+    return parts[1], parts[2]

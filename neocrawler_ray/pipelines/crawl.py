@@ -160,8 +160,15 @@ class CrawlJob:
 
         S = settings.num_frontier_shards
         RemoteShard = ray.remote(FrontierShard)
+        # max_restarts=0 — FAIL FAST: a restarted shard would re-run
+        # __init__ with empty url_info/queues and the run would continue
+        # "successfully" on silently-corrupted state (missing URLs, and
+        # worse, the next commit would checkpoint the EMPTY snapshot past
+        # the good one).  Crash-recovery is the checkpoint/resume path's
+        # job (resume=True restores the last durable wave), mirroring
+        # route_feedback's max_retries=0 exactly-once stance.
         self.shards = [
-            RemoteShard.options(max_restarts=2).remote(i, self.rules, settings)
+            RemoteShard.options(max_restarts=0).remote(i, self.rules, settings)
             for i in range(S)
         ]
         self.robots_ref = ray.put(build_robots_map(corpus_dir))
@@ -312,6 +319,13 @@ class CrawlJob:
         with open(path) as f:
             manifest = json.load(f)
         wave = manifest["last_complete_wave"]
+        want = manifest.get("num_shards")
+        if want is not None and want != len(self.shards):
+            raise ValueError(
+                f"checkpoint was written with num_frontier_shards={want} "
+                f"but this run has {len(self.shards)}: resuming would "
+                "drop the extra shards' state and mis-route md5(tld) "
+                "ownership — resume with the original shard count")
         futures = []
         for i, shard in enumerate(self.shards):
             p = os.path.join(self.ckpt_dir, f"shard={i}", f"wave_{wave}.pkl")

@@ -138,7 +138,9 @@ def run_oracle(corpus_dir: str, settings: CrawlSettings,
                         # S6 browser path — same dispatch as FetchSim
                         steps = navigate_steps(rule)
                         skey = rule_script_key(rule)
-                        if steps > 0 and rendered is not None:
+                        from ..stages.fetch import LOGIN_STUB
+                        if (steps > 0 and rendered is not None
+                                and raw != LOGIN_STUB):
                             rounds = [
                                 (r, apply_browser(raw, rendered, r, skey))
                                 for r in range(steps)]

@@ -122,6 +122,18 @@ def run_schedule_wave(
     matching urllib key and the seen-filter drops re-routes), and
     ``FrontierShard._save_link`` carries a debug assertion that a
     url_md5 never enters a second queue.
+
+    One coupling survives even one-queue-per-url: ``push_seeds``
+    touches url_info rows directly, so on a wave where some rule's
+    reSchedule is due, a seed of rule B that detect_link routes to rule
+    A's queue would see A's REPAIR pop (which runs after the first
+    resolve, i.e. after B's seed push executed on the shard) observe
+    the freshly stamped state — a different ``_check_url`` order than
+    the chained plan, where A's carry pop precedes B's push.  Seed
+    waves are rare (first wave + every ``interval``), so the plan
+    DOWNGRADES ITSELF to the exact chained form on any wave with a due
+    seed refresh — speculation only ever runs on pop-only waves, where
+    the argument above is complete.
     """
     if submit is None:
         def submit(shard, method, *args):
@@ -158,6 +170,14 @@ def run_schedule_wave(
         return len(tokens) - 1
 
     steps: list[tuple] = []
+
+    # seed-refresh waves keep the chained plan (see the docstring's
+    # exactness argument: repair pops must not run after a later rule's
+    # push_seeds has stamped shared url_info state)
+    if speculative and any(
+            now - e["first_schedule"] >= e["interval"] * 1000
+            for e in priority_entries):
+        speculative = False
 
     # --- T6 retry drain (spider/spider.js:350-362) --------------------
     # retryCrawl re-emits a failed urlinfo straight into the spider's

@@ -103,12 +103,12 @@ class ExtractBatch:
         self.push = push_to_frontier and self.num_shards > 0
 
     def _rule(self, urllib_key: str) -> dict | None:
-        parts = urllib_key.split(":")
-        if parts and parts[0] == "urllib":
-            parts = parts[1:]
-        if len(parts) != 3:
+        from ..functions.urls import parse_urllib_key
+
+        da = parse_urllib_key(urllib_key)
+        if da is None:
             return None
-        return (self.rules.get(parts[1]) or {}).get(parts[2])
+        return (self.rules.get(da[0]) or {}).get(da[1])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {name: [] for name in OUT_SCHEMA.names}
@@ -349,7 +349,9 @@ def route_feedback(table: pa.Table, num_shards: int) -> dict[int, list[tuple]]:
             # T6: re-admit on the RULE's shard (its retry queue lives
             # with its urllib queue, keyed by the rule domain)
             ulib = cols["urllib"][i]
-            rule_domain = (ulib.split(":") + ["", "", ""])[2]
+            from ..functions.urls import parse_urllib_key
+            da = parse_urllib_key(ulib)
+            rule_domain = da[0] if da else ""
             shard_buffers.setdefault(_dsid(rule_domain), []).append(
                 (seq, "retry", (url, ulib, int(cols["retries"][i]) + 1))
             )

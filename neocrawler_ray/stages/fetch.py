@@ -199,8 +199,14 @@ def apply_browser(raw: bytes | None, rendered: bytes | None,
     runs at page load, so its blocks are step-independent).  ``rendered
     is None`` (non-browser corpus rows, binaries) falls back to the raw
     body — mirroring phantomjs handing back ``page.content`` only when
-    the render succeeded."""
-    if rendered is None:
+    the render succeeded.
+
+    A cookie-gated fetch (``raw`` is the login stub) never reaches the
+    rendered DOM: the server answered with the login page, so that is
+    what the browser renders — without this check a rule combining
+    ``cookie`` and ``jshandle`` would serve the logged-in DOM to a
+    fetch that failed the cookie gate."""
+    if rendered is None or raw == LOGIN_STUB:
         return raw
 
     def _keep(m: "re.Match[bytes]") -> bytes:
@@ -241,12 +247,17 @@ def build_robots_map(corpus_dir: str) -> dict[str, list[str]]:
     import pyarrow.dataset as pads
 
     ds = pads.dataset(os.path.join(corpus_dir, "pages"))
+    # substring match is only the scan PREFILTER; the exact rule is
+    # endswith (a page like /archive/robots.txt.html must never
+    # overwrite the host's real robots — oracle.py uses endswith too)
     tbl = ds.to_table(
         columns=["url", "html"],
         filter=pc.match_substring(pc.field("url"), "/robots.txt"),
     )
     out: dict[str, list[str]] = {}
     for url, html in zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()):
+        if not url.endswith("/robots.txt"):
+            continue
         host = url_host(url)
         if host:
             out[host] = parse_robots(html)
@@ -544,7 +555,10 @@ class FetchSim:
                         if bm is not None:  # jshandle → browser path
                             steps, skey = bm
                             rend = rendered_col[int(rows[j])].as_py()
-                            if steps > 0 and rend is not None:
+                            if (steps > 0 and rend is not None
+                                    and body != LOGIN_STUB):
+                                # a gated fetch renders the login page:
+                                # no click rounds, no per-round rows
                                 # one result per navigation round, the
                                 # round-r DOM gated at step ≤ r
                                 for r in range(steps):

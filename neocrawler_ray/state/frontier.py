@@ -110,13 +110,12 @@ class FrontierShard:
     # helpers
     # ------------------------------------------------------------------
     def _rule_for_urllib(self, urllib_key: str) -> dict | None:
-        # 'urllib:driller:domain:alias' or 'driller:domain:alias'
-        parts = urllib_key.split(":")
-        if parts[0] == "urllib":
-            parts = parts[1:]
-        if len(parts) != 3:
+        from ..functions.urls import parse_urllib_key
+
+        da = parse_urllib_key(urllib_key)
+        if da is None:
             return None
-        return (self.rules.get(parts[1]) or {}).get(parts[2])
+        return (self.rules.get(da[0]) or {}).get(da[1])
 
     def _bump(self, event: str, n: int = 1) -> None:
         self.metrics[event] = self.metrics.get(event, 0) + n

@@ -288,3 +288,24 @@ def test_proxy_domain_transient_failures_recover(tmp_path):
     # other domains never draw the proxy pool
     assert all(r["status"] != 503 for r in res["extracted"]
                if r["url"].startswith("http://www.site1.example/"))
+
+
+def test_cookie_gate_blocks_browser_rendering():
+    """A rule combining ``cookie`` and ``jshandle``: a fetch that fails
+    the cookie gate must serve the LOGIN STUB, not the rendered DOM —
+    the browser renders what the server answered (fetch.py:apply_browser
+    gate), and a gated fetch performs no click rounds."""
+    from neocrawler_ray.stages.fetch import (LOGIN_STUB, apply_browser,
+                                             apply_cookie_gate)
+
+    raw = (b"<!--require-cookie:sid=42--><html><body>"
+           b"<div id='app'>js shell</div></body></html>")
+    rendered = (b"<html><body>secret"
+                b'<div class="jsnav" data-step="1"><a href="/x">x</a></div>'
+                b"</body></html>")
+    gated = apply_cookie_gate(raw, "")          # wrong/missing cookie
+    assert gated == LOGIN_STUB
+    assert apply_browser(gated, rendered, 2, None) == LOGIN_STUB
+    ok = apply_cookie_gate(raw, "sid=42")       # right cookie
+    assert ok == raw
+    assert b"secret" in apply_browser(ok, rendered, 2, None)

@@ -20,9 +20,11 @@ from typing import Any
 
 # bump when crawl output semantics/schema change so a stale /tmp cache
 # from an older code version is never served to the driver's gate
-_RUN_SCHEMA_VERSION = 8  # v8: S6 per-navigation-round result rows
-#     (nav_round/nav_last columns; jshandle list urls emit one extracted
-#     row per click round, reference phantomjs-bridge.js:157-236)
+_RUN_SCHEMA_VERSION = 9  # v9: corpus v6 — jshandle lists behind a
+#     session cookie (every 5th≡2 list demands a premium cookie the rule
+#     lacks → login stub, no browser rounds); cookie gate precedes
+#     browser rendering in engine AND oracle
+#     (v8: S6 per-navigation-round result rows)
 _RUN_CACHE_ROOT = f"/tmp/neocrawler_ray_runs/v{_RUN_SCHEMA_VERSION}"
 
 

@@ -62,7 +62,7 @@ import pyarrow.parquet as pq
 # jsinject block reveals one extra item per list page (README.md:181-195
 # script hook made observable), and domain 3 detail pages require the
 # rule's cookie via a require-cookie marker (downloader.js:117-123))
-GEN_VERSION = 5
+GEN_VERSION = 6
 
 # the jshandle list rule's injected JS (README.md:181-195): its md5
 # prefix keys the jsinject blocks the "browser" reveals when this exact
@@ -212,16 +212,22 @@ def generate_corpus(
             "</body></html>"
         )
 
-        def page(url, html_str, text, binary: bytes | None = None):
+        def page(url, html_str, text, binary: bytes | None = None,
+                 cookie_marker: str = ""):
+            # cookie_marker prefixes the RAW body (what the HTTP fetch
+            # sees): for jshandle pages that's the JS shell, so a fetch
+            # failing the cookie gate never reaches the rendered DOM —
+            # the v6 cookie×browser interaction corpus (fetch.py
+            # apply_browser's gate)
             rendered = None
             if binary is not None:
                 body = binary
             else:
                 if jsd:
                     rendered = html_str.encode(encoding)
-                    body = shell.encode(encoding)
+                    body = (cookie_marker + shell).encode(encoding)
                 else:
-                    body = html_str.encode(encoding)
+                    body = (cookie_marker + html_str).encode(encoding)
                 if gzipped:
                     body = gzip.compress(body, mtime=0)
             rows.append(
@@ -319,6 +325,17 @@ def generate_corpus(
                     else ""
                 )
                 filler = _para(rng, 80 * page_weight, zh)
+                # v6: jshandle LIST pages sit behind the rule's session
+                # cookie; every 5th≡2 list demands a premium cookie the
+                # rule does NOT carry → the browser path must serve the
+                # login stub (no jsnav/jsinject discovery from that
+                # list), exercising the cookie→browser dispatch order
+                # end-to-end
+                ck_list = ""
+                if jsd:
+                    ck_list = ("<!--require-cookie:premium=gold-->"
+                               if p % 5 == 2
+                               else f"<!--require-cookie:session=js{d}-->")
                 page(
                     f"{base}/cat_{c}/list_{p}.html",
                     f"<html><head>{meta_tag}<title>{title}</title></head><body>\n"
@@ -327,6 +344,7 @@ def generate_corpus(
                     f'<a href="javascript:void(0)">noop</a>\n'
                     f'<p class="filler">{filler}</p>\n</body></html>',
                     title,
+                    cookie_marker=ck_list,
                 )
 
                 item_ks = list(range(k_lo, k_lo + items_per_list))
@@ -415,6 +433,8 @@ def generate_corpus(
                 navigate_rule=["a.more"] if jsd else None,
                 stoppage=3 if jsd else -1,
                 script=INJECT_SCRIPT if jsd else None,
+                cookie=([{"name": "session", "value": f"js{d}"}]
+                        if jsd else None),
                 seed=(
                     [f"{base}/cat_0/list_#.html#1#2#1"] if d == 0 else []
                 ),

@@ -27,10 +27,30 @@ import pandas as pd
 KMEANS_SEED = 1234
 
 
+def sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(Na, Nb) squared euclidean distances WITHOUT the O(Na·Nb·D)
+    broadcast tensor the naive ``(a[:,None]-b[None])**2`` builds (at the
+    documented 100k-sample × 1024-centroid × 128-dim codebook fit that
+    tensor is ~100 GB): the expansion ||a||² − 2a·b + ||b||² is one
+    matmul + two norm vectors.  Clamped at 0 (rounding can dip
+    epsilon-negative); same argmin/argsort up to float rounding."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d = (np.einsum("ij,ij->i", a, a)[:, None]
+         - 2.0 * (a @ b.T)
+         + np.einsum("ij,ij->i", b, b)[None, :])
+    return np.maximum(d, 0.0, out=d)
+
+
 def batch_to_matrix(embeddings) -> np.ndarray:
-    """Arrow ``list<float>`` / object column → (B, D) float64 matrix."""
+    """Arrow ``list<float>`` / object column → (B, D) float64 matrix.
+    An empty column yields an explicit (0, 0) 2-D matrix — ``np.array``
+    of an empty list is 1-D and crashes every axis=1 kernel downstream
+    (Ray Data can emit empty blocks)."""
     if isinstance(embeddings, np.ndarray) and embeddings.ndim == 2:
         return embeddings.astype(np.float64)
+    if len(embeddings) == 0:
+        return np.empty((0, 0), dtype=np.float64)
     return np.array([np.asarray(e, dtype=np.float64) for e in embeddings])
 
 
@@ -65,16 +85,28 @@ class BruteTopK:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[self.id_col].to_numpy(dtype=np.int64)
         m = batch_to_matrix(batch[self.vec_col].to_numpy())
+        rows_q, rows_v, rows_s = [], [], []
+        if not len(ids):
+            return pd.DataFrame(
+                {"qid": pd.Series(rows_q, dtype="int64"),
+                 self.id_col: pd.Series(rows_v, dtype="int64"),
+                 "sim": pd.Series(rows_s, dtype="float64")})
         sims = cosine_matrix(self.q, m)  # (Q, B)
         # exclude self-matches
         self_mask = ids[None, :] == self.qids[:, None]
         sims[self_mask] = -np.inf
         k = min(self.k, sims.shape[1])
-        # local top-k per query (argpartition = O(B), not a full sort)
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows_q, rows_v, rows_s = [], [], []
+        # local top-k per query with the DOCUMENTED tie-break: an
+        # argpartition cut alone drops boundary ties arbitrarily (dup
+        # embeddings are common in a dedup corpus), so take everything
+        # at/above the k-th similarity, then order (sim desc, id asc)
+        # and keep k — still O(B) selection + O(c log c) on the tied
+        # candidate set
+        kth = -np.partition(-sims, k - 1, axis=1)[:, k - 1]
         for qi in range(sims.shape[0]):
-            for j in idx[qi]:
+            cand = np.flatnonzero(sims[qi] >= kth[qi])
+            order = np.lexsort((ids[cand], -sims[qi, cand]))
+            for j in cand[order][:k]:
                 if np.isfinite(sims[qi, j]):
                     rows_q.append(self.qids[qi])
                     rows_v.append(ids[j])
@@ -113,8 +145,7 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10,
     k = min(n_clusters, n)
     centroids = x[rng.choice(n, size=k, replace=False)]
     for _ in range(n_iter):
-        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = sq_dists(x, centroids).argmin(axis=1)
         for c in range(k):
             members = x[assign == c]
             if len(members):
@@ -131,9 +162,12 @@ class IVFAssign:
         self.vec_col = vec_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch_to_matrix(batch[self.vec_col].to_numpy())
-        d = ((m[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         out = batch.copy()
+        if not len(batch):
+            out["ivf_cell"] = pd.Series([], dtype="int64")
+            return out
+        m = batch_to_matrix(batch[self.vec_col].to_numpy())
+        d = sq_dists(m, self.centroids)
         out["ivf_cell"] = d.argmin(axis=1).astype("int64")
         return out
 
@@ -142,5 +176,5 @@ def probe_cells(query_matrix: np.ndarray, centroids: np.ndarray,
                 nprobe: int) -> np.ndarray:
     """(Q, nprobe) nearest cells per query — the filter pushed to the read."""
     q = np.asarray(query_matrix, dtype=np.float64)
-    d = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    d = sq_dists(q, centroids)
     return np.argsort(d, axis=1, kind="stable")[:, :nprobe]

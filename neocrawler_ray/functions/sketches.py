@@ -266,7 +266,15 @@ def _bloom_bit_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
 
 def bloom_from_hashes(hashes: np.ndarray, m: int = BLOOM_M_DEFAULT,
                       k: int = BLOOM_K_DEFAULT) -> np.ndarray:
-    """Bit array (uint8-packed, m/8 bytes) for pre-hashed uint64 keys."""
+    """Bit array (uint8-packed, m/8 bytes) for pre-hashed uint64 keys.
+
+    ``m`` must be a multiple of 8: positions are taken mod m but the
+    array packs m//8 bytes, and ``bloom_might_contain`` reconstructs
+    m as bits.size·8 — a ragged m either IndexErrors on insert or
+    silently yields FALSE NEGATIVES from the m mismatch, breaking the
+    no-false-negative contract the exact bloom semi-join relies on."""
+    if m % 8 != 0 or m <= 0:
+        raise ValueError(f"bloom m must be a positive multiple of 8, got {m}")
     bits = np.zeros(m // 8, dtype=np.uint8)
     if len(hashes) == 0:
         return bits

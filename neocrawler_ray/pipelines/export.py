@@ -226,9 +226,19 @@ def corpus_from_crawl(extracted_dir: str, workdir: str | None = None):
     ds = ray.data.read_parquet(
         extracted_dir,
         columns=["url", "nav_round", "domain", "valid", "text"])
-    if not (os.path.isdir(doc_dir) and os.listdir(doc_dir)):
+    # _SUCCESS markers gate resume: a merely NON-EMPTY directory can be
+    # a crashed partial write_parquet — resuming from it would silently
+    # pack a truncated corpus (the same atomic-completion discipline as
+    # the per-chunk os.replace above)
+    doc_ok = os.path.join(doc_dir, "_SUCCESS")
+    if not os.path.exists(doc_ok):
+        if os.path.isdir(doc_dir):
+            import shutil
+
+            shutil.rmtree(doc_dir)
         ds.map_batches(shape, batch_format="pandas") \
             .write_parquet(doc_dir)
+        open(doc_ok, "w").close()
 
     # min_tokens gate: crawl text is navigational (no stopword prior)
     kept = co.corpus_clean(workdir, min_tokens=3).to_pandas()
@@ -258,8 +268,16 @@ def corpus_from_crawl(extracted_dir: str, workdir: str | None = None):
         ok[ok] = ks[pos[ok]] == ids[ok]
         return tb.filter(pa.array(ok))
 
-    if not (os.path.isdir(clean_docs) and os.listdir(clean_docs)):
-        ray.data.read_parquet(doc_dir)             .map_batches(keep_only, batch_format="pyarrow")             .write_parquet(clean_docs)
+    clean_ok = os.path.join(clean_docs, "_SUCCESS")
+    if not os.path.exists(clean_ok):
+        if os.path.isdir(clean_docs):
+            import shutil
+
+            shutil.rmtree(clean_docs)
+        ray.data.read_parquet(doc_dir) \
+            .map_batches(keep_only, batch_format="pyarrow") \
+            .write_parquet(clean_docs)
+        open(clean_ok, "w").close()
 
     lang = co.doc_lang_id(clean_dir).to_pandas()
     shards = co.doc_pack_shards(clean_dir)

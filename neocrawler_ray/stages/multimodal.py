@@ -213,9 +213,9 @@ SELECT media_id,
        CAST(LEAST(30000, dur - g * 30000) AS BIGINT) AS seg_ms
 FROM (
   SELECT doc_id AS media_id,
-         CAST(octet_length(encode(text)) * 10 AS BIGINT) AS dur,
+         CAST(octet_length(encode(COALESCE(text, ''))) * 10 AS BIGINT) AS dur,
          unnest(generate_series(0,
-             CAST(GREATEST(1, CEIL(octet_length(encode(text)) * 10 / 30000.0))
+             CAST(GREATEST(1, CEIL(octet_length(encode(COALESCE(text, ''))) * 10 / 30000.0))
                   AS BIGINT) - 1)) AS g
   FROM documents WHERE doc_id % 3 = 1
 )
@@ -223,17 +223,17 @@ FROM (
 
 IMAGE_RESIZE_SQL = """
 SELECT doc_id AS media_id,
-  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
-  CAST(64 + octet_length(encode(text)) % 431 AS BIGINT) AS height,
-  CAST(CASE WHEN (64 + octet_length(encode(text)) % 577)
-                 >= (64 + octet_length(encode(text)) % 431)
+  CAST(64 + octet_length(encode(COALESCE(text, ''))) % 577 AS BIGINT) AS width,
+  CAST(64 + octet_length(encode(COALESCE(text, ''))) % 431 AS BIGINT) AS height,
+  CAST(CASE WHEN (64 + octet_length(encode(COALESCE(text, ''))) % 577)
+                 >= (64 + octet_length(encode(COALESCE(text, ''))) % 431)
        THEN 256
-       ELSE ((64 + octet_length(encode(text)) % 577) * 256)
-            // (64 + octet_length(encode(text)) % 431) END AS BIGINT) AS out_w,
-  CAST(CASE WHEN (64 + octet_length(encode(text)) % 577)
-                 >= (64 + octet_length(encode(text)) % 431)
-       THEN ((64 + octet_length(encode(text)) % 431) * 256)
-            // (64 + octet_length(encode(text)) % 577)
+       ELSE ((64 + octet_length(encode(COALESCE(text, ''))) % 577) * 256)
+            // (64 + octet_length(encode(COALESCE(text, ''))) % 431) END AS BIGINT) AS out_w,
+  CAST(CASE WHEN (64 + octet_length(encode(COALESCE(text, ''))) % 577)
+                 >= (64 + octet_length(encode(COALESCE(text, ''))) % 431)
+       THEN ((64 + octet_length(encode(COALESCE(text, ''))) % 431) * 256)
+            // (64 + octet_length(encode(COALESCE(text, ''))) % 577)
        ELSE 256 END AS BIGINT) AS out_h
 FROM documents WHERE doc_id % 3 = 0
 """.strip()
@@ -242,11 +242,11 @@ FROM documents WHERE doc_id % 3 = 0
 MULTIMODAL_META_SQL = """
 SELECT doc_id AS media_id,
   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
-  CAST(64 + octet_length(encode(text)) % 431 AS BIGINT) AS height,
+  CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+  CAST(64 + octet_length(encode(COALESCE(text, ''))) % 577 AS BIGINT) AS width,
+  CAST(64 + octet_length(encode(COALESCE(text, ''))) % 431 AS BIGINT) AS height,
   CAST(CASE WHEN doc_id % 3 = 2
-       THEN octet_length(encode(text)) // 100 + 1 ELSE 1 END AS BIGINT) AS n_frames
+       THEN octet_length(encode(COALESCE(text, ''))) // 100 + 1 ELSE 1 END AS BIGINT) AS n_frames
 FROM documents
 """.strip()
 
@@ -255,7 +255,7 @@ SELECT media_id, CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx
 FROM (
   SELECT doc_id AS media_id,
     CAST(CASE WHEN doc_id % 3 = 2
-         THEN octet_length(encode(text)) // 100 + 1 ELSE 1 END AS BIGINT) AS n_frames
+         THEN octet_length(encode(COALESCE(text, ''))) // 100 + 1 ELSE 1 END AS BIGINT) AS n_frames
   FROM documents
   WHERE doc_id % 3 = 2
 )

@@ -52,7 +52,11 @@ class CuckooFilter:
         if isinstance(item, str):
             item = item.encode()
         h = hashlib.md5(item).digest()
-        fp = np.uint16(int.from_bytes(h[0:2], "little") | 1)  # never 0
+        # never-0 via REMAP onto [1, 0xFFFF] — the old `| 1` confined
+        # fingerprints to the 32,768 odd values, doubling the filter's
+        # false-positive rate (each fp is a URL silently never crawled
+        # at the 10^10 design point)
+        fp = np.uint16((int.from_bytes(h[0:2], "little") % 0xFFFF) + 1)
         i1 = int.from_bytes(h[2:10], "little") & int(self.mask)
         return fp, i1
 

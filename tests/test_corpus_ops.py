@@ -3699,3 +3699,29 @@ def test_session_ops_on_empty_tables(ray_session, tmp_path):
     assert len(chs) == 1 and int(chs["chi2_e6"].iloc[0]) == 0
     with _pt.raises(ValueError, match="statistics|row groups"):
         an.events_daily_counts_incremental(d, workdir=str(tmp_path / "w"))
+
+
+def test_multimodal_meta_null_text_matches_sql(ray_session, tmp_path):
+    """A NULL-text document must agree with the oracle (COALESCE on the
+    SQL side mirrors the Python fillna(''))."""
+    import duckdb
+
+    from neocrawler_ray.stages import multimodal as mm
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["abc", None, "defgh", None],
+        "lang": ["en"] * 4, "source": ["s"] * 4,
+        "n_chars": [3, 0, 5, 0]})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = mm.multimodal_decode_meta(str(tmp_path))
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"'{tmp_path}/documents.parquet'")
+    exp = c.execute(mm.MULTIMODAL_META_SQL).fetchdf()
+    a = got.sort_values("media_id").reset_index(drop=True)
+    b = (exp[a.columns].sort_values("media_id").reset_index(drop=True)
+         .astype({col: a[col].dtype for col in a.columns}))
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a.loc[a["media_id"] == 1, "n_bytes"].iloc[0]) == 0

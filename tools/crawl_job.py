@@ -62,8 +62,12 @@ def main() -> int:
     from neocrawler_ray.sources.pages_gen import corpus_for_sf
 
     corpus = corpus_for_sf(args.sf_dir, page_weight=args.page_weight)
+    # the default out dir keys on page_weight too: --resume with a
+    # different weight must land in a fresh dir, never restore shard
+    # state built against a different corpus
     out = args.out or os.path.join(
-        "/tmp", "nc_job_" + args.sf_dir.strip("/").replace("/", "_"))
+        "/tmp", "nc_job_" + args.sf_dir.strip("/").replace("/", "_")
+        + f"_w{args.page_weight}")
     settings = CrawlSettings(
         schedule_quantity_limitation=20000,
         politeness_per_host_per_wave=50000,

@@ -89,8 +89,11 @@ def text_stats_frame(texts: pd.Series) -> pd.DataFrame:
 
 def text_stats_sql(table: str = "documents", text_col: str = "text",
                    id_col: str = "doc_id") -> str:
-    """The DuckDB mirror of :func:`text_stats_frame` (same patterns)."""
+    """The DuckDB mirror of :func:`text_stats_frame` (same patterns).
+    NULL text mirrors the Python ``fillna('')`` — without COALESCE every
+    count would be NULL and quality_ok NULL instead of 0/False."""
     stop_sql = STOPWORD_PATTERN
+    text_col = f"COALESCE({text_col}, '')"
     return f"""
 SELECT {id_col},
   CAST(length({text_col}) AS BIGINT) AS n_chars,
@@ -130,6 +133,9 @@ def lang_id_markers(texts: pd.Series) -> pd.Series:
 
 def lang_id_markers_sql(table: str = "documents", text_col: str = "text",
                         id_col: str = "doc_id") -> str:
+    # NULL text scores NULL in every CASE arm and would fall through to
+    # the ELSE ('zh'); the Python side fillna('') says 'und' — COALESCE
+    text_col = f"COALESCE({text_col}, '')"
     exprs = [
         f"len(regexp_extract_all({text_col}, '{pat}'))" for _, pat in LANG_MARKERS
     ]

@@ -650,6 +650,92 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.7,
     )
 
 
+def _attach_pair_payloads(cands, payloads, payload_type,
+                          num_parts: int):
+    """Candidate-pair × per-doc payload co-grouped join — the shared
+    machinery of every verify-stage near-dup op (minhash verify, edit
+    distance, prefix join):
+
+    1. explode each (doc_a, doc_b) candidate into two
+       (doc_id, pair_key, side) rows;
+    2. union with the per-doc payload rows and hash-partition by
+       doc_id; inside each partition dedupe pair sides (a pair found by
+       k bands / k shingle partitions arrives k times — dedupe BEFORE
+       attaching so the pair_key exchange never ships a payload k
+       times) and forward each side's payload by sorted binary search
+       (no per-partition Python dict — the round-2 fetch-index shape).
+
+    ``cands``: Dataset with int64 columns doc_a, doc_b.
+    ``payloads``: Dataset with columns (doc_id int64,
+    payload ``payload_type``) — one row per doc, payload computed AT
+    THE SCAN so nothing re-tokenizes downstream.
+    Returns Dataset[(pair_key, side, payload)] ready for a
+    pair_key-keyed verify (callers still drop_duplicates per side:
+    a pair's copies may arrive via several upstream partitions)."""
+    empty_payload = b"" if payload_type == pa.binary() else ""
+    union_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pair_key", pa.string()),
+         ("side", pa.int64()), ("payload", payload_type)])
+    attach_schema = pa.schema(
+        [("pair_key", pa.string()), ("side", pa.int64()),
+         ("payload", payload_type)])
+    as_bytes = payload_type == pa.binary()
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        pk = (df["doc_a"].astype(str) + ":"
+              + df["doc_b"].astype(str)).tolist()
+        return pa.Table.from_pydict(
+            {"doc_id": df["doc_a"].astype("int64").tolist()
+             + df["doc_b"].astype("int64").tolist(),
+             "pair_key": pk + pk,
+             "side": [0] * len(df) + [1] * len(df),
+             "payload": [empty_payload] * (2 * len(df))},
+            schema=union_schema)
+
+    def payload_rows(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": df["doc_id"].astype("int64").tolist(),
+             "pair_key": [""] * len(df),
+             "side": [-1] * len(df),
+             "payload": df["payload"].tolist()},
+            schema=union_schema)
+
+    unioned = (cands.map_batches(explode, batch_format="pandas")
+               .union(payloads.map_batches(payload_rows,
+                                           batch_format="pandas")))
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        pr = df[df["side"] >= 0]
+        if pr.empty:
+            return attach_schema.empty_table()
+        pr = pr.drop_duplicates(["pair_key", "side"])
+        sh = df[df["side"] < 0]
+        sh_ids = sh["doc_id"].to_numpy(dtype="int64")
+        order = np.argsort(sh_ids, kind="stable")
+        sh_ids = sh_ids[order]
+        sh_pay = sh["payload"].to_numpy()[order]
+        q = pr["doc_id"].to_numpy(dtype="int64")
+        pos = np.searchsorted(sh_ids, q)
+        ok = pos < len(sh_ids)
+        ok[ok] = sh_ids[pos[ok]] == q[ok]
+        if as_bytes:
+            att = [bytes(sh_pay[p]) if o else b""
+                   for p, o in zip(pos, ok)]
+        else:
+            att = [str(sh_pay[p]) if o else ""
+                   for p, o in zip(pos, ok)]
+        return pa.Table.from_pydict(
+            {"pair_key": pr["pair_key"].tolist(),
+             "side": pr["side"].tolist(),
+             "payload": att},
+            schema=attach_schema)
+
+    return _hash_grouped(unioned, ["doc_id"], attach,
+                         num_parts=num_parts)
+
+
 def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
                            jaccard_threshold: float = 0.8) -> pd.DataFrame:
     """LSH candidates verified with exact n-gram Jaccard — DISTRIBUTED.
@@ -679,26 +765,6 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
     # here (round-3 advice: the op's cost was exchange-count-bound)
     cands = dedup_minhash_pairs(sf_dir, lsh_threshold, collapse=False)
 
-    # explicit Arrow schemas: empty pandas object columns would map to
-    # null type and break union / emit schema-change warnings
-    union_schema = pa.schema(
-        [("doc_id", pa.int64()), ("pair_key", pa.string()),
-         ("side", pa.int64()), ("payload", pa.binary())])
-    attach_schema = pa.schema(
-        [("pair_key", pa.string()), ("side", pa.int64()),
-         ("payload", pa.binary())])
-
-    def explode(df: pd.DataFrame) -> pa.Table:
-        pk = (df["doc_a"].astype(str) + ":" + df["doc_b"].astype(str)).tolist()
-        return pa.Table.from_pydict(
-            {"doc_id": df["doc_a"].tolist() + df["doc_b"].tolist(),
-             "pair_key": pk + pk,
-             "side": [0] * len(df) + [1] * len(df),
-             "payload": [b""] * (2 * len(df))},
-            schema=union_schema)
-
-    sides = cands.map_batches(explode, batch_format="pandas")
-
     # small blocks: shingle-hashing is the verify path's CPU stage —
     # the default row-aware block count gives ONE task at small sf
     docs = _read(sf_dir, "documents", ["doc_id", "text"],
@@ -710,49 +776,19 @@ def dedup_minhash_verified(sf_dir: str, lsh_threshold: float = 0.7,
         # where the text already is
         return pa.Table.from_pydict(
             {"doc_id": df["doc_id"].astype("int64").tolist(),
-             "pair_key": [""] * len(df),
-             "side": [-1] * len(df),
              "payload": [dd.shingle_hashes(str(t)).tobytes()
                          for t in df["text"].fillna("")]},
-            schema=union_schema)
-
-    unioned = sides.union(docs.map_batches(shingle_rows, batch_format="pandas"))
-
-    def attach_shingles(df: pd.DataFrame) -> pa.Table:
-        pr = df[df["side"] >= 0]
-        if pr.empty:
-            return attach_schema.empty_table()
-        # collapse=False upstream: a pair found by k bands arrives k
-        # times, and all copies of a (pair_key, side) co-locate here (the
-        # exchange keys on doc_id) — dedupe BEFORE attaching payloads so
-        # the pair_key exchange doesn't ship each shingle set k times
-        pr = pr.drop_duplicates(["pair_key", "side"])
-        sh = df[df["side"] < 0]
-        # sorted-array merge instead of a per-partition {doc_id: payload}
-        # Python dict (O(partition) heap + build per task — the same
-        # shape as the round-2 fetch index, flagged in the r3 review)
-        sh_ids = sh["doc_id"].to_numpy(dtype="int64")
-        order = np.argsort(sh_ids, kind="stable")
-        sh_ids = sh_ids[order]
-        sh_pay = sh["payload"].to_numpy()[order]
-        q = pr["doc_id"].to_numpy(dtype="int64")
-        pos = np.searchsorted(sh_ids, q)
-        ok = pos < len(sh_ids)
-        ok[ok] = sh_ids[pos[ok]] == q[ok]
-        return pa.Table.from_pydict(
-            {"pair_key": pr["pair_key"].tolist(),
-             "side": pr["side"].tolist(),
-             "payload": [bytes(sh_pay[p]) if o else b""
-                         for p, o in zip(pos, ok)]},
-            schema=attach_schema)
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("payload", pa.binary())]))
 
     # verify exchanges move (doc_id → payload) rows + candidate-volume
     # pair rows — far fewer than corpus shingle rows, so size the
     # all-to-all to that, not to corpus row count (the shingle CPU runs
     # before the exchange, parallel by block count)
     parts = _parts_for(sf_dir, "documents", rows_per_part=600, lo=8)
-    co_located = _hash_grouped(unioned, ["doc_id"], attach_shingles,
-                               num_parts=parts)
+    co_located = _attach_pair_payloads(
+        cands, docs.map_batches(shingle_rows, batch_format="pandas"),
+        pa.binary(), num_parts=parts)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         # a pair found by k bands carries k duplicate rows per side
@@ -1252,13 +1288,6 @@ def doc_dup_spans(sf_dir: str, w: int = DUP_SPAN_W) -> pd.DataFrame:
     def span_sets(texts) -> list[np.ndarray]:
         return [dd.span_hashes(t, w) for t in texts]
 
-    def totals(df: pd.DataFrame) -> pd.DataFrame:
-        sets = span_sets(df["text"].fillna(""))
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].astype("int64"),
-             "n_spans": pd.Series([len(s) for s in sets], dtype="int64",
-                                  index=df.index)})
-
     def explode(df: pd.DataFrame) -> pa.Table:
         sets = span_sets(df["text"].fillna(""))
         lens = np.array([len(s) for s in sets], dtype=np.int64)
@@ -1271,26 +1300,44 @@ def doc_dup_spans(sf_dir: str, w: int = DUP_SPAN_W) -> pd.DataFrame:
                               ("doc_id", pa.int64())]))
 
     def dup_partial(df: pd.DataFrame) -> pd.DataFrame:
-        # rows are unique (span, doc) ⇒ per-span row count == doc count
+        # rows are unique (span, doc) ⇒ per-span row count == doc count.
+        # The per-doc TOTAL rides the same exchange: a doc's span rows
+        # are scattered over span partitions, but their per-partition
+        # counts SUM to n_spans — so the tokenize kernel runs exactly
+        # once over the corpus (a second totals scan used to re-run it).
         cnt = df.groupby("span")["doc_id"].transform("size")
-        dup = df[cnt >= 2]
-        out = dup.groupby("doc_id", as_index=False).size()
-        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
-                             "dup_partial": out["size"].astype("int64")})
+        tot = (df.groupby("doc_id", as_index=False).size()
+               .rename(columns={"size": "tot_partial"}))
+        dup = (df[cnt >= 2].groupby("doc_id", as_index=False).size()
+               .rename(columns={"size": "dup_partial"}))
+        out = tot.merge(dup, on="doc_id", how="left")
+        out["dup_partial"] = out["dup_partial"].fillna(0)
+        return out.astype({"doc_id": "int64", "tot_partial": "int64",
+                           "dup_partial": "int64"})
 
     def dup_sum(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("doc_id", as_index=False)["dup_partial"].sum()
+        g = df.groupby("doc_id", as_index=False)[
+            ["dup_partial", "tot_partial"]].sum()
         return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
-                             "dup_spans": g["dup_partial"].astype("int64")})
+                             "dup_spans": g["dup_partial"].astype("int64"),
+                             "n_spans": g["tot_partial"].astype("int64")})
 
     parts = _parts_for(sf_dir, "documents", rows_per_part=500)
     partials = _hash_grouped(ds.map_batches(explode, batch_format="pandas"),
                              ["span"], dup_partial, num_parts=parts)
     dups = _hash_grouped(partials, ["doc_id"], dup_sum,
                          num_parts=max(4, parts // 4)).to_pandas()
-    tot = ds.map_batches(totals, batch_format="pandas").to_pandas()
+    if "doc_id" not in dups.columns:  # all-empty-block schema loss
+        dups = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "dup_spans": pd.Series([], dtype="int64"),
+                             "n_spans": pd.Series([], dtype="int64")})
+    # zero-span docs (< w tokens) never enter the explode: a pruned
+    # doc_id-only scan (no text decode) supplies the left side
+    tot = (_read(sf_dir, "documents", ["doc_id"]).to_pandas()
+           .astype({"doc_id": "int64"}))
 
     out = tot.merge(dups, on="doc_id", how="left")
+    out["n_spans"] = out["n_spans"].fillna(0).astype("int64")
     out["dup_spans"] = out["dup_spans"].fillna(0).astype("int64")
     out["has_cross_dup"] = (out["dup_spans"] > 0).astype("int64")
     return (out.sort_values("doc_id", kind="mergesort")
@@ -2032,7 +2079,17 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                 finite = np.isfinite(sims)
                 ids_f, sims_f = ids[finite], sims[finite]
                 kk = min(self.k, len(ids_f))
-                idx = np.argpartition(-sims_f, kk - 1)[:kk] if kk else []
+                if kk:
+                    # same boundary-tie rule as BruteTopK: everything at
+                    # or above the k-th sim, ordered (sim desc, id asc),
+                    # then cut — a bare argpartition drops tied
+                    # candidates arbitrarily per block
+                    kth = -np.partition(-sims_f, kk - 1)[kk - 1]
+                    cand = np.flatnonzero(sims_f >= kth)
+                    order = np.lexsort((ids_f[cand], -sims_f[cand]))
+                    idx = cand[order][:kk]
+                else:
+                    idx = []
                 outs.append(pd.DataFrame(
                     {"qid": pd.Series([self.qids[qi]] * len(idx), dtype="int64"),
                      "vec_id": pd.Series(ids_f[idx], dtype="int64"),
@@ -3003,64 +3060,20 @@ def dedup_edit_pairs(sf_dir: str, k: int = EDIT_K,
     cands = _hash_grouped(docs.map_batches(emit_keys, batch_format="pandas"),
                           ["key"], cand_pairs, num_parts=parts)
 
-    # attach texts: explode pairs to (pair_key, side, doc_id) rows,
-    # co-partition with (doc_id, text) rows, then verify per pair_key
-    union_schema = pa.schema([("doc_id", pa.int64()),
-                              ("pair_key", pa.string()),
-                              ("side", pa.int64()),
-                              ("payload", pa.string())])
-
-    def explode(df: pd.DataFrame) -> pa.Table:
-        a = df["doc_a"].astype("int64")
-        b = df["doc_b"].astype("int64")
-        pk = [f"{x}:{y}" for x, y in zip(a, b)]
-        return pa.Table.from_pydict(
-            {"doc_id": list(a) + list(b),
-             "pair_key": pk + pk,
-             "side": [0] * len(df) + [1] * len(df),
-             "payload": [""] * (2 * len(df))},
-            schema=union_schema)
-
+    # attach texts via the shared pair-payload join: explode pairs to
+    # (pair_key, side, doc_id) rows, co-partition with (doc_id, text)
+    # rows, then verify per pair_key
     def doc_rows(df: pd.DataFrame) -> pa.Table:
         df = df[df["n_chars"] >= min_chars]
         return pa.Table.from_pydict(
             {"doc_id": df["doc_id"].astype("int64").tolist(),
-             "pair_key": [""] * len(df),
-             "side": [-1] * len(df),
              "payload": [str(t) for t in df["text"].fillna("")]},
-            schema=union_schema)
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("payload", pa.string())]))
 
-    unioned = (cands.map_batches(explode, batch_format="pandas")
-               .union(docs.map_batches(doc_rows, batch_format="pandas")))
-
-    attach_schema = pa.schema([("pair_key", pa.string()),
-                               ("side", pa.int64()),
-                               ("payload", pa.string())])
-
-    def attach_text(df: pd.DataFrame) -> pa.Table:
-        import numpy as np
-
-        pr = df[df["side"] >= 0]
-        if pr.empty:
-            return attach_schema.empty_table()
-        pr = pr.drop_duplicates(["pair_key", "side"])
-        sh = df[df["side"] < 0]
-        sh_ids = sh["doc_id"].to_numpy(dtype="int64")
-        order = np.argsort(sh_ids, kind="stable")
-        sh_ids = sh_ids[order]
-        sh_pay = sh["payload"].to_numpy()[order]
-        q = pr["doc_id"].to_numpy(dtype="int64")
-        pos = np.searchsorted(sh_ids, q)
-        ok = pos < len(sh_ids)
-        ok[ok] = sh_ids[pos[ok]] == q[ok]
-        return pa.Table.from_pydict(
-            {"pair_key": pr["pair_key"].tolist(),
-             "side": pr["side"].tolist(),
-             "payload": [str(sh_pay[p]) if o else ""
-                         for p, o in zip(pos, ok)]},
-            schema=attach_schema)
-
-    co = _hash_grouped(unioned, ["doc_id"], attach_text, num_parts=parts)
+    co = _attach_pair_payloads(
+        cands, docs.map_batches(doc_rows, batch_format="pandas"),
+        pa.string(), num_parts=parts)
 
     out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("dist", pa.int64())])
@@ -3562,8 +3575,15 @@ def table_profile(sf_dir: str, table: str = "documents",
         for i, c in enumerate(cols):
             s = df[c]
             mask = s.notna()
+            vals = s[mask]
+            if vals.dtype == object and len(vals) and isinstance(
+                    vals.iloc[0], (list, np.ndarray, tuple)):
+                # list-typed columns (embeddings): hash a stable byte
+                # repr — hash_pandas_object raises on unhashable objects
+                vals = vals.map(
+                    lambda v: np.asarray(v, dtype=np.float64).tobytes())
             h = pd.util.hash_pandas_object(
-                s[mask], index=False).to_numpy(dtype="uint64")
+                vals, index=False).to_numpy(dtype="uint64")
             uh = np.unique(h).view("int64")
             out_col.append(np.full(len(uh), i, dtype="int64"))
             out_h.append(uh)
@@ -3659,13 +3679,6 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
     docs = _read(sf_dir, "documents", ["doc_id", "text"],
                  rows_per_block=256)
 
-    union_schema = pa.schema(
-        [("doc_id", pa.int64()), ("pair_key", pa.string()),
-         ("side", pa.int64()), ("payload", pa.binary())])
-    attach_schema = pa.schema(
-        [("pair_key", pa.string()), ("side", pa.int64()),
-         ("payload", pa.binary())])
-
     # ONE text scan emits BOTH row kinds — prefix postings (kind 0)
     # and the full sorted shingle-hash payload (kind 1) the verify
     # stage needs — so the expensive tokenize+hash runs once per doc,
@@ -3751,55 +3764,14 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
         scan_ds.map_batches(only_postings, batch_format="pyarrow"),
         ["shingle"], cand_pairs, num_parts=num_parts or 32)
 
-    def explode(df: pd.DataFrame) -> pa.Table:
-        pk = (df["doc_a"].astype(str) + ":"
-              + df["doc_b"].astype(str)).tolist()
-        return pa.Table.from_pydict(
-            {"doc_id": df["doc_a"].tolist() + df["doc_b"].tolist(),
-             "pair_key": pk + pk,
-             "side": [0] * len(df) + [1] * len(df),
-             "payload": [b""] * (2 * len(df))},
-            schema=union_schema)
-
     def payload_rows(tb: pa.Table) -> pa.Table:
         p = tb.filter(pc.equal(tb.column("kind"), 1))
-        return pa.Table.from_pydict(
-            {"doc_id": p.column("doc_id").to_pylist(),
-             "pair_key": [""] * len(p),
-             "side": [-1] * len(p),
-             "payload": p.column("payload").to_pylist()},
-            schema=union_schema)
-
-    unioned = (cands.map_batches(explode, batch_format="pandas")
-               .union(scan_ds.map_batches(payload_rows,
-                                          batch_format="pyarrow")))
-
-    def attach(df: pd.DataFrame) -> pa.Table:
-        pr = df[df["side"] >= 0]
-        if pr.empty:
-            return attach_schema.empty_table()
-        # the same pair can arrive from several shingle partitions —
-        # dedupe before shipping payloads
-        pr = pr.drop_duplicates(["pair_key", "side"])
-        sh = df[df["side"] < 0]
-        sh_ids = sh["doc_id"].to_numpy(dtype="int64")
-        order = np.argsort(sh_ids, kind="stable")
-        sh_ids = sh_ids[order]
-        sh_pay = sh["payload"].to_numpy()[order]
-        q = pr["doc_id"].to_numpy(dtype="int64")
-        pos = np.searchsorted(sh_ids, q)
-        ok = pos < len(sh_ids)
-        ok[ok] = sh_ids[pos[ok]] == q[ok]
-        return pa.Table.from_pydict(
-            {"pair_key": pr["pair_key"].tolist(),
-             "side": pr["side"].tolist(),
-             "payload": [bytes(sh_pay[p]) if o else b""
-                         for p, o in zip(pos, ok)]},
-            schema=attach_schema)
+        return p.select(["doc_id", "payload"])
 
     parts = _parts_for(sf_dir, "documents", rows_per_part=600, lo=8)
-    co_located = _hash_grouped(unioned, ["doc_id"], attach,
-                               num_parts=parts)
+    co_located = _attach_pair_payloads(
+        cands, scan_ds.map_batches(payload_rows, batch_format="pyarrow"),
+        pa.binary(), num_parts=parts)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["pair_key", "side"])

@@ -92,6 +92,13 @@ DOC_EXTRACT_SQL = """
 SELECT doc_id,
   'doc ' || CAST(doc_id AS VARCHAR) AS title,
   trim(text) AS text,
-  regexp_extract(source, '([a-z0-9]+)', 1) AS source_re
+  regexp_extract('http://docs.example/view?id=' || CAST(doc_id AS VARCHAR)
+                 || '&src=' || source,
+                 'src=([a-z0-9]+)', 1) AS source_re
 FROM documents
 """.strip()
+# the oracle rebuilds the SAME url the corpus feeds the rule engine and
+# applies the rule's own regex to it — a bare regexp_extract(source, ...)
+# would find the first alnum run ANYWHERE in the value, silently
+# diverging from the M10 rule semantics for sources that don't start
+# with [a-z0-9]

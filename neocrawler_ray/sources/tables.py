@@ -120,4 +120,6 @@ def read_table(sf_dir: str, table: str, columns: list[str],
         ds = ray.data.read_json(files, override_num_blocks=blocks)
     else:
         ds = ray.data.read_csv(files, override_num_blocks=blocks)
-    return ds.select_columns(columns)
+    # columns=None means "all columns" (profiler scans); select_columns
+    # rejects None
+    return ds if columns is None else ds.select_columns(columns)

@@ -162,6 +162,75 @@ def _q_corpus_from_crawl(sf_dir: str):
         workdir=os.path.join(out, "bridge_corpus"))
 
 
+def _q_crawl_resume_equivalence(sf_dir: str):
+    """north_rule "resumes exactly" as a driver-visible artifact: run the
+    same crawl (a) uninterrupted (the cached run the other crawl queries
+    share) and (b) killed by a wave budget at wave 2, then restarted with
+    ``resume=True`` from the durable per-shard checkpoint.  The two runs'
+    ``extracted`` / ``schedule`` / ``url_seen`` artifacts must be
+    value-identical; equality is computed internally (sorted-table md5)
+    and ASSERTED — a divergence raises instead of returning a
+    green-looking row.  Rows-only for the driver like the rest of the
+    crawl family (the synthetic pages corpus is not a registered view).
+    Reference analog: scheduler/spider restart against durable
+    redis/ssdb state (scheduler/index.js:124-157)."""
+    import hashlib
+    import shutil as _shutil
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from neocrawler_ray.config import CrawlSettings
+    from neocrawler_ray.pipelines.crawl import CrawlJob
+    from neocrawler_ray.sources.pages_gen import corpus_for_sf
+
+    base = _crawl_out_dir(sf_dir)  # uninterrupted run (cached)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_RUN_CACHE_ROOT, tag + "_resumed")
+    marker = os.path.join(out, "resume_equiv_done.json")
+    if not os.path.exists(marker):
+        _shutil.rmtree(out, ignore_errors=True)
+        corpus = corpus_for_sf(sf_dir)
+        settings = CrawlSettings(
+            schedule_quantity_limitation=20000,
+            politeness_per_host_per_wave=2000,
+            num_frontier_shards=8,
+        )
+        # "kill" after wave 2's checkpoint is durable, then resume: the
+        # restarted job restores frontier queues + cuckoo seen-set +
+        # first_schedule clocks and crawls only the remainder
+        CrawlJob(corpus, settings, out).run(max_waves=2)
+        CrawlJob(corpus, settings, out, resume=True).run()
+        with open(marker, "w") as f:
+            json.dump({"interrupted_at_wave": 2}, f)
+
+    def _sig(d: str, sub: str) -> tuple[int, str]:
+        # partitioning=None: extracted/ is hive-laid-out by wave= but the
+        # files already carry the wave column inline — don't re-infer it
+        t = pads.dataset(os.path.join(d, sub), format="parquet",
+                         partitioning=None).to_table().to_pandas()
+        # repr-cast before the all-columns sort: binary/list cells sort
+        # deterministically as their repr (astype(str) would choke on
+        # non-utf8 content_bin), making tie order run-invariant
+        t = t[sorted(t.columns)]
+        t = t.apply(lambda col: col.map(repr)
+                    if col.dtype == object else col.astype(str))
+        t = t.sort_values(list(t.columns)).reset_index(drop=True)
+        return len(t), hashlib.md5(
+            t.to_csv(index=False).encode()).hexdigest()
+
+    rows = []
+    for sub in ("extracted", "schedule", "url_seen"):
+        n0, h0 = _sig(base, sub)
+        n1, h1 = _sig(out, sub)
+        assert (n0, h0) == (n1, h1), (
+            f"resumed run diverges from uninterrupted run in {sub}/: "
+            f"{(n0, h0)} != {(n1, h1)}")
+        rows.append({"artifact": sub, "n_rows": n0, "content_md5": h0,
+                     "resumed_equal": True})
+    return pd.DataFrame(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.pipelines import analytics as an
     from neocrawler_ray.pipelines import corpus_ops as co
@@ -169,174 +238,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neocrawler_ray.stages import multimodal as mm
 
     # NOTE (driver contract): the correctness gate checks at most the
-    # FIRST 50 entries of this dict, and the repo now carries 134
-    # oracle_sql()-backed queries — more than two rounds' gates can hold.
-    # Order is therefore a ROTATION policy, derived from the committed
-    # CORRECTNESS_r01/r02/r03 artifacts (the only driver rows that
-    # exist): the oracle-backed entries with NO green row in any of
-    # them come first (operators new this round + those that earlier
-    # caps truncated); never-checked entries past the 50-row window
-    # are first in line for round 5's window.  Directly after the
-    # cap sit the entries last checked in round 2 (q6_revenue,
-    # revenue_by_nation, top_customers), then the round-3-green
-    # re-checks.  The oracle-backed entries placed past the cap were ALL
-    # green in a previous round's CORRECTNESS artifact AND stay green
-    # in tools/check_correctness.py at sf0.01 (the committed
-    # CORRECTNESS_LOCAL_r04.json records the full gate); cumulatively
-    # every oracle-backed operator has a driver hard-signal row in some
-    # round.  The tail keeps the rows-only crawl family (their real
-    # parity is the pytest e2e suite vs the sequential oracle) and the
-    # structurally-no-oracle sketch/LSH ops (planted-dup / recall /
-    # tolerance pytest coverage).
+    # FIRST 50 entries of this dict, and the repo carries 136
+    # oracle_sql()-backed queries — more than one round's gate can hold.
+    # Order is therefore a ROTATION policy derived from the committed
+    # CORRECTNESS_r01-r04 artifacts (the only driver rows that exist).
+    # Round-5 window: cross-referencing all four artifacts, exactly 46
+    # oracle-backed entries had NEVER received a driver row (they sat
+    # past earlier caps while each round front-loaded its new
+    # operators); they fill positions 1-46 below, followed by the new
+    # crawl_resume_equivalence artifact (47) and the three stalest
+    # round-2-green re-checks (48-50).  New query registrations are
+    # FROZEN behind this window until it lands.  Entries past the cap
+    # were green in a previous round's driver artifact (round noted per
+    # block) AND stay green in tools/check_correctness.py at sf0.01
+    # (committed as CORRECTNESS_LOCAL_r05.json).  NOT every
+    # oracle-backed operator has a driver row yet — that is exactly the
+    # debt this window burns down; rounds 1-4 covered 103 of 151.  The
+    # tail keeps the rows-only crawl family (their real parity is the
+    # pytest e2e suite vs the sequential oracle) and the structurally
+    # no-oracle sketch/LSH ops (planted-dup / recall / tolerance
+    # pytest coverage).
     return {
-        # ---- never driver-checked: new this round ----
-        # sample-split range-exchange total sort with exact global
-        # ROW_NUMBER (the ds.sort scale path)
-        "orders_global_sort": an.orders_global_sort,
-        # time-bounded stream-stream pair self-join (bucket replication)
-        "events_pair_window": an.events_pair_window,
-        # Z-order (Morton) multi-column layout keys
-        "orders_zorder": an.orders_zorder,
-        # Tukey-fence outlier detection (two-pass dependent statistic)
-        "events_value_outliers": an.events_value_outliers,
-        # 2x2 chi-square A/B significance test (exact scaled integers)
-        "events_ab_chisq": an.events_ab_chisq,
-        # incremental view maintenance: checkpointed base + pushed-down
-        # delta scan, merged answer-sized (same oracle as the full op)
-        "events_daily_counts_incremental":
-            an.events_daily_counts_incremental,
-        # per-user time-weighted mean (step-function integral, big-int
-        # numerators)
-        "events_time_weighted_avg": an.events_time_weighted_avg,
-        # holistic aggregate over high-cardinality groups (exact median)
-        "events_user_median": an.events_user_median,
-        # windowed exact COUNT(DISTINCT) via triple-hash dedupe exchange
-        "events_window_distinct": an.events_window_distinct,
-        # TPC-H suite completion (shapes adapted to the testdata's
-        # column subset — see each docstring): correlated-min join-back,
-        # nation-pair OR join, conditional ratio, two-key profit rollup,
-        # group-vs-global HAVING, lateness dual-count, argmax-of-
-        # aggregate, grouped distinct-count, share-threshold semi-join,
-        # unique-max-achiever exists chain, correlated-avg + NOT EXISTS
-        "q2_min_price_supplier": an.q2_min_price_supplier,
-        "q7_volume_shipping": an.q7_volume_shipping,
-        "q8_market_share": an.q8_market_share,
-        "q9_product_profit": an.q9_product_profit,
-        "q11_important_parts": an.q11_important_parts,
-        "q12_shipping_priority": an.q12_shipping_priority,
-        "q15_top_supplier": an.q15_top_supplier,
-        "q16_supplier_diversity": an.q16_supplier_diversity,
-        "q20_dominant_suppliers": an.q20_dominant_suppliers,
-        "q21_sole_late_supplier": an.q21_sole_late_supplier,
-        "q22_idle_rich_customers": an.q22_idle_rich_customers,
-        # per-doc lexical repetition quality signals (pure map stage)
-        "doc_word_repetition": co.doc_word_repetition,
-        # TPC-H Q13's second aggregate level (histogram OF an outer-join
-        # aggregate) and the RANK/DENSE_RANK window pair
-        "order_count_distribution": an.order_count_distribution,
-        "events_user_rank": an.events_user_rank,
-        # event-time streaming windows: aligned tumbling grid + 2-hop
-        # overlapping (sliding) windows via map-stage replication
-        "events_tumbling_counts": an.events_tumbling_counts,
-        "events_hopping_counts": an.events_hopping_counts,
-        # token-budget shard packing (distributed parallel prefix sum)
-        "doc_pack_shards": co.doc_pack_shards,
-        # ExactSubstr-style duplicated-span gate (Lee et al. 2022)
-        "doc_dup_spans": co.doc_dup_spans,
-        # C4-style line-level dedup (keep global-first occurrence,
-        # order-sensitive reassembly signature; Raffel et al. 2020)
-        "corpus_line_dedup": co.corpus_line_dedup,
-        # whale-group exact ranking (value-range buckets + offset
-        # ladder) — byte-identical to events_user_rank, same oracle
-        "events_user_rank_bucketed": an.events_user_rank_bucketed,
-        # CUBE grain set (rollup + the (ALL, prio) slice), distribution
-        # windows (PERCENT_RANK/CUME_DIST), and the INTERSECT/EXCEPT
-        # set-operator pair over one user-hash flags exchange
-        "revenue_cube": an.revenue_cube,
-        "events_percent_rank": an.events_percent_rank,
-        "events_user_days_intersect": an.events_user_days_intersect,
-        "events_user_days_except": an.events_user_days_except,
-        # fixed-point PageRank (exact int64 masses; CTE-chain oracle)
-        "graph_pagerank": an.graph_pagerank,
-        # degree-oriented exact triangle count (wedge-edge join)
-        "graph_triangles": an.graph_triangles,
-        # Pass-Join edit-distance similarity join (banded-DP verify)
-        "dedup_edit_pairs": co.dedup_edit_pairs,
-        # SemDeDup within-cluster semantic near-dup pruning
-        "dedup_semantic": co.dedup_semantic,
-        # global ORDER BY row_number (range buckets + offset ladder)
-        "doc_global_rank": co.doc_global_rank,
-        # interval-overlap counting over sessions (rank identity — no
-        # pair emission; value-bucket exchange + answer-sized ladder)
-        "events_session_overlap": an.events_session_overlap,
-        # streaming watermark / late-data classifier (global exclusive
-        # prefix-max over a deterministic md5-jittered arrival order)
-        "events_late_arrivals": an.events_late_arrivals,
-        # multi-source BFS hop distance (frontier-expansion rounds;
-        # recursive-CTE oracle) — the traversal member of the graph family
-        "graph_bfs_hops": an.graph_bfs_hops,
-        # end-to-end exact n-gram dedup: pairs → distributed CC → keep
-        # min-id rep; first oracle drive of connected_components_ds
-        "dedup_ngram_keep": co.dedup_ngram_keep,
-        # grouped OLS trend from 5 exact sufficient statistics (one
-        # combiner pass, answer-sized big-int reduce; HUGEINT oracle)
-        "events_value_trend": an.events_value_trend,
-        # 2-D skyline / Pareto frontier (dominance filter with a
-        # perfect local-skyline combiner; quadratic NOT EXISTS oracle)
-        "orders_skyline": an.orders_skyline,
-        # per-column data-quality profile: n_rows/n_null/exact distinct
-        # in ONE pass (hash-partitioned unique counting)
-        "documents_profile": co.table_profile,
-        # PPJoin prefix-filtered exact similarity join at t=0.8 —
-        # ~20% of postings indexed, same answer as the full join
-        "dedup_ngram_pairs_prefix": co.dedup_ngram_pairs_prefix,
-        # CUSUM change-point scan (cross-multiplied exact ints, all
-        # argmax ties flagged; HUGEINT window oracle)
-        "events_daily_cusum": an.events_daily_cusum,
-        # declared-vs-detected language confusion matrix (corpus QA)
-        "doc_lang_confusion": co.doc_lang_confusion,
-        # PMI collocation mining (log-free exact rational ranking)
-        "doc_bigram_pmi": co.doc_bigram_pmi,
-        # winsorized robust mean from the quantile histogram (no
-        # second pass); k-anonymity privacy audit
-        "events_value_winsorized": an.events_value_winsorized,
-        "customer_k_anonymity": an.customer_k_anonymity,
-        # Apriori 2-itemset association rules with exact integer lift
-        "orders_basket_rules": an.orders_basket_rules,
-        # last-touch attribution (per-user ordered forward-fill scan)
-        "events_attribution": an.events_attribution,
-        # Flesch-style integer readability score (pure map)
-        "doc_readability": co.doc_readability,
-        # exact integer covariance matrix (one Gram matmul per batch,
-        # block-count-sized exchange; the PCA/whitening reduce)
-        "embedding_covariance": co.embedding_covariance,
-        # Borda rank fusion of three quality signals (RANK() semantics
-        # via broadcast histograms — no global sort)
-        "doc_rank_fusion": co.doc_rank_fusion,
-        # frequent 3-step path mining (sequential patterns)
-        "events_top_paths": an.events_top_paths,
-        # ordered STRING_AGG class (distinct partials, concat last)
-        "corpus_source_langs": co.corpus_source_langs,
-        # image perceptual-hash near-dup pairs (banded Hamming over
-        # the binary payload column; pHash itself is the documented
-        # deterministic stub — real DCT swaps into the decode seam)
-        "image_phash_dupes": mm.image_phash_dupes,
-        # Gini-impurity behavioral diversity (log-free entropy class)
-        "events_user_gini": an.events_user_gini,
-        # UNPIVOT/melt (reshape inverse of events_pivot_daily) and
-        # dense-calendar resample with exact linear interpolation
-        "events_unpivot_daily": an.events_unpivot_daily,
-        "events_daily_gapfill": an.events_daily_gapfill,
-        # PERCENTILE_CONT (×100-scaled exact interpolation) and the
-        # grouped moment summary with exact variance numerator
-        "events_value_quantiles_cont": an.events_value_quantiles_cont,
-        "events_value_moments": an.events_value_moments,
-        # degree assortativity (Newman) as exact sign·r² integers
-        "graph_assortativity": an.graph_assortativity,
-        # MERGE/upsert (CDC apply by key; one tagged doc_id exchange)
-        "documents_upsert": co.documents_upsert,
-        # ---- never driver-checked: pre-existing (q3 flagged by the
-        # round-3 verdict; the rest sat past earlier caps) ----
+        # ---- never driver-checked (rounds 1-4), oracle-backed: TPC-H
+        # completions + join/rollup family.  q3 was flagged by the
+        # round-3 AND round-4 verdicts — first in line.
         "q3_top_revenue": an.q3_top_revenue,
         "q5_local_supplier_volume": an.q5_local_supplier_volume,
         "q10_returned_customers": an.q10_returned_customers,
@@ -347,12 +272,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": an.customer_order_counts,
         "nation_balance_outer": an.nation_balance_outer,
         "revenue_rollup": an.revenue_rollup,
+        # ---- never driver-checked: events window/stream family ----
         "events_retention": an.events_retention,
         "events_window_range": an.events_window_range,
         "events_transition_matrix": an.events_transition_matrix,
         "events_user_ntile": an.events_user_ntile,
         "events_cumulative_sum": an.events_cumulative_sum,
         "user_top_event": an.user_top_event,
+        # last-touch attribution (per-user ordered forward-fill scan)
+        "events_attribution": an.events_attribution,
+        # frequent 3-step path mining (sequential patterns)
+        "events_top_paths": an.events_top_paths,
+        # exact-quantile histogram reuse (sibling of driver-green
+        # events_value_quantiles)
+        "events_outliers": an.events_outliers,
+        # UNPIVOT/melt + dense-calendar resample with exact interpolation
+        "events_unpivot_daily": an.events_unpivot_daily,
+        "events_daily_gapfill": an.events_daily_gapfill,
+        # PERCENTILE_CONT (×100-scaled exact interpolation) + grouped
+        # moment summary with exact variance numerator
+        "events_value_quantiles_cont": an.events_value_quantiles_cont,
+        "events_value_moments": an.events_value_moments,
+        # Gini-impurity behavioral diversity (log-free entropy class)
+        "events_user_gini": an.events_user_gini,
+        # salted whale-entity windows (hot-key splitting; shift sizing
+        # rule in the docstrings)
+        "events_time_since_last_salted":
+            lambda sf: an.events_time_since_last(sf, salt_shift=33),
+        "events_rolling_sum_salted":
+            lambda sf: an.events_rolling_sum(sf, salt_shift=33),
+        "events_sessions_salted":
+            lambda sf: an.events_sessions(sf, salt_shift=38),
+        # k-anonymity privacy audit; Apriori 2-itemset rules with exact
+        # integer lift; bloom-filter semi-join variant; Newman degree
+        # assortativity as exact sign·r² integers
+        "customer_k_anonymity": an.customer_k_anonymity,
+        "orders_basket_rules": an.orders_basket_rules,
+        "order_priority_semijoin_bloom": an.order_priority_semijoin_bloom,
+        "graph_assortativity": an.graph_assortativity,
+        # ---- never driver-checked: doc/corpus/embedding family ----
         "doc_lm_score": co.doc_lm_score,
         # actor-pool model-inference stage (weights load once per actor)
         # + PII redaction map + the composed gate→dedup→PII→model chain
@@ -362,31 +320,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_counts": co.doc_bigram_counts,
         "doc_term_heavy_hitters": co.doc_term_heavy_hitters,
         "doc_decontaminate": co.doc_decontaminate,
-        # ================= driver cap (50) ends here =================
-        # ---- never driver-checked; first candidates for round 5's
-        # window.  events_outliers reuses the exact-quantile histogram
-        # machinery (driver-validated via events_value_quantiles) and
-        # is locally oracle-green at sf0.001+sf0.01; the others reuse
-        # an oracle a sibling in the window (or a round-3 row)
-        # validates, with byte-equality to the sibling pytest-covered --
-        "events_outliers": an.events_outliers,
-        "embedding_kmeans": co.embedding_kmeans,
+        # Flesch-style integer readability score (pure map)
+        "doc_readability": co.doc_readability,
+        # Borda rank fusion via broadcast histograms (no global sort)
+        "doc_rank_fusion": co.doc_rank_fusion,
+        # A-ES weighted sampling (deterministic md5 keys)
         "doc_sample_weighted": co.doc_sample_weighted,
-        "order_priority_semijoin_bloom": an.order_priority_semijoin_bloom,
-        "events_time_since_last_salted":
-            lambda sf: an.events_time_since_last(sf, salt_shift=33),
-        "events_rolling_sum_salted":
-            lambda sf: an.events_rolling_sum(sf, salt_shift=33),
-        # shift 38 ≈ 76 h buckets — sized so a bucket holds many events
-        # (the salt exists for whale entities; a too-fine bucket makes
-        # everything boundary — see the sizing rule in the docstring)
-        "events_sessions_salted":
-            lambda sf: an.events_sessions(sf, salt_shift=38),
-        # ---- least recently checked (green in round 2, cut by the
-        # round-3 cap; green in the committed local sf0.01 gate) ----
+        # ordered STRING_AGG class (distinct partials, concat last)
+        "corpus_source_langs": co.corpus_source_langs,
+        # MERGE/upsert (CDC apply by key; one tagged doc_id exchange)
+        "documents_upsert": co.documents_upsert,
+        # exact integer covariance matrix (one Gram matmul per batch,
+        # block-count-sized exchange; the PCA/whitening reduce)
+        "embedding_covariance": co.embedding_covariance,
+        "embedding_kmeans": co.embedding_kmeans,
+        # image perceptual-hash near-dup pairs (real 8×8 DCT pHash over
+        # the deterministic decoded luma grid since round 5; banded
+        # Hamming + pigeonhole-complete verify)
+        "image_phash_dupes": mm.image_phash_dupes,
+        # ---- new in round 5 (rows-only): checkpoint/resume equivalence
+        # — the north_rule "resumes exactly" claim as a driver artifact;
+        # equality vs the uninterrupted run asserted internally
+        "crawl_resume_equivalence": _q_crawl_resume_equivalence,
+        # ---- stalest re-checks (green in round 2, cut by later caps;
+        # green in the committed local sf0.01 gate) ----
         "q6_revenue": an.q6_revenue,
         "revenue_by_nation": an.revenue_by_nation,
         "top_customers": an.top_customers,
+        # ================= driver cap (50) ends here =================
+        # ---- round-2-green (oldest remaining driver rows) ----
+        "doc_fingerprint": co.doc_fingerprint,
         "doc_extract": de.doc_extract,
         "doc_text_stats": co.doc_text_stats,
         "dedup_exact": co.dedup_exact,
@@ -396,10 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": an.events_value_quantiles,
         "multimodal_meta": mm.multimodal_decode_meta,
         "q1_lineitem": an.q1_lineitem,
-        # ---- oracle-backed, green in round-3's driver artifact (and
-        # in the committed local sf0.01 gate this round) ----
+        # ---- round-3-green ----
         "doc_lang_id": co.doc_lang_id,
-        "doc_fingerprint": co.doc_fingerprint,
         "corpus_clean": co.corpus_clean,
         "doc_stats_resumable": _q_doc_stats_resumable,
         "doc_chunks": co.doc_chunks,
@@ -426,6 +387,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": an.events_funnel,
         "events_rolling_sum": an.events_rolling_sum,
         "events_distinct_users": an.events_distinct_users,
+        # ---- round-4-green ----
+        "orders_global_sort": an.orders_global_sort,
+        "events_pair_window": an.events_pair_window,
+        "orders_zorder": an.orders_zorder,
+        "events_value_outliers": an.events_value_outliers,
+        "events_ab_chisq": an.events_ab_chisq,
+        "events_daily_counts_incremental":
+            an.events_daily_counts_incremental,
+        "events_time_weighted_avg": an.events_time_weighted_avg,
+        "events_user_median": an.events_user_median,
+        "events_window_distinct": an.events_window_distinct,
+        "q2_min_price_supplier": an.q2_min_price_supplier,
+        "q7_volume_shipping": an.q7_volume_shipping,
+        "q8_market_share": an.q8_market_share,
+        "q9_product_profit": an.q9_product_profit,
+        "q11_important_parts": an.q11_important_parts,
+        "q12_shipping_priority": an.q12_shipping_priority,
+        "q15_top_supplier": an.q15_top_supplier,
+        "q16_supplier_diversity": an.q16_supplier_diversity,
+        "q20_dominant_suppliers": an.q20_dominant_suppliers,
+        "q21_sole_late_supplier": an.q21_sole_late_supplier,
+        "q22_idle_rich_customers": an.q22_idle_rich_customers,
+        "doc_word_repetition": co.doc_word_repetition,
+        "order_count_distribution": an.order_count_distribution,
+        "events_user_rank": an.events_user_rank,
+        "events_tumbling_counts": an.events_tumbling_counts,
+        "events_hopping_counts": an.events_hopping_counts,
+        "doc_pack_shards": co.doc_pack_shards,
+        "doc_dup_spans": co.doc_dup_spans,
+        "corpus_line_dedup": co.corpus_line_dedup,
+        "events_user_rank_bucketed": an.events_user_rank_bucketed,
+        "revenue_cube": an.revenue_cube,
+        "events_percent_rank": an.events_percent_rank,
+        "events_user_days_intersect": an.events_user_days_intersect,
+        "events_user_days_except": an.events_user_days_except,
+        "graph_pagerank": an.graph_pagerank,
+        "graph_triangles": an.graph_triangles,
+        "dedup_edit_pairs": co.dedup_edit_pairs,
+        "dedup_semantic": co.dedup_semantic,
+        "doc_global_rank": co.doc_global_rank,
+        "events_session_overlap": an.events_session_overlap,
+        "events_late_arrivals": an.events_late_arrivals,
+        "graph_bfs_hops": an.graph_bfs_hops,
+        "dedup_ngram_keep": co.dedup_ngram_keep,
+        "events_value_trend": an.events_value_trend,
+        "orders_skyline": an.orders_skyline,
+        "documents_profile": co.table_profile,
+        # PPJoin prefix-filtered exact similarity join at t=0.8 —
+        # crossover vs the unfiltered join measured in BASELINE.md §bench
+        "dedup_ngram_pairs_prefix": co.dedup_ngram_pairs_prefix,
+        "events_daily_cusum": an.events_daily_cusum,
+        "doc_lang_confusion": co.doc_lang_confusion,
+        "doc_bigram_pmi": co.doc_bigram_pmi,
+        "events_value_winsorized": an.events_value_winsorized,
         # ---- rows-only: crawl engine (SURVEY.md §2.1-2.4, §3) — the
         # synthetic pages corpus is not a registered view, so the driver
         # does a rows-only check; full parity vs the sequential oracle

@@ -33,13 +33,27 @@ def sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     documented 100k-sample × 1024-centroid × 128-dim codebook fit that
     tensor is ~100 GB): the expansion ||a||² − 2a·b + ||b||² is one
     matmul + two norm vectors.  Clamped at 0 (rounding can dip
-    epsilon-negative); same argmin/argsort up to float rounding."""
+    epsilon-negative).
+
+    Determinism: the expansion's rounding depends on the BLAS build, so
+    near-tied distances could flip argmin/argsort across machines (a
+    "stable" argsort only stabilizes EXACT ties).  Distances are
+    therefore snapped to a fixed absolute 2⁻³⁰ grid (~1e-9; unit-ish
+    embeddings have d ∈ [0, 4], and the expansion's error is ~1e-13
+    relative) — epsilon-neighbors become exact ties, which the callers'
+    stable argmin/argsort then break by index, identically on every
+    BLAS.  Genuinely distinct distances are ≫ one grid step apart."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     d = (np.einsum("ij,ij->i", a, a)[:, None]
          - 2.0 * (a @ b.T)
          + np.einsum("ij,ij->i", b, b)[None, :])
-    return np.maximum(d, 0.0, out=d)
+    np.maximum(d, 0.0, out=d)
+    # snap to the 2^-30 grid (power of two: exact in binary fp)
+    d *= 1073741824.0
+    np.rint(d, out=d)
+    d *= 9.313225746154785e-10  # 2.0**-30
+    return d
 
 
 def batch_to_matrix(embeddings) -> np.ndarray:

@@ -5439,7 +5439,10 @@ def events_value_trend(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        us = df["ts"].astype("int64").to_numpy()
+        # _ts_us normalizes to epoch MICROseconds whatever datetime64
+        # unit pandas materialized (astype('int64') is 1000x off under
+        # a ns-returning config)
+        us = _ts_us(df["ts"])
         # toward-zero like DuckDB `//` (numpy floors): pre-epoch
         # timestamps would otherwise land one hour bucket lower
         x = np.where(us < 0, -((-us) // 3_600_000_000),

@@ -300,10 +300,16 @@ class CrawlJob:
         scheduler has already advanced)."""
         fs = self._fs_snapshots.get(
             wave, {e["key"]: e["first_schedule"] for e in self.entries})
+        from neocrawler_ray.state.cuckoo import STATE_FORMAT_VERSION
+
         manifest = {
             "last_complete_wave": wave,
             "first_schedule": fs,
             "num_shards": len(self.shards),
+            # persisted-state schema version (cuckoo fingerprint scheme
+            # etc.) — resume refuses on mismatch instead of silently
+            # mixing fingerprint derivations
+            "state_format": STATE_FORMAT_VERSION,
         }
         tmp = os.path.join(self.ckpt_dir, ".manifest.tmp")
         with open(tmp, "w") as f:
@@ -319,6 +325,16 @@ class CrawlJob:
         with open(path) as f:
             manifest = json.load(f)
         wave = manifest["last_complete_wave"]
+        from neocrawler_ray.state.cuckoo import STATE_FORMAT_VERSION
+
+        fmt = manifest.get("state_format", 1)  # pre-versioned ⇒ v1 (`| 1`
+        # odd-only fingerprints) — incompatible with the v2 remap
+        if fmt != STATE_FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint state_format={fmt} but this build writes "
+                f"v{STATE_FORMAT_VERSION}: the cuckoo fingerprint scheme "
+                "changed, and resuming would mix derivations (false "
+                "positives + lookup misses) — re-run from scratch")
         want = manifest.get("num_shards")
         if want is not None and want != len(self.shards):
             raise ValueError(

@@ -66,15 +66,24 @@ def table_rows(sf_dir: str, table: str) -> int:
         return sum(pq.read_metadata(f).num_rows for f in files)
     if fmt == "jsonl":
         # NDJSON: one record per line (embedded newlines are escaped by
-        # spec), so a buffered newline count is exact and stream-cheap
+        # spec).  Count only NON-EMPTY lines — blank interior/trailing
+        # lines are skipped by the JSON reader, and counting them would
+        # inflate override_num_blocks / _parts_for sizing: a line ends a
+        # record only if the byte before its "\n" wasn't itself "\n".
+        import numpy as np
+
         total = 0
         for f in files:
             with open(f, "rb") as fh:
-                last = b"\n"
+                prev = b"\n"  # BOF behaves like a preceding newline
                 while chunk := fh.read(1 << 20):
-                    total += chunk.count(b"\n")
-                    last = chunk[-1:]
-                if last != b"\n":
+                    a = np.frombuffer(prev + chunk, dtype=np.uint8)
+                    nl = a == 0x0A
+                    # "\n" whose preceding byte wasn't "\n" ⇒ one record
+                    # (nl[1:] spans exactly the chunk's bytes)
+                    total += int(np.count_nonzero(nl[1:] & ~nl[:-1]))
+                    prev = chunk[-1:]
+                if prev != b"\n":
                     total += 1  # unterminated final record
         return total
     # csv: quoted fields may embed newlines — count via the streaming

@@ -30,6 +30,13 @@ _SLOTS = 4
 _MAX_KICKS = 500
 _MULT = np.uint64(0x5BD1E995)
 
+# On-disk state-format version for persisted/checkpointed filters.  Bump
+# whenever the fingerprint derivation (or table layout) changes: mixing
+# snapshots across schemes produces both false positives AND
+# contract-breaking lookup misses.  v2 = fingerprint remap onto
+# [1, 0xFFFF] (the old `| 1` scheme — v1 — confined fps to odd values).
+STATE_FORMAT_VERSION = 2
+
 
 class CuckooFilter:
     def __init__(self, capacity: int = 1 << 16, seed: int = 7):

@@ -214,6 +214,36 @@ def test_resume_from_checkpoint(corpus, tmp_path_factory, ray_session,
     assert seen_r == seen_f
 
 
+def test_resume_refuses_mismatched_state_format(corpus, tmp_path_factory,
+                                                ray_session):
+    """A checkpoint written under a different persisted-state schema
+    (e.g. the pre-r4 odd-only cuckoo fingerprint derivation, v1) must be
+    refused, not silently mixed — resuming across fingerprint schemes
+    yields both false positives and lookup misses."""
+    import json
+    import os
+
+    from neocrawler_ray.pipelines.crawl import CrawlJob
+    from neocrawler_ray.state.cuckoo import STATE_FORMAT_VERSION
+
+    out = str(tmp_path_factory.mktemp("fmt_out"))
+    CrawlJob(corpus, _settings(), out).run(max_waves=2)
+    mpath = os.path.join(out, "ckpt", "manifest.json")
+    manifest = json.load(open(mpath))
+    assert manifest["state_format"] == STATE_FORMAT_VERSION
+    manifest["state_format"] = 1
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="state_format"):
+        CrawlJob(corpus, _settings(), out, resume=True)
+    # pre-versioned manifests (field absent) are treated as v1: refused
+    del manifest["state_format"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="state_format"):
+        CrawlJob(corpus, _settings(), out, resume=True)
+
+
 # ------------------------- T6: transient retry ----------------------------
 def _ReplacementDownloader(corpus_dir, **kw):
     # library plugin (workers must be able to import the class)

@@ -99,6 +99,18 @@ def test_jsonl_rows_and_read(ray_session, fmt_sf):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_jsonl_rows_ignore_blank_lines(tmp_path):
+    """Interior/trailing blank lines are not records: ray.data's JSON
+    reader skips them, so the count must too (it feeds
+    override_num_blocks / _parts_for sizing)."""
+    sub = tmp_path / "t"
+    sub.mkdir()
+    (sub / "part-0.jsonl").write_bytes(
+        b'\n{"a":1}\n\n\n{"a":2}\n{"a":3}\n\n')
+    (sub / "part-1.jsonl").write_bytes(b'{"a":4}\n{"a":5}')  # unterminated
+    assert tb.table_rows(str(tmp_path), "t") == 5
+
+
 def test_csv_rows_and_read(ray_session, fmt_sf):
     assert tb.table_rows(fmt_sf, "customer") == \
         tb.table_rows(SF, "customer")

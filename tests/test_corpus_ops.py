@@ -2558,17 +2558,33 @@ def test_image_phash_dupes_matches_sql(ray_session, con):
     assert_matches_sql(got, con, mm.IMAGE_PHASH_DUPES_SQL)
 
 
+def _phash_fixture_texts() -> dict[int, str]:
+    """image-kind ids (doc_id % 3 == 0): 0 = base, 6 = NEAR-duplicate
+    (10 single-byte substitutions, NOT byte-identical — the real-pHash
+    catch the md5 stub could never make), 9 = byte-identical copy,
+    12 = unrelated text (Hamming 10, past the threshold)."""
+    base = " ".join(
+        f"token{i:04d} payload segment alpha beta gamma" for i in range(40))
+    bb = bytearray(base.encode())
+    for pos in range(50, 50 + 10 * 33, 33):
+        bb[pos] = ord("Z")
+    far = " ".join(
+        f"different{i:04d} content entirely other words here"
+        for i in range(40))
+    return {0: base, 6: bb.decode(), 9: base, 12: far,
+            1: "audio", 2: "video"}
+
+
 def test_image_phash_dupes_planted(ray_session, tmp_path):
-    """Identical image payloads (doc_id % 3 == 0 rows) must pair at
-    Hamming 0; distinct payloads under the md5 stub do not pair."""
+    """A planted NEAR-duplicate (10-byte edit of a 1.7 KB payload, not
+    byte-identical) must be caught at small Hamming distance; the
+    byte-identical copy at 0; the unrelated payload must not pair."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from neocrawler_ray.stages import multimodal as mm
 
-    # ids 0, 3, 6 are image-kind; 0 and 6 share a payload
-    texts = {0: "same payload", 3: "other payload", 6: "same payload",
-             1: "audio", 2: "video", 9: "same payload"}
+    texts = _phash_fixture_texts()
     ids = sorted(texts)
     pq.write_table(pa.table({
         "doc_id": pa.array(ids, pa.int64()),
@@ -2579,9 +2595,33 @@ def test_image_phash_dupes_planted(ray_session, tmp_path):
     }), tmp_path / "documents.parquet")
     got = mm.image_phash_dupes(str(tmp_path))
     assert got.to_dict("records") == [
-        {"media_a": 0, "media_b": 6, "hamming": 0},
+        {"media_a": 0, "media_b": 6, "hamming": 2},
         {"media_a": 0, "media_b": 9, "hamming": 0},
-        {"media_a": 6, "media_b": 9, "hamming": 0}]
+        {"media_a": 6, "media_b": 9, "hamming": 2}]
+
+
+def test_phash64_kernel_matches_sql_on_edges(con):
+    """The numpy :func:`phash64` kernel and the generated-SQL hash agree
+    bit-for-bit, including the edge payloads (empty, 1 byte, < 1024
+    bytes, exactly/over 1024, multi-byte utf-8)."""
+    import duckdb
+    import pandas as pd
+
+    from neocrawler_ray.stages import multimodal as mm
+
+    texts = ["", "a", "hello world " * 50, "x" * 63, "x" * 1024,
+             "x" * 1025, "Ünïcødé — テスト " * 30]
+    doc_ids = [i * 3 for i in range(len(texts))]
+    c2 = duckdb.connect()
+    c2.register("documents", pd.DataFrame({"doc_id": doc_ids,
+                                           "text": texts}))
+    sql = mm.image_phash_dupes_sql()
+    phs_sql = (sql[:sql.index("SELECT a.media_id")]
+               + "SELECT media_id, ph FROM phs ORDER BY media_id")
+    got = dict(c2.execute(phs_sql).fetchall())
+    want = mm.phash64([t.encode() for t in texts])
+    assert {i: int(v) for i, v in zip(doc_ids, want)} == \
+        {k: int(v) for k, v in got.items()}
 
 
 def test_corpus_source_langs_matches_sql(ray_session, con):

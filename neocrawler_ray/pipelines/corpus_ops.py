@@ -3643,20 +3643,32 @@ DOCUMENTS_PROFILE_SQL = table_profile_sql()
 
 def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
                              threshold_den: int = 5,
-                             num_parts: int | None = None):
+                             num_parts: int | None = None,
+                             df_order_block: int = 32,
+                             df_sample_mod: int = 20):
     """EXACT n-gram Jaccard self-join at a HIGH threshold via PREFIX
     FILTERING (Chaudhuri/Bayardo/Xiao's all-pairs trick) — same answer
     as :func:`dedup_ngram_pairs` at the same threshold, but only each
     document's prefix enters the inverted index.
 
-    Guarantee: order every shingle set by a fixed global total order
-    (ascending 64-bit hash here); for J(a,b) ≥ t = tn/td the overlap
-    has ≥ ⌈t·|x|⌉ elements for BOTH sides, so the smallest common
-    element sits within the first |x| − ⌈t·|x|⌉ + 1 elements of EACH
-    side — index only those prefixes and no qualifying pair is missed.
-    At t = 0.8 that indexes ~20% of postings, cutting the quadratic
-    per-shingle pair emission ~25× — the difference between a feasible
-    and an infeasible exact join on a near-dup-heavy crawl.
+    Guarantee: order every shingle set by a fixed global total order;
+    for J(a,b) ≥ t = tn/td the overlap has ≥ ⌈t·|x|⌉ elements for BOTH
+    sides, so the smallest common element sits within the first
+    |x| − ⌈t·|x|⌉ + 1 elements of EACH side — index only those
+    prefixes and no qualifying pair is missed, for ANY total order.
+
+    The order used is the classic DF-ASCENDING one (rare shingles
+    first, est-df bucket then hash): a sampled-df prepass
+    (:func:`_ngram_hot_shingles` with ``df_block=df_order_block``,
+    1-in-``df_sample_mod`` docs) finds the boilerplate shingles and
+    pushes them to the BACK of every document, so prefixes hold each
+    document's rarest shingles.  That is what makes the filter prune:
+    two documents sharing only template boilerplate never co-occur in
+    the prefix index (their prefixes are their distinctive content),
+    while a plain hash order admits every boilerplate pair as a
+    candidate.  The estimate is correctness-free: any order prunes
+    exactly (a missed borderline shingle costs candidates, never
+    answers); the payload/verify path is order-independent.
 
     Candidates are then verified with the exact set intersection via
     the same co-grouped payload join as :func:`dedup_minhash_verified`
@@ -3664,20 +3676,40 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
     nothing corpus-sized on the driver).  Output and oracle are
     byte-identical to ``dedup_ngram_pairs(tn, td)``.
 
-    Production notes (documented trade-offs): hash order is
-    correctness-sufficient; the classic df-ascending order makes
-    prefixes rare-shingle-biased and composes with
-    ``dedup_ngram_pairs``'s hot-shingle block split when a template
-    shingle still lands in many prefixes.  On DUP-LIGHT corpora (the
-    sf benchmark tables) the single tokenize+hash scan plus the
-    payload verify dominate and the unfiltered join is still faster —
-    prefix filtering pays off exactly when Σ df² pair emission
-    dominates, i.e. on the near-dup-heavy crawls it exists for."""
+    Measured crossover (BASELINE.md §prefix-crossover, 32 cpus,
+    tools/bench_prefix_crossover.py): on a template-heavy corpus
+    (3 050 docs = 20 boilerplate templates ≈ half of each doc's
+    shingles + genuinely unique tails + 50 planted true near-dups —
+    the template-crawl shape this op exists for) the unfiltered join
+    pays Σdf² ≈ 6.7×10⁷ template-pair emissions and takes 20.8 s,
+    while the df-ascending prefixes hold only the unique tails:
+    8.2 s, identical 50-pair answer (2.5×).  On the dup-light sf0.1
+    table the unfiltered join is still faster (2.0 s vs 2.8 s) — the
+    df prepass and payload verify don't pay for themselves there.
+    Disclosed negative result: a corpus whose "unique" parts reuse
+    other corpus text plants mid-df (2–30) shingles shared across
+    random doc pairs, and NO prefix order can exclude a rare-but-
+    shared shingle from both prefixes — measured ~0.8-1.0M candidate
+    pairs under hash, hot/cold and near-exact df orders alike
+    (BASELINE.md discloses the losing run).  Prefix filtering wins
+    exactly when high-df boilerplate dominates Σdf²; it is not a
+    universal improvement over the inverted-index join."""
     import numpy as np
 
     tn, td = int(threshold_num), int(threshold_den)
     docs = _read(sf_dir, "documents", ["doc_id", "text"],
                  rows_per_block=256)
+
+    # sampled-df prepass → (sorted hot-shingle array, df bucket) for the
+    # df-ascending total order; small (boilerplate vocab is bounded) so
+    # it rides task closures as two numpy arrays
+    hot = _ngram_hot_shingles(sf_dir, df_order_block, df_sample_mod)
+    if hot:
+        hot_sh = np.array(sorted(hot), dtype=np.uint64)
+        hot_rank = np.array([hot[int(s)] for s in hot_sh], dtype=np.int64)
+    else:
+        hot_sh = np.empty(0, dtype=np.uint64)
+        hot_rank = np.empty(0, dtype=np.int64)
 
     # ONE text scan emits BOTH row kinds — prefix postings (kind 0)
     # and the full sorted shingle-hash payload (kind 1) the verify
@@ -3699,7 +3731,15 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
                 continue  # empty set can never pair (oracle: c >= 1)
             # prefix length |x| − ⌈t·|x|⌉ + 1 in integer arithmetic
             plen = s - ((tn * s + td - 1) // td) + 1
-            pre = h[:max(plen, 1)]
+            # df-ascending total order: est-df bucket (0 for unsampled/
+            # rare) then hash — searchsorted membership, no dict walk
+            if len(hot_sh):
+                pos = np.searchsorted(hot_sh, h)
+                pos[pos == len(hot_sh)] = 0
+                rank = np.where(hot_sh[pos] == h, hot_rank[pos], 0)
+                pre = h[np.lexsort((h, rank))][:max(plen, 1)]
+            else:
+                pre = h[:max(plen, 1)]
             out_sh.append(pre.view("int64"))
             out_id.append(np.full(len(pre), i, dtype="int64"))
             pay_id.append(int(i))
@@ -3774,25 +3814,43 @@ def dedup_ngram_pairs_prefix(sf_dir: str, threshold_num: int = 4,
         pa.binary(), num_parts=parts)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["pair_key", "side"])
-        out = {"doc_a": [], "doc_b": [], "n_intersect": [], "n_union": []}
-        for pk, g in df.groupby("pair_key", sort=False):
-            if len(g) < 2:
+        # candidate volume here is prefix-df-bounded, not answer-sized —
+        # no pandas groupby loop: one sort, group boundaries by diff,
+        # and a searchsorted membership count per pair (both sides are
+        # ALREADY sorted from the scan, so no intersect1d re-sort)
+        cols = {"doc_a": "int64", "doc_b": "int64",
+                "n_intersect": "int64", "n_union": "int64"}
+        df = (df.drop_duplicates(["pair_key", "side"])
+              .sort_values(["pair_key", "side"], kind="stable"))
+        pk = df["pair_key"].to_numpy()
+        pay = df["payload"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        ends = np.r_[starts[1:], len(pk)]
+        keep_pk, keep_c, keep_u = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
-            blobs = g.sort_values("side")["payload"].tolist()
-            sa = np.frombuffer(blobs[0], dtype=np.uint64)
-            sb = np.frombuffer(blobs[1], dtype=np.uint64)
-            c = len(np.intersect1d(sa, sb, assume_unique=True))
+            sa = np.frombuffer(pay[s], dtype=np.uint64)
+            sb = np.frombuffer(pay[s + 1], dtype=np.uint64)
+            pos = np.searchsorted(sb, sa)
+            ok = pos < len(sb)
+            c = int(np.count_nonzero(sb[pos[ok]] == sa[ok]))
             u = len(sa) + len(sb) - c
             if c >= 1 and td * c >= tn * u:
-                a, b = pk.split(":")
-                out["doc_a"].append(int(a)); out["doc_b"].append(int(b))
-                out["n_intersect"].append(c); out["n_union"].append(u)
-        return pd.DataFrame(out).astype("int64") if out["doc_a"] else \
-            pd.DataFrame({k: pd.Series(dtype="int64") for k in out})
+                keep_pk.append(pk[s]); keep_c.append(c); keep_u.append(u)
+        if not keep_pk:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        ab = pd.Series(keep_pk).str.split(":", expand=True)
+        return pd.DataFrame(
+            {"doc_a": ab[0], "doc_b": ab[1],
+             "n_intersect": keep_c, "n_union": keep_u}).astype(cols)
 
+    # verify partitions sized to CANDIDATE volume (prefix-df-bounded),
+    # not corpus rows — the old parts//2 left 4 tasks holding ~50k
+    # pairs each on mid-df corpora
     return _hash_grouped(co_located, ["pair_key"], verify,
-                         num_parts=max(parts // 2, 4))
+                         num_parts=max(parts, 32))
 
 
 def dedup_ngram_pairs_prefix_sql(threshold_num: int = 4,

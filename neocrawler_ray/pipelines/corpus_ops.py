@@ -837,8 +837,16 @@ def _ngram_hot_shingles(sf_dir: str, df_block: int,
     consults the same broadcast map, so block membership is globally
     consistent — a missed borderline shingle just stays unsplit (old
     behavior, ≤ ~few×df_block² task work), an over-split one only adds
-    routing copies.  A df≫df_block shingle cannot hide from a uniform
-    1/mod sample (P[0 hits] = (1−1/mod)^df).  Cost: one extra pass over
+    routing copies.  Miss-probability bound (property-tested at the
+    boundary in test_hot_shingle_guard_boundary_property): a miss needs
+    sample count ≤ df_block/mod, so for df ≥ 2·df_block Chernoff gives
+    P[miss] ≤ exp(−(df − df_block)²/(2·df·mod)) ≤ exp(−df/(8·mod)) —
+    and a shingle that CAN be missed with non-vanishing probability has
+    df ≤ ~2·df_block, whose unsplit single-task emission df²/2 ≤
+    2·df_block² is within the guard's design bound anyway.  (For
+    contiguous doc_id ranges the multiplicative-hash sample is
+    near-equidistributed, making even boundary misses rare in
+    practice.)  Cost: one extra pass over
     the text column with 1/mod of the shingle CPU and a (distinct-
     sampled-shingle, count) exchange — the price of bounding the
     pair-stage's per-task work at scale."""

@@ -903,6 +903,76 @@ def test_ngram_hot_shingle_guard(ray_session, tmp_path):
     assert int(stop[0]) in hot_sampled
 
 
+def test_hot_shingle_guard_boundary_property(ray_session, tmp_path):
+    """Property test of the sampled-df prepass AT ITS BOUNDARY (round-4
+    verdict item): a shingle with true df just above ``df_block`` can be
+    missed by the 1-in-mod sample, so the invariant that bounds the pair
+    stage is a DICHOTOMY, probed here over mod × df × id-offset:
+
+    - flagged hot → every (bi, bj) block-pair task the router sends its
+      postings to emits ≤ K·df_block² pairs (block sizes recomputed with
+      the router's own hash);
+    - stays cold → its single-task emission df·(df−1)/2 ≤ K·df_block²,
+      i.e. misses are confined to the harmless df ≤ 2·df_block zone
+      (with K = 2, df·(df−1)/2 ≤ 2·df_block² exactly up to 2·df_block);
+    - additionally, NO miss at df ≥ 2·df_block for any probed offset —
+      the multiplicative-hash sample is equidistributed over contiguous
+      id ranges, and the Chernoff bound P[miss] ≤ exp(−df/(8·mod))
+      (documented in the prepass docstring) makes a big-df miss
+      vanishingly unlikely even for adversarial id sets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines import corpus_ops as co
+
+    df_block, K = 16, 2
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    planted = dd.shingle_hashes("alpha beta gamma")
+    assert len(planted) == 1
+    key = int(planted[0])
+
+    for mod in (2, 5, 10):
+        for n_df in (12, 17, 24, 32, 64):
+            for off in (0, 54321):
+                ids = np.arange(off, off + n_df, dtype=np.int64)
+                texts = [
+                    # one shared 3-gram; the tail's 3-grams are unique
+                    # per doc so the planted shingle is the only one
+                    # with df > 1
+                    "alpha beta gamma " + " ".join(
+                        f"u{i}x{j}" for j in range(6))
+                    for i in ids]
+                d = tmp_path / f"b{mod}_{n_df}_{off}"
+                d.mkdir()
+                pq.write_table(
+                    pa.table({"doc_id": pa.array(ids, pa.int64()),
+                              "text": pa.array(texts, pa.string())}),
+                    d / "documents.parquet")
+                hot = co._ngram_hot_shingles(str(d), df_block, mod)
+                tag = f"mod={mod} df={n_df} off={off}"
+                if key in hot:
+                    nb = hot[key]
+                    with np.errstate(over="ignore"):
+                        blk = ((ids.astype(np.uint64) * gold)
+                               >> np.uint64(33)) % np.uint64(nb)
+                    sizes = np.bincount(blk.astype(np.int64),
+                                        minlength=nb)
+                    worst = 0
+                    for bi in range(nb):
+                        for bj in range(bi, nb):
+                            w = (sizes[bi] * (sizes[bi] - 1) // 2
+                                 if bi == bj else sizes[bi] * sizes[bj])
+                            worst = max(worst, int(w))
+                    assert worst <= K * df_block * df_block, (
+                        f"{tag}: hot split leaves a {worst}-pair task")
+                else:
+                    assert n_df * (n_df - 1) // 2 <= K * df_block ** 2, (
+                        f"{tag}: missed shingle emits "
+                        f"{n_df * (n_df - 1) // 2} pairs in one task")
+                    assert n_df < 2 * df_block, (
+                        f"{tag}: sample missed a df ≥ 2·df_block shingle")
+
+
 def test_ngram_pairs_match_sql(ray_session, con):
     from neocrawler_ray.pipelines import corpus_ops as co
 

@@ -1,17 +1,24 @@
 """Crawl job — the wave loop tying scheduler, fetch-sim, extract and the
 frontier actor pool together (the new-engine lifecycle of SURVEY.md §3).
 
-Each wave is one Ray Data pipeline::
+Each wave is one fan-out over the scheduled table::
 
     scheduled batch (from frontier pops, deterministic order)
-      → ray.data.from_arrow(blocks grouped by pages-shard)   # fetch locality
-      → map_batches(fused fetch-sim + extract)   # task pool, worker-global
-      → write wave Parquet (streaming sink)      #   caches persist per run
+      → blocks grouped by pages-shard (fetch locality), table put once
+      → raw task per block: fused fetch-sim + extract → its own parquet
+        part under wave=k/ (worker-global caches persist per run; see
+        _wave_block_write for why this beats a per-wave Ray Data
+        micro-pipeline — the ~0.39 s/wave executor+sink fixed cost)
       → route feedback columns → one buffer RPC per frontier shard
       → commit_wave (deterministic order) → checkpoint (async IO);
         the commit barrier is submit-only and overlaps the NEXT wave's
         schedule via per-shard actor ordering (harvested after the
         schedule RPCs are queued)
+
+The bulk analytics/corpus pipelines remain Ray Data end to end; only
+this iterative ~170-sub-second-task wave loop uses raw tasks (the
+plugin path, which must stream the wave through the driver-side sink
+hook, keeps the materializing Ray Data route).
 
 Link discovery rides the output table as a ``feedback_json`` column and
 is routed to the frontier shards once per wave, then applied in
@@ -86,6 +93,46 @@ def fused_fetch_extract_indexed(batch, *, table_ref, bounds, **kw):
         lo, hi = bounds[bid]
         out.append(fused_fetch_extract(tbl.slice(lo, hi - lo), **kw))
     return pa.concat_tables(out) if len(out) != 1 else out[0]
+
+
+def _wave_block_write(tbl, lo, hi, rules_version, part_path, kw):
+    """One scheduled-row range → fused fetch+extract → its own parquet
+    part, written in-task (raw Ray task; registered lazily as a remote
+    below).  Replaces the per-wave Ray Data micro-pipeline for the
+    non-plugin path: a fresh streaming executor + parquet sink costs a
+    measured ~0.39 s of fixed spin-up per execution vs ~0.04 s for the
+    equivalent raw-task fan-out (this host, 32 cpus, 170 blocks), and at
+    ~1 s of useful work per wave that fixed cost was ~3.1 s of pure
+    overhead across the 9 sf0.1 bench waves.  Ray Data stays the engine
+    for every bulk scan in pipelines/* — an iterative frontier loop
+    dispatching ~170 sub-second tasks per wave is the documented
+    "Dataset API can't express it efficiently" exception.  Semantics are
+    unchanged: same fused kernel, same block bounds, same per-part
+    parquet layout under ``wave=k/`` (the barrier before feedback
+    routing is the ``ray.get`` over the wave's tasks; a task retry
+    deterministically rewrites its own part).  ``tbl`` arrives as a
+    top-level ObjectRef arg (auto-deref, zero-copy from plasma);
+    ``kw`` is the run-invariant kwargs dict put ONCE per run (nested
+    robots/rules refs stay refs — the kernels ``ray.get`` them into
+    their worker-global caches exactly as on the Ray Data path)."""
+    out = fused_fetch_extract(
+        tbl.slice(lo, hi - lo), rules_version=rules_version, **kw)
+    pq.write_table(out, part_path)
+    return out.num_rows
+
+
+_wave_block_write_remote = None
+
+
+def _wave_task():
+    """Lazy ``@ray.remote`` registration so importing this module never
+    touches Ray (the driver contract: only session owners init Ray)."""
+    global _wave_block_write_remote
+    if _wave_block_write_remote is None:
+        import ray
+
+        _wave_block_write_remote = ray.remote(_wave_block_write)
+    return _wave_block_write_remote
 
 SCHED_SCHEMA = pa.schema(
     [
@@ -207,6 +254,7 @@ class CrawlJob:
         self._rules_path = os.path.join(corpus_dir, "rules.json")
         self._rules_sig = self._rules_signature()[0]
         self.rules_version = 0
+        self._rebuild_wave_kw()
 
     # ------------------------------------------------------------------
     def _submit(self, shard, method, *args):
@@ -253,6 +301,29 @@ class CrawlJob:
         except OSError:
             return ((0, ""), None)
 
+    def _rebuild_wave_kw(self) -> None:
+        """One ``ray.put`` of the run-invariant fused-kernel kwargs (the
+        raw-task wave path's broadcast; rebuilt on rules hot-reload).
+        Nested ObjectRefs/actor handles survive the put — the kernels
+        deref them into worker-global caches, same as the fn_kwargs
+        route."""
+        import ray
+
+        self._wave_kw_ref = ray.put(dict(
+            run_token=self.run_token,
+            corpus_dir=self.corpus_dir,
+            robots_map=self.robots_ref,
+            pages_shards=self.corpus_meta.get("pages_shards", 16),
+            rules_ref=self.rules_ref,
+            settings=self.settings,
+            frontier_shards=self.shards,
+            partition_refs=self.partition_refs,
+            plugin=None,
+            browser_map=self.browser_map,
+            proxy_map=self.proxy_map,
+            cookie_map=self.cookie_map,
+        ))
+
     def _maybe_reload_rules(self) -> bool:
         import ray
 
@@ -285,6 +356,7 @@ class CrawlJob:
         self.cookie_map = cookie_rules_map(self.rules)
         self.rules_version += 1
         ray.get([sh.update_rules.remote(self.rules) for sh in self.shards])
+        self._rebuild_wave_kw()
         return True
 
     # --- checkpoint -----------------------------------------------------
@@ -485,48 +557,62 @@ class CrawlJob:
                 bounds.append((i, j))
                 i = j
             t = _tick("blocks", t)
-            # block-INDEX dataset (ray.data.range generates on workers —
-            # no driver put per block) + one broadcast of the wave table;
-            # each task slices its row range zero-copy.  ONE fused
-            # task-mode stage (fetch-sim + extract) with worker-global
-            # singletons: worker processes (and their pages-partition /
-            # compiled-rules caches) persist across waves, and fusing
-            # halves per-block task overhead — the html bytes never
-            # cross the object store between the stages
+            # one broadcast of the wave table; each task slices its row
+            # range zero-copy.  ONE fused task (fetch-sim + extract) per
+            # block with worker-global singletons: worker processes (and
+            # their pages-partition / compiled-rules caches) persist
+            # across waves, and fusing halves per-block task overhead —
+            # the html bytes never cross the object store between the
+            # stages
             table_ref = ray.put(sorted_tbl)
-            ds = ray.data.range(len(bounds), override_num_blocks=len(bounds))
-            ds = ds.map_batches(
-                fused_fetch_extract_indexed,
-                fn_kwargs=dict(
-                    table_ref=table_ref,
-                    bounds=bounds,
-                    run_token=self.run_token,
-                    corpus_dir=self.corpus_dir,
-                    robots_map=self.robots_ref,
-                    pages_shards=pages_shards,
-                    rules_ref=self.rules_ref,
-                    rules_version=self.rules_version,
-                    settings=s,
-                    frontier_shards=self.shards,
-                    partition_refs=self.partition_refs,
-                    plugin=self.plugin,
-                    browser_map=self.browser_map,
-                    proxy_map=self.proxy_map,
-                    cookie_map=self.cookie_map,
-                ),
-                batch_format="numpy",
-                batch_size=None,
-            )
             wave_path = os.path.join(self.out_dir, "extracted", f"wave={wave}")
             # a crash-resume (or rerun into the same out_dir) re-executes
-            # this wave; write_parquet APPENDS uuid-named files, so a stale
-            # dir would duplicate rows and double-apply frontier feedback —
-            # clear it before writing
+            # this wave; stale part files would duplicate rows and
+            # double-apply frontier feedback — clear it before writing
             shutil.rmtree(wave_path, ignore_errors=True)
+            os.makedirs(wave_path, exist_ok=True)
             if self.plugin is None:
-                # streaming consume: write is the pipeline's sink
-                ds.write_parquet(wave_path)
+                # raw-task fan-out writing per-block parquet parts
+                # in-task (see _wave_block_write for the measured Ray
+                # Data per-wave fixed-cost rationale); the ray.get is
+                # the wave barrier feedback routing requires
+                task = _wave_task()
+                ray.get([
+                    task.remote(
+                        table_ref, lo, hi, self.rules_version,
+                        os.path.join(wave_path, f"part-{k:05d}.parquet"),
+                        self._wave_kw_ref)
+                    for k, (lo, hi) in enumerate(bounds)
+                ])
             else:
+                # plugin sinks consume the wave driver-side — keep the
+                # materializing Ray Data route (block-INDEX dataset:
+                # ray.data.range generates on workers, no driver put
+                # per block)
+                ds = ray.data.range(
+                    len(bounds), override_num_blocks=len(bounds))
+                ds = ds.map_batches(
+                    fused_fetch_extract_indexed,
+                    fn_kwargs=dict(
+                        table_ref=table_ref,
+                        bounds=bounds,
+                        run_token=self.run_token,
+                        corpus_dir=self.corpus_dir,
+                        robots_map=self.robots_ref,
+                        pages_shards=pages_shards,
+                        rules_ref=self.rules_ref,
+                        rules_version=self.rules_version,
+                        settings=s,
+                        frontier_shards=self.shards,
+                        partition_refs=self.partition_refs,
+                        plugin=self.plugin,
+                        browser_map=self.browser_map,
+                        proxy_map=self.proxy_map,
+                        cookie_map=self.cookie_map,
+                    ),
+                    batch_format="numpy",
+                    batch_size=None,
+                )
                 mat = ds.materialize()
                 mat.write_parquet(wave_path)
                 # pipeline.js:573-575 sink hook, driver-side per wave

@@ -52,8 +52,8 @@ import pyarrow.parquet as pq
 from ..config import CrawlSettings, RuleSet
 from ..functions.urls import url_host
 from ..sources.pages_gen import _host_shard
-from ..stages.extract_stage import (extract_batch_task, route_feedback,
-                                    route_feedback_files)
+from ..stages.extract_stage import (FEEDBACK_COLUMNS, extract_batch_task,
+                                    route_feedback_files, route_refs_remote)
 from ..stages.fetch import (browser_rules_map, build_robots_map,
                             cookie_rules_map, fetch_sim_batch,
                             load_partition_refs, proxy_rules_map)
@@ -118,7 +118,11 @@ def _wave_block_write(tbl, lo, hi, rules_version, part_path, kw):
     out = fused_fetch_extract(
         tbl.slice(lo, hi - lo), rules_version=rules_version, **kw)
     pq.write_table(out, part_path)
-    return out.num_rows
+    # the narrow feedback projection is the task's RESULT: the crawl
+    # loop hands chunks of these refs to routing tasks as blocks finish,
+    # so feedback routing overlaps the wave's straggler tail and never
+    # re-reads the parquet parts (driver sees refs only, no rows)
+    return out.select(FEEDBACK_COLUMNS)
 
 
 _wave_block_write_remote = None
@@ -133,6 +137,23 @@ def _wave_task():
 
         _wave_block_write_remote = ray.remote(_wave_block_write)
     return _wave_block_write_remote
+
+def hosts_vectorized(u_ser):
+    """Lower-cased hostnames for a url Series — C-regex fast path with a
+    row-wise ``url_host`` (urlsplit) fallback for anything the regex
+    can't take (IPv6 literals, scheme-less, empty), so the mapping is
+    urlsplit-identical (property-tested).  ~5 µs/url as a python
+    urlsplit loop, this was a measurable slice of the per-wave serial
+    floor; the resulting shard id only drives fetch locality (each
+    fetch task re-derives every row's own pages shard), never results."""
+    hosts = u_ser.str.extract(
+        r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#]*@)?([^/?#:@\[\]]*)",
+        expand=False)
+    slow = hosts.isna() | (hosts == "")
+    if slow.any():
+        hosts[slow] = u_ser[slow].map(lambda x: url_host(x) or "")
+    return hosts.str.lower().fillna("")
+
 
 SCHED_SCHEMA = pa.schema(
     [
@@ -218,7 +239,12 @@ class CrawlJob:
             RemoteShard.options(max_restarts=0).remote(i, self.rules, settings)
             for i in range(S)
         ]
-        self.robots_ref = ray.put(build_robots_map(corpus_dir))
+        # robots scan as a task, not ray.put(build_robots_map(...)): the
+        # url-filtered pages scan measured ~1 s driver-serial per run —
+        # as a task it overlaps shard-actor startup and the first
+        # schedule wave (fetch kernels deref the result ref exactly as
+        # they deref a put ref)
+        self.robots_ref = ray.remote(build_robots_map).remote(corpus_dir)
         self.rules_ref = ray.put(self.rules)
         # S6 browser dispatch table (tiny: jshandle rules only) + T8
         # simulated-proxy rule set
@@ -254,6 +280,8 @@ class CrawlJob:
         self._rules_path = os.path.join(corpus_dir, "rules.json")
         self._rules_sig = self._rules_signature()[0]
         self.rules_version = 0
+        # per-run host→pages-shard memo (few distinct hosts, md5-derived)
+        self._host_shard_cache: dict[str, int] = {}
         self._rebuild_wave_kw()
 
     # ------------------------------------------------------------------
@@ -522,20 +550,19 @@ class CrawlJob:
             # inverts scaling at high CPU counts).  Large shard groups
             # split into batch-sized sub-blocks to keep full parallelism.
             n = sched_tbl.num_rows
-            host_shard_cache: dict[str, int] = {}
-
-            def _pshard(u: str) -> int:
-                h = url_host(u) or ""
-                v = host_shard_cache.get(h)
-                if v is None:
-                    v = host_shard_cache[h] = _host_shard(h, pages_shards)
-                return v
-
             import numpy as np
+            import pandas as pd
 
-            shard_of = np.fromiter(
-                (_pshard(u) for u in sched_tbl.column("url").to_pylist()),
-                dtype=np.int64, count=n)
+            codes, uniq = pd.factorize(
+                hosts_vectorized(sched_tbl.column("url").to_pandas()))
+            shard_for_host = np.empty(len(uniq), dtype=np.int64)
+            for hi, h in enumerate(uniq):
+                v = self._host_shard_cache.get(h)
+                if v is None:
+                    v = self._host_shard_cache[h] = _host_shard(
+                        h, pages_shards)
+                shard_for_host[hi] = v
+            shard_of = shard_for_host[codes]
             # stable sort by shard (ties keep seq order) — C-speed vs the
             # previous python sorted(key=tuple)
             order = np.argsort(shard_of, kind="stable")
@@ -574,16 +601,36 @@ class CrawlJob:
             if self.plugin is None:
                 # raw-task fan-out writing per-block parquet parts
                 # in-task (see _wave_block_write for the measured Ray
-                # Data per-wave fixed-cost rationale); the ray.get is
-                # the wave barrier feedback routing requires
+                # Data per-wave fixed-cost rationale)
                 task = _wave_task()
-                ray.get([
+                block_futs = [
                     task.remote(
                         table_ref, lo, hi, self.rules_version,
                         os.path.join(wave_path, f"part-{k:05d}.parquet"),
                         self._wave_kw_ref)
                     for k, (lo, hi) in enumerate(bounds)
-                ])
+                ]
+                # feedback routing OVERLAPS the wave tail: each block
+                # task returns its narrow feedback table; chunks of
+                # finished refs go to routing tasks while stragglers
+                # still run.  The wave barrier is the routing futures —
+                # their completion implies every block wrote its part
+                # AND every feedback row was delivered (the
+                # happens-before edge commit_wave needs).
+                route = route_refs_remote()
+                route_futs = []
+                pending_blocks = block_futs
+                while pending_blocks:
+                    done, pending_blocks = ray.wait(
+                        pending_blocks,
+                        num_returns=min(16, len(pending_blocks)))
+                    route_futs.append(route.remote(done, self.shards))
+                t = _tick("pipeline", t)
+                fb_counts = {"rows": 0, "fail": 0, "finish": 0}
+                for c in ray.get(route_futs):
+                    for k in fb_counts:
+                        fb_counts[k] += c[k]
+                t = _tick("feedback", t)
             else:
                 # plugin sinks consume the wave driver-side — keep the
                 # materializing Ray Data route (block-INDEX dataset:
@@ -619,19 +666,14 @@ class CrawlJob:
                 for b in mat.iter_batches(batch_format="pyarrow"):
                     self.plugin.sink_batch(b)
                 self.plugin.alert("crawl_finish_alert", {"wave": wave, "n": n})
-            t = _tick("pipeline", t)
-
-            # ---- frontier feedback (off the hot path) -------------------
-            # DISTRIBUTED routing: one Ray task per wave-output file reads
-            # only the narrow feedback columns, computes each row's owning
-            # shard (json parse + md5 tld hash — the former driver-serial
-            # cost) and pushes its own buffer rows, ray.get-ing the pushes
-            # so stage completion ⇒ delivery (commit_wave sorts by seq, so
-            # cross-task arrival order is free).  Replaces both the
-            # per-block blocking fan-out (inverted scaling) and the
-            # driver-side per-row loop (the per-wave serial floor).
-            fb_counts = route_feedback_files(wave_path, self.shards)
-            t = _tick("feedback", t)
+                t = _tick("pipeline", t)
+                # plugin path: feedback routed from the written wave
+                # files (one task per file chunk reads only the narrow
+                # feedback columns, pushes its own buffer rows, joins
+                # the pushes — completion ⇒ delivery; commit_wave sorts
+                # by seq, so cross-task arrival order is free)
+                fb_counts = route_feedback_files(wave_path, self.shards)
+                t = _tick("feedback", t)
 
             # ---- deterministic frontier commit + checkpoint -------------
             # each shard writes its own checkpoint file (atomic) — the

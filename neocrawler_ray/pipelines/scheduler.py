@@ -170,6 +170,7 @@ def run_schedule_wave(
         return len(tokens) - 1
 
     steps: list[tuple] = []
+    spec_lefts: list = []  # per-spec-pop few-byte left refs/values
 
     # seed-refresh waves keep the chained plan (see the docstring's
     # exactness argument: repair pops must not run after a later rule's
@@ -246,11 +247,18 @@ def run_schedule_wave(
         lifo = entry["rule"] == "LIFO"
         if speculative:
             # one parallel pop per rule, zero assumed carry; per-shard
-            # actor ordering still serves rules in priority order
-            ti = _submit(shards[sid], "schedule_pop",
-                         urllib_key, ct_base, lifo, entry["interval"], now)
-            steps.append(("spec", ti, urllib_key, sid, lifo,
-                          entry["interval"]))
+            # actor ordering still serves rules in priority order.
+            # num_returns=2 splits (accepted, left): the few-byte left
+            # refs resolve first so repairs submit BEFORE the driver
+            # pulls the accepted-row payloads — repair pops then run
+            # shard-side under the rows' deserialization.
+            acc_tok, left_tok = submit2(
+                shards[sid], "schedule_pop",
+                urllib_key, ct_base, lifo, entry["interval"], now)
+            tokens.append(acc_tok)
+            spec_lefts.append(left_tok)
+            steps.append(("spec", len(tokens) - 1, urllib_key, sid, lifo,
+                          entry["interval"], len(spec_lefts) - 1))
             continue
         if run_reqs and sid != run_sid:
             submit_run()
@@ -260,10 +268,13 @@ def run_schedule_wave(
     submit_run()
 
     _p1 = _time.perf_counter()
-    results = resolve(tokens)
-    _p2 = _time.perf_counter()
     PHASES["sched_submit"] = PHASES.get("sched_submit", 0.0) + (_p1 - _p0)
-    PHASES["sched_join"] = PHASES.get("sched_join", 0.0) + (_p2 - _p1)
+    # the few-byte left refs resolve as soon as every pop has RUN (both
+    # num_returns=2 objects materialize together) — without paying for
+    # the accepted-row payload pull, which happens after the repairs
+    # are already submitted
+    spec_left_vals = resolve(spec_lefts) if spec_lefts else []
+    _t_lefts = _time.perf_counter()
 
     # --- speculative repair plan --------------------------------------
     # Reconstruct the true leftover-carry in serve order.  Rules that
@@ -279,6 +290,9 @@ def run_schedule_wave(
     # SLOWER: chain depth grows from the ~2-3 actual repairs to #rules
     # per wave, and at ~10 ms per cross-actor dataflow hop the longer
     # chain costs more than the post-resolve round trip it hides.)
+    # Ordering is unchanged by the early submission: lefts-ready ⇒ every
+    # speculative pop (and, by per-shard submission order, every drain)
+    # has completed, so repairs still run after ALL spec pops.
     repair_for_step: dict[int, int] = {}
     repair_out: list = []
     if speculative:
@@ -287,8 +301,8 @@ def run_schedule_wave(
         for si, step in enumerate(steps):
             if step[0] != "spec":
                 continue
-            _, ti, urllib_key, sid, lifo, interval = step
-            _accepted, left = results[ti]
+            _, ti, urllib_key, sid, lifo, interval, li = step
+            left = spec_left_vals[li]
             if left > 0:
                 carry_known += left
             elif carry_known > 0 or pending_left is not None:
@@ -303,9 +317,15 @@ def run_schedule_wave(
                 carry_known = 0
                 PHASES["sched_repairs_n"] = (
                     PHASES.get("sched_repairs_n", 0) + 1)
-        repair_out = resolve(repair_out) if repair_out else []
+    _t_rsub = _time.perf_counter()
+    results = resolve(tokens)
+    _t_join2 = _time.perf_counter()
+    repair_out = resolve(repair_out) if repair_out else []
     _p3 = _time.perf_counter()
-    PHASES["sched_repair"] = PHASES.get("sched_repair", 0.0) + (_p3 - _p2)
+    PHASES["sched_join"] = (PHASES.get("sched_join", 0.0)
+                            + (_t_lefts - _p1) + (_t_join2 - _t_rsub))
+    PHASES["sched_repair"] = (PHASES.get("sched_repair", 0.0)
+                              + (_t_rsub - _t_lefts) + (_p3 - _t_join2))
 
     # --- emit the schedule log in serve order --------------------------
     # columnar accumulation (6 list appends/row beats a dict alloc — the
@@ -355,8 +375,8 @@ def run_schedule_wave(
                 if ok:
                     _emit(link, urllib_key, version, "", "*", 0)
         elif step[0] == "spec":
-            _, ti, urllib_key, sid, lifo, interval = step
-            accepted, _left = results[ti]
+            _, ti, urllib_key, sid, lifo, interval, _li = step
+            accepted = results[ti]
             if si in repair_for_step:
                 rep = repair_out[repair_for_step[si]][0]
                 accepted = tuple(a + b for a, b in zip(accepted, rep))

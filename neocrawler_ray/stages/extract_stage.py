@@ -251,12 +251,20 @@ def _route_files_task(paths: list[str], shards: list) -> dict:
     count tracks the cluster width, not the output file count (a wave
     writes one file per pipeline block; per-task overhead on ~100-row
     files was the dominant feedback cost)."""
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
-    import ray
 
     tbl = pa.concat_tables(
         [pq.read_table(p, columns=FEEDBACK_COLUMNS) for p in paths])
+    return _route_and_deliver(tbl, shards)
+
+
+def _route_and_deliver(tbl: pa.Table, shards: list) -> dict:
+    """Shared routing body: narrow feedback table → per-shard
+    ``buffer_results`` pushes (joined, so return ⇒ delivery) + the T7
+    breaker tallies."""
+    import pyarrow.compute as pc
+    import ray
+
     buffers = route_feedback(tbl, len(shards))
     if buffers:
         ray.get([shards[sid].buffer_results.remote(rows)
@@ -271,7 +279,32 @@ def _route_files_task(paths: list[str], shards: list) -> dict:
     return {"rows": tbl.num_rows, "fail": n_fail, "finish": n_ok}
 
 
+def _route_refs_task(tbl_refs: list, shards: list) -> dict:
+    """One CHUNK of finished wave blocks' narrow feedback tables (plasma
+    refs from the raw block tasks) → routed + delivered.  The in-memory
+    sibling of :func:`_route_files_task`: the crawl loop hands refs over
+    as blocks complete, so routing overlaps the wave's straggler tail
+    and the driver never deserializes the feedback rows."""
+    import ray
+
+    return _route_and_deliver(pa.concat_tables(ray.get(tbl_refs)), shards)
+
+
 _ROUTE_TASK = None
+_ROUTE_REFS_TASK = None
+
+
+def route_refs_remote():
+    """Lazy ``@ray.remote`` handle for :func:`_route_refs_task` —
+    ``max_retries=0`` for the same exactly-once-at-the-wave-level stance
+    as the file-based router (see route_feedback_files)."""
+    global _ROUTE_REFS_TASK
+    import ray
+
+    if _ROUTE_REFS_TASK is None:
+        _ROUTE_REFS_TASK = ray.remote(
+            num_cpus=0.5, max_retries=0)(_route_refs_task)
+    return _ROUTE_REFS_TASK
 
 
 def route_feedback_files(wave_path: str, shards: list,

@@ -189,7 +189,50 @@ def run_schedule_wave(
     # execution order = submission order).
     drain_entries = list(priority_entries)
     drain_tok: dict[str, tuple[int, int]] = {}
-    if drain_entries:
+    if speculative:
+        # --- COMBINED per-shard plan: one schedule_wave_spec RPC per
+        # shard carries its drains AND every one of its rule pops (zero
+        # assumed carry), replacing ~(#shards drains + #rules pops)
+        # actor tasks per wave — the per-task submit/return overhead
+        # across ~53 tasks was a measured slice of the schedule join.
+        # Per-shard execution order is identical to the per-call plan
+        # (drains first, pops in serve order); cross-shard order was
+        # already concurrent.  num_returns=2 splits the payload from the
+        # few-byte per-rule lefts so repairs submit BEFORE the driver
+        # pulls the accepted rows.
+        shard_drains: dict[int, list[str]] = {}
+        shard_pops: dict[int, list[tuple]] = {}
+        pop_pos: dict[str, tuple[int, int]] = {}
+        for e in priority_entries:
+            k = "urllib:" + e["key"]
+            sid = shard_for_domain(e["domain"], num_shards)
+            shard_drains.setdefault(sid, []).append(k)
+            reqs = shard_pops.setdefault(sid, [])
+            pop_pos[k] = (sid, len(reqs))
+            reqs.append((k, math.ceil(avg_rate * e["rate"]),
+                         e["rule"] == "LIFO", e["interval"]))
+        shard_tok: dict[int, int] = {}
+        shard_ltok: dict[int, int] = {}
+        for sid in sorted(shard_pops):
+            payload_tok, lefts_tok = submit2(
+                shards[sid], "schedule_wave_spec",
+                shard_drains[sid], shard_pops[sid], now)
+            tokens.append(payload_tok)
+            shard_tok[sid] = len(tokens) - 1
+            spec_lefts.append(lefts_tok)
+            shard_ltok[sid] = len(spec_lefts) - 1
+        for sid, keys in shard_drains.items():
+            for pos, k in enumerate(keys):
+                drain_tok[k] = (shard_tok[sid], pos)
+        if drain_entries:
+            steps.append(("drain",))
+        for e in priority_entries:
+            k = "urllib:" + e["key"]
+            sid, pos = pop_pos[k]
+            steps.append(("spec", shard_tok[sid], k, sid,
+                          e["rule"] == "LIFO", e["interval"],
+                          (shard_ltok[sid], pos)))
+    elif drain_entries:
         by_shard_keys: dict[int, list[str]] = {}
         for e in drain_entries:
             sid = shard_for_domain(e["domain"], num_shards)
@@ -219,7 +262,7 @@ def run_schedule_wave(
         prev = left_tok
         run_sid, run_reqs, run_keys = None, [], []
 
-    for entry in priority_entries:
+    for entry in (() if speculative else priority_entries):
         urllib_key = "urllib:" + entry["key"]
         # --- reSchedule (seed refresh) --------------------------------
         if now - entry["first_schedule"] >= entry["interval"] * 1000:
@@ -245,21 +288,6 @@ def run_schedule_wave(
         ct_base = math.ceil(avg_rate * entry["rate"])
         sid = shard_for_domain(entry["domain"], num_shards)
         lifo = entry["rule"] == "LIFO"
-        if speculative:
-            # one parallel pop per rule, zero assumed carry; per-shard
-            # actor ordering still serves rules in priority order.
-            # num_returns=2 splits (accepted, left): the few-byte left
-            # refs resolve first so repairs submit BEFORE the driver
-            # pulls the accepted-row payloads — repair pops then run
-            # shard-side under the rows' deserialization.
-            acc_tok, left_tok = submit2(
-                shards[sid], "schedule_pop",
-                urllib_key, ct_base, lifo, entry["interval"], now)
-            tokens.append(acc_tok)
-            spec_lefts.append(left_tok)
-            steps.append(("spec", len(tokens) - 1, urllib_key, sid, lifo,
-                          entry["interval"], len(spec_lefts) - 1))
-            continue
         if run_reqs and sid != run_sid:
             submit_run()
         run_sid = sid
@@ -301,8 +329,8 @@ def run_schedule_wave(
         for si, step in enumerate(steps):
             if step[0] != "spec":
                 continue
-            _, ti, urllib_key, sid, lifo, interval, li = step
-            left = spec_left_vals[li]
+            _, ti, urllib_key, sid, lifo, interval, (lj, pos) = step
+            left = spec_left_vals[lj][pos]
             if left > 0:
                 carry_known += left
             elif carry_known > 0 or pending_left is not None:
@@ -363,7 +391,10 @@ def run_schedule_wave(
             for e in drain_entries:
                 k = "urllib:" + e["key"]
                 ti, pos = drain_tok[k]
-                for url, ver, referer, relation, rcount in results[ti][pos]:
+                # combined spec plan: results[ti] = (drains, accepted)
+                rows = (results[ti][0][pos] if speculative
+                        else results[ti][pos])
+                for url, ver, referer, relation, rcount in rows:
                     _emit(url, k, ver, referer, relation, rcount)
         elif step[0] == "seeds":
             _, urllib_key, links, seed_parts = step
@@ -375,8 +406,8 @@ def run_schedule_wave(
                 if ok:
                     _emit(link, urllib_key, version, "", "*", 0)
         elif step[0] == "spec":
-            _, ti, urllib_key, sid, lifo, interval, _li = step
-            accepted = results[ti]
+            _, ti, urllib_key, sid, lifo, interval, (_lj, pos) = step
+            accepted = results[ti][1][pos]
             if si in repair_for_step:
                 rep = repair_out[repair_for_step[si]][0]
                 accepted = tuple(a + b for a, b in zip(accepted, rep))

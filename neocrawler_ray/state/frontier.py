@@ -272,6 +272,33 @@ class FrontierShard:
         left = ct - count if count < ct else 0
         return (a_url, a_ver, a_ref, a_rel), left
 
+    def schedule_wave_spec(self, drain_keys: list[str],
+                           pop_reqs: list[tuple], now: int):
+        """One RPC per shard per SPECULATIVE wave: the retry drains
+        followed by every one of this shard's rule pops (zero assumed
+        carry), in exactly the order the per-call plan used to submit
+        them (drains first, pops in serve order — per-shard actor
+        ordering made that sequence; here it's a plain loop).  Collapses
+        the ~(1 drain + k pops) actor tasks per shard per wave into one
+        — the per-task submit/return overhead across ~53 tasks/wave was
+        a measured slice of the schedule join.  Returns
+        ``((drain_results, accepted_list), lefts)``: the few-byte
+        per-rule lefts ride the second ``num_returns=2`` object so the
+        driver plans repairs before pulling the payload."""
+        import time
+
+        drains = self.drain_retries_many(drain_keys, now)
+        _t0 = time.perf_counter()
+        accepted_list: list = []
+        lefts: list[int] = []
+        for urllib_key, ct, lifo, interval in pop_reqs:
+            accepted, left = self.schedule_pop(
+                urllib_key, ct, lifo, interval, now)
+            accepted_list.append(accepted)
+            lefts.append(left)
+        self._ptick("pop", _t0)
+        return (drains, accepted_list), lefts
+
     def schedule_pop_run(self, reqs: list[tuple], left_in: int, now: int):
         """A run of consecutive same-shard ``schedule_pop``s in one RPC,
         chaining the leftover-carry exactly as the driver loop would

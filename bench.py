@@ -65,8 +65,14 @@ def bench_settings(num_cpus: int):
         politeness_per_host_per_wave=int(
             os.environ.get("NC_BENCH_POLITENESS", "50000")),
         # shard count follows frontier size, not CPU count: shards are
-        # state partitions; RPC fan-out per wave barrier is O(shards)
-        num_frontier_shards=8,
+        # state partitions; RPC fan-out per wave barrier is O(shards).
+        # Swept 4/8/16 at this corpus (61k urls) across widths — 4 wins
+        # everywhere (w48: 60.0 vs 64.0 s at 4 cpus, 21.0 vs 22.5 at 16,
+        # 15.5 vs 15.8 at 32; w12 headline: 6.5 vs 7.2 s at 32): fewer,
+        # larger commits beat the extra per-shard RPC+snapshot overhead
+        # until the frontier outgrows a shard's heap.  A 100-TB frontier
+        # sizes shards by state volume, not by this knob.
+        num_frontier_shards=4,
         # small blocks: a heavy-page block is ~0.4s of extract; the last
         # blocks per wave are pure straggler tail, so pack tighter (swept
         # 24/32/40/48/64/96 at 16 and 32 cpus across several steal

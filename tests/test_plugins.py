@@ -91,3 +91,41 @@ def test_download_hook_replaces_fetch(corpus, tmp_path, ray_session):
         pa.compute.equal(tbl.column("final_state"), "crawled_failure"))
     assert set(terminal.column("retries").to_pylist()) == {
         job.settings.download_retry}
+
+
+def test_raw_task_and_ray_data_paths_identical(corpus, tmp_path, ray_session):
+    """Differential invariant for the round-5 raw-task wave executor:
+    ``plugin=None`` runs the raw-task fan-out (each block task writes
+    its own parquet part + returns feedback refs), a plugin runs the
+    materializing Ray Data route — the two must produce value-identical
+    crawl artifacts: extracted rows (every column), per-wave schedule
+    logs, and wave/scheduled totals."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from neocrawler_ray.pipelines.crawl import CrawlJob
+
+    outs = {}
+    totals = {}
+    for tag, plugin in (("raw", None), ("rd", PipelinePlugin())):
+        out = str(tmp_path / tag)
+        totals[tag] = CrawlJob(corpus, _settings(), out, plugin=plugin).run()
+        ext = pads.dataset(os.path.join(out, "extracted")).to_table()
+        df = (ext.to_pandas()
+              .sort_values(["wave", "seq", "nav_round"])
+              .reset_index(drop=True))
+        sched = pd.concat(
+            [pq.read_table(p).to_pandas() for p in
+             sorted(glob.glob(os.path.join(out, "schedule", "*.parquet")))],
+            ignore_index=True).sort_values(["wave", "seq"]).reset_index(drop=True)
+        outs[tag] = (df, sched)
+    for key in ("scheduled", "waves", "links_saved", "states"):
+        assert totals["raw"].get(key) == totals["rd"].get(key), key
+    (a_ext, a_sched), (b_ext, b_sched) = outs["raw"], outs["rd"]
+    assert a_ext.shape == b_ext.shape
+    pd.testing.assert_frame_equal(a_ext, b_ext)
+    pd.testing.assert_frame_equal(a_sched, b_sched)

@@ -78,6 +78,27 @@ def test_single_url(corpus_dir: str, url: str, out_dir: str,
     if html is not None:  # debug-page.html (pipeline.js:523-527)
         with open(os.path.join(out_dir, "debug-page.html"), "wb") as f:
             f.write(html)
+    if (fetched.num_rows > 1
+            or browser_rules_map(rules).get("urllib:" + urllib_key)):
+        # browser (jshandle) debug: per drill round the reference dumps
+        # a screenshot + the rendered html (page_test_action,
+        # lib/phantomjs/phantomjs-bridge.js:204-211 — debug-pageK.png +
+        # debug-browser-pageK.html).  The screenshot analog is a
+        # deterministic DOM wireframe raster of that round's content
+        # (functions/raster.py): same page → same bytes, different
+        # click rounds → visibly different boxes.
+        from ..functions.raster import render_page_png
+
+        rounds = fetched.column("nav_round").to_pylist()
+        htmls = fetched.column("html").to_pylist()
+        for rnd, rhtml in zip(rounds, htmls):
+            if rhtml is None:
+                continue
+            with open(os.path.join(
+                    out_dir, f"debug-browser-page{rnd}.html"), "wb") as f:
+                f.write(rhtml)
+            render_page_png(
+                os.path.join(out_dir, f"debug-page{rnd}.png"), rhtml)
     record = {k: v for k, v in result.items() if k != "content_bin"}
     if record.get("extracted_json"):
         record["extracted_data"] = json.loads(record.pop("extracted_json"))

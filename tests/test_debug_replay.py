@@ -130,3 +130,81 @@ def test_dedup_queues(corpus, tmp_path, ray_session):
     removed = dedup_queues(ckpt)
     assert removed > 0
     assert dedup_queues(ckpt) == 0
+
+
+def _read_png_gray(path):
+    """Tiny stdlib PNG reader for the debug screenshots: returns
+    (width, height, scanline bytes) and validates chunk CRCs."""
+    import binascii
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w, h = 8, b"", 0, 0
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        assert crc == (binascii.crc32(tag + payload) & 0xFFFFFFFF)
+        if tag == b"IHDR":
+            w, h, bits, color = struct.unpack(">IIBB", payload[:10])
+            assert (bits, color) == (8, 0)  # 8-bit grayscale
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    assert len(raw) == h * (w + 1)  # filter byte + w pixels per line
+    return w, h, raw
+
+
+def test_raster_wireframe_deterministic_and_distinct(tmp_path):
+    from neocrawler_ray.functions.raster import render_page_png
+
+    a = b"<html><body><h1>Title</h1><p>some text here</p></body></html>"
+    b = (b"<html><body><ul><li>one</li><li>two</li><li>three</li></ul>"
+         b"<div>a much longer paragraph of wireframe text</div></body></html>")
+    for name, html in (("a1", a), ("a2", a), ("b1", b)):
+        render_page_png(str(tmp_path / f"{name}.png"), html)
+    bytes_a1 = (tmp_path / "a1.png").read_bytes()
+    assert bytes_a1 == (tmp_path / "a2.png").read_bytes()  # deterministic
+    assert bytes_a1 != (tmp_path / "b1.png").read_bytes()  # layout-sensitive
+    w, h, _ = _read_png_gray(str(tmp_path / "a1.png"))
+    assert w > 0 and h > 0
+
+
+def test_debug_browser_screenshots_per_round(tmp_path_factory, tmp_path):
+    """S11 test mode parity for browser rules: one screenshot + rendered
+    html PER DRILL ROUND (page_test_action,
+    lib/phantomjs/phantomjs-bridge.js:204-211)."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    from neocrawler_ray.functions.extract import detect_link
+    from neocrawler_ray.stages.fetch import browser_rules_map
+
+    corpus = str(tmp_path_factory.mktemp("js_dbg_corpus"))
+    generate_corpus(corpus, n_pages=400, n_domains=4, seed=42)
+    with open(os.path.join(corpus, "rules.json")) as f:
+        rules = json.load(f)
+    bmap = browser_rules_map(rules)
+    key, (steps, _script) = max(bmap.items(), key=lambda kv: kv[1][0])
+    assert steps > 0  # the corpus has a navigating jshandle rule
+    urls = (pads.dataset(os.path.join(corpus, "pages"))
+            .to_table(columns=["url"]).column("url").to_pylist())
+    bare = key.split("urllib:", 1)[1]
+    target = next(u for u in sorted(urls)
+                  if detect_link(u, rules)[0] == bare)
+
+    rec = debug_single_url(corpus, target, str(tmp_path))
+    assert rec["final_state"] == "crawled_finish"
+    pngs = sorted(glob.glob(str(tmp_path / "debug-page*.png")))
+    pages = sorted(glob.glob(str(tmp_path / "debug-browser-page*.html")))
+    # one pair per navigation round, round numbers contiguous from 0
+    assert len(pngs) == len(pages) == steps + 1
+    rasters = [_read_png_gray(p) for p in pngs]
+    # click rounds must render visibly different wireframes
+    assert len({r[2] for r in rasters}) > 1

@@ -291,13 +291,19 @@ class FrontierShard:
         _t0 = time.perf_counter()
         accepted_list: list = []
         lefts: list[int] = []
+        qlens: list[int] = []
         for urllib_key, ct, lifo, interval in pop_reqs:
             accepted, left = self.schedule_pop(
                 urllib_key, ct, lifo, interval, now)
             accepted_list.append(accepted)
             lefts.append(left)
+            # post-pop queue length: lets the driver prove which repair
+            # continuations are pure carry pass-throughs (empty queue ⇒
+            # pop is a state-free no-op) and skip their RPC hop entirely
+            q = self.queues.get(urllib_key)
+            qlens.append(len(q) if q else 0)
         self._ptick("pop", _t0)
-        return (drains, accepted_list), lefts
+        return (drains, accepted_list), (lefts, qlens)
 
     def schedule_pop_run(self, reqs: list[tuple], left_in: int, now: int):
         """A run of consecutive same-shard ``schedule_pop``s in one RPC,

@@ -208,3 +208,24 @@ def test_debug_browser_screenshots_per_round(tmp_path_factory, tmp_path):
     rasters = [_read_png_gray(p) for p in pngs]
     # click rounds must render visibly different wireframes
     assert len({r[2] for r in rasters}) > 1
+
+
+def test_raster_survives_arbitrary_text():
+    """The wireframe renderer must accept anything a crawl can feed it
+    (truncated tags, control bytes, deep nesting) and stay
+    deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neocrawler_ray.functions.raster import render_wireframe
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=400))
+    def check(blob):
+        html = b"<div>" * 20 + blob + b"</p><li>" + blob[:50]
+        a = render_wireframe(html)
+        b = render_wireframe(html)
+        assert a == b
+        assert all(len(r) == len(a[0]) for r in a)
+
+    check()
